@@ -1,0 +1,27 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the reference feature-extraction & retrieval pipeline
+(tyasemin/Data-Feature-Extraction-and-Retrieval-Pipeline).
+
+Architecture is idiomatic Spark — DataFrame/SQL plans optimized by
+Catalyst, Arrow-batched pandas UDFs only where built-ins can't express
+the semantics (model-backed encoders), Structured Streaming for
+incremental ingest.
+
+Layout
+------
+- ``session``    : SparkSession factory tuned for local[N] testing and
+                   cluster-scale defaults (AQE, Arrow, shuffle sizing).
+- ``schemas``    : canonical StructTypes for every table (SURVEY.md §1.2).
+- ``sources``    : readers/writers — parquet tables, BOM-aware CSV,
+                   JSON feature dirs, binary image dirs (SURVEY.md §2.1).
+- ``functions``  : column-level building blocks — vector math, text
+                   cleansing/analysis, score calibration (SURVEY.md §2.7).
+- ``operators``  : composed query operators — ETL, retrieval Q1-Q4,
+                   dedup, analytics, similarity search (SURVEY.md §2).
+- ``streaming``  : Structured Streaming ingest/windowed aggregation.
+- ``ml``         : model-backed UDF surface (stub encoders by default).
+"""
+
+__version__ = "0.1.0"
+
+from .session import get_spark  # noqa: F401

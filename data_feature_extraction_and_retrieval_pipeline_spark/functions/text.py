@@ -1,0 +1,194 @@
+"""Text cleansing & analysis columns (SURVEY.md §2.2 P5-P7, §2.7 F2-F8;
+plus the training-data-pipeline text suite: language-ID, quality
+scoring, token counting, fingerprinting).
+
+Everything here is a pure Catalyst expression (split/transform/filter/
+aggregate higher-order functions) — whole-stage-codegen friendly, no
+Python in the hot path, and every function has a 1:1 ANSI-SQL twin so
+the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Sentinel cell values the reference nulls out (clean_and_fill_na.py:4-17).
+NULL_SENTINELS = ("NA", "Konum Yok", "Konum İşaretlenmedi")
+
+# HTML noise scrubbed by clean_label_etiketler.py:5-16.
+HTML_NOISE = '<span aria-hidden="true">—</span><span class="screen-reader-text">'
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def split_trim(col: Column | str, delim: str = ",") -> Column:
+    """Comma-packed multi-value cell → trimmed array (F2 —
+    analyze_dataset_distribution.py:78-81)."""
+    return F.transform(F.split(_c(col), delim), lambda x: F.trim(x))
+
+
+def sentinels_to_null(col: Column | str, sentinels=NULL_SENTINELS) -> Column:
+    """Empty/sentinel cells → null (P5 — clean_and_fill_na.py:4-17).
+
+    The reference treats a cell as missing if it is empty OR contains
+    one of the location sentinels; we preserve the *contains* (not
+    equals) semantics.
+    """
+    c = _c(col)
+    cond = F.trim(c) == ""
+    for s in sentinels:
+        cond = cond | c.contains(s)
+    return F.when(cond | c.isNull(), F.lit(None)).otherwise(c)
+
+
+def strip_html_noise(col: Column | str) -> Column:
+    """Cells containing the literal screen-reader span → empty string
+    (P6 — clean_label_etiketler.py:5-16)."""
+    c = _c(col)
+    return F.when(c.contains(HTML_NOISE), F.lit("")).otherwise(c)
+
+
+def safe_int(col: Column | str) -> Column:
+    """'NA'/empty/bad parse → null; int via int(float(v)) (P7 —
+    upload_features_to_elasticsearch.py:95-114). ``try_cast`` gives
+    the reference's try/except→None semantics under ANSI mode."""
+    c = F.nullif(F.trim(_c(col)), F.lit("NA"))
+    c = F.nullif(c, F.lit(""))
+    return c.try_cast("double").try_cast("long")
+
+
+def safe_double(col: Column | str) -> Column:
+    """'NA'/empty/bad parse → null (P7)."""
+    c = F.nullif(F.trim(_c(col)), F.lit("NA"))
+    c = F.nullif(c, F.lit(""))
+    return c.try_cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty strings dropped."""
+    return F.filter(
+        F.split(F.lower(_c(col)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(toks: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token array.
+
+    The building block of n-gram Jaccard dedup: join documents on
+    shared shingles instead of comparing all pairs — the shingle is
+    the shuffle key, so near-dup detection scales with the number of
+    *colliding* pairs, not O(N²).
+    """
+    t = _c(toks)
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(t, " ")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality / language heuristics (training-data pipeline suite)
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def stopword_ratio(toks: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    t = _c(toks)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Share of characters that are ASCII letters or spaces."""
+    c = _c(col)
+    clean = F.length(F.regexp_replace(c, "[^A-Za-z ]", ""))
+    return F.when(F.length(c) > 0, clean.cast("double") / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite document-quality score in 0..1: mean of
+    (length signal, alpha ratio, stopword signal).
+
+    Length signal saturates at 200 chars; stopword signal saturates at
+    a 10% stopword ratio — crude but deterministic and monotone, the
+    same shape the reference's acceptance criteria imply (SRS §9).
+    """
+    c = _c(text_col)
+    t = tokens(c)
+    length_sig = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    stop_sig = F.least(stopword_ratio(t) * F.lit(10.0), F.lit(1.0))
+    return (length_sig + alpha_ratio(c) + stop_sig) / F.lit(3.0)
+
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def lang_id(toks: Column | str, markers=None) -> Column:
+    """N-gram-free language ID heuristic: argmax of marker-word hit
+    counts; ties and zero hits → 'und' (undetermined).
+
+    Deterministic tie-break: highest count wins, then alphabetical
+    language code — expressible identically in the SQL oracle.
+    """
+    markers = markers or LANG_MARKERS
+    t = _c(toks)
+
+    def _hits(ws):
+        # single-arg lambda on purpose: a second (default) parameter
+        # would make PySpark treat it as an (element, index) lambda
+        return F.size(F.filter(t, lambda x: x.isin(*list(ws))))
+
+    scored = [(lang, _hits(ws)) for lang, ws in sorted(markers.items())]
+    best = F.greatest(*[s for _, s in scored]) if len(scored) > 1 else scored[0][1]
+    out = F.lit("und")
+    for lang, s in reversed(scored):  # earlier alphabetical wins on tie
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+
+
+def rolling_hash_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling hash over the document's characters:
+    ``h = (h * 31 + codepoint) mod 1e9+7``.
+
+    A portable document fingerprint (same arithmetic is expressible in
+    any SQL dialect, unlike murmur/xxhash), used for cheap exact-dup
+    grouping without shipping full texts through the shuffle.
+    """
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: F.length(ch) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+    )

@@ -1,0 +1,214 @@
+"""Model-backed UDF surface (SURVEY.md §2.8 U1-U6).
+
+The reference's CLIP/SAM stages become Arrow-batched pandas UDFs with
+per-executor model singletons. The image/ML libraries are not in this
+container, so each operator ships a **deterministic stub** that keeps
+the Spark-side plumbing real (schemas, batch shapes, UDF signatures,
+partitioning) and gates the real model behind an import-try — exactly
+how the engine would swap in CLIP/SAM on a GPU cluster
+(``spark.task.resource.gpu.amount`` schedules those stages).
+
+Stub encoders are hash-projection embeddings: feature[i] =
+f(xxhash-like mix of (content, i)), L2-normalized — deterministic
+across executors and runs, which is what correctness tests need
+(SURVEY.md §5: inject stub encoders; the driver's embeddings.parquet
+plays the role of pre-extracted CLIP vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+# Lazily-initialized per-executor model handle (U1's load-once pattern,
+# extract_clip_features.py:10-18, minus the reference's per-call reload).
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _try_real_clip():
+    """Real CLIP if available (never in this container)."""
+    if "clip" in _MODEL_CACHE:
+        return _MODEL_CACHE["clip"]
+    try:  # pragma: no cover - exercised only on GPU clusters
+        import torch  # noqa: F401
+        import clip  # type: ignore # noqa: F401
+
+        model, preprocess = clip.load("ViT-B/32")
+        _MODEL_CACHE["clip"] = (model, preprocess)
+    except Exception:
+        _MODEL_CACHE["clip"] = None
+    return _MODEL_CACHE["clip"]
+
+
+def _hash_projection(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic pseudo-embedding: sha256-seeded projection,
+    L2-normalized (mirrors the reference's normalize-at-extraction,
+    extract_clip_features.py:30)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def stub_text_encoder_udf(dim: int = 64):
+    """U1-analog for text: string → float[dim] L2-normalized.
+
+    Arrow-batched scalar pandas UDF — ~10-100× over row-at-a-time
+    Python UDFs; at scale this is the pattern the real encoder uses
+    (batch → GPU → batch)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _hash_projection((t or "").encode("utf-8"), dim).tolist()
+        )
+
+    return encode
+
+
+def stub_image_encoder_udf(dim: int = 512):
+    """U1 — CLIP image encoder (extract_clip_features.py:10-35), stub:
+    binary content → float[dim] L2-normalized. Falls back to the hash
+    projection when no real model is installed."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def encode(contents: pd.Series) -> pd.Series:
+        real = _try_real_clip()
+        if real is not None:  # pragma: no cover - GPU cluster path
+            raise NotImplementedError(
+                "real CLIP path requires torch+clip; wire preprocess/encode here"
+            )
+        return contents.map(
+            lambda b: _hash_projection(bytes(b or b""), dim).tolist()
+        )
+
+    return encode
+
+
+def zero_shot_tags(df, vec_col: str, vocab: list[tuple[str, list[float]]], top_k: int = 5):
+    """U5 — zero-shot tagger (SAM/sam_segment_clip_pipeline.py:219-257).
+
+    logits = 100 · (img @ textᵀ); softmax over the FULL vocabulary;
+    top-k (tag, confidence) structs. The 50-term text-embedding matrix
+    is precomputed ONCE and broadcast as a closure constant — fixing
+    the reference's recompute-per-segment inefficiency (SURVEY.md §4).
+    """
+    tags = [t for t, _ in vocab]
+    mat = np.asarray([v for _, v in vocab], dtype=np.float64)  # (V, dim)
+
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("tag", T.StringType()),
+                T.StructField("confidence", T.FloatType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def tagger(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            x = np.asarray(v, dtype=np.float64)
+            logits = 100.0 * (mat @ x)
+            e = np.exp(logits - logits.max())
+            probs = e / e.sum()
+            idx = np.argsort(-probs)[:top_k]
+            return [
+                {"tag": tags[i], "confidence": float(probs[i])} for i in idx
+            ]
+
+        return vecs.map(one)
+
+    return df.withColumn("tags", tagger(F.col(vec_col)))
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("filename", T.StringType()),
+        T.StructField("segment_id", T.IntegerType()),
+        T.StructField("segment_area", T.IntegerType()),
+        T.StructField("segment_bbox", T.ArrayType(T.FloatType())),
+        T.StructField("stability_score", T.FloatType()),
+        T.StructField("crop", T.BinaryType()),
+    ]
+)
+
+
+def segment_image(df, content_col: str = "content", filename_col: str = "filename",
+                  max_segments: int = 10, min_area: int = 500):
+    """U2/U3/U4 — SAM mask generation as a mapInPandas UDTF: one image
+    row → N segment rows, sorted by area desc and capped at
+    ``max_segments`` (SAM/sam_segment_clip_pipeline.py:157-200).
+
+    STUB: segments are derived deterministically from the content hash
+    (count, areas, bboxes); the crop is a byte-slice of the source.
+    The real path (SAM + white-background crop + ≤800px downscale)
+    plugs into the same iterator without touching the plan.
+    """
+    in_cols = [filename_col, content_col]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("filename", "segment_id", "segment_area", "segment_bbox",
+                     "stability_score", "crop")}
+            for fname, content in zip(pdf[filename_col], pdf[content_col]):
+                payload = bytes(content or b"")
+                h = hashlib.sha256(payload).digest()
+                n_seg = min((h[0] % max_segments) + 1, max_segments)
+                areas = sorted(
+                    (min_area + int.from_bytes(h[4 * i:4 * i + 2], "big")
+                     for i in range(n_seg)),
+                    reverse=True,
+                )
+                for sid, area in enumerate(areas, 1):
+                    rows["filename"].append(fname)
+                    rows["segment_id"].append(sid)
+                    rows["segment_area"].append(int(area))
+                    side = float(int(area) ** 0.5)
+                    rows["segment_bbox"].append(
+                        [float(sid), float(sid), side, side]
+                    )
+                    rows["stability_score"].append(0.95 + (area % 50) / 1000.0)
+                    rows["crop"].append(payload[: min(64, len(payload))])
+            yield pd.DataFrame(rows)
+
+    return df.select(*in_cols).mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+def decode_image_stub(df, content_col: str = "content"):
+    """Multimodal decode plumbing: binary → (width, height, n_channels).
+
+    Real decoders (PIL/opencv/av) are absent in this container, so the
+    decode is a deterministic fake over the content hash — schema and
+    batch shape are what the downstream operators contract on.
+    """
+    out = T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out)
+    def decode(contents: pd.Series) -> pd.DataFrame:
+        try:  # pragma: no cover - not installed here
+            from PIL import Image  # type: ignore # noqa: F401
+
+            raise NotImplementedError("real decode path: PIL present, wire it")
+        except ImportError:
+            pass
+        ws, hs, cs = [], [], []
+        for b in contents:
+            h = hashlib.sha256(bytes(b or b"")).digest()
+            ws.append(64 + h[1] % 1024)
+            hs.append(64 + h[2] % 1024)
+            cs.append(3)
+        return pd.DataFrame({"width": ws, "height": hs, "n_channels": cs})
+
+    return df.withColumn("decoded", decode(F.col(content_col)))

@@ -1,0 +1,5 @@
+from .retrieval import knn, knn_batch, segment_search, hybrid_search, tag_search  # noqa: F401
+from .etl import clean_metadata, prefix_split, url_basename  # noqa: F401
+from .dedup import exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, simhash_buckets  # noqa: F401
+from .analytics import value_counts, explode_counts, histogram, group_stats  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk  # noqa: F401

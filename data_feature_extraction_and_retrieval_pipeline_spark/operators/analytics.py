@@ -1,0 +1,117 @@
+"""Analytics operators (SURVEY.md §2.4 A1-A11, §2.5 W1-W8).
+
+Mirrors analyze_dataset_distribution.py / visualize_segmented_tags.py
+as DataFrame reports: frequency counts, explode-then-count of
+multi-valued cells, histograms, distinct counts, leaderboards,
+per-group stats. All single-shuffle groupBys with map-side partial
+aggregation — the shapes that stay cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import text as X
+
+
+def value_counts(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
+    """A1 — pandas ``value_counts`` (analyze_dataset_distribution.py:62...)."""
+    out = df.groupBy(col).agg(F.count("*").alias("count"))
+    order = [F.desc("count"), F.col(col)] if desc else [F.col(col)]
+    return out.orderBy(*order)
+
+
+def explode_counts(
+    df: DataFrame, col: str, top_n: int | None = None, delim: str = ","
+) -> DataFrame:
+    """A2 — split multi-valued cell, trim, count, leaderboard
+    (analyze_dataset_distribution.py:78-83)."""
+    exploded = df.select(
+        F.explode(X.split_trim(F.col(col), delim)).alias("value")
+    ).filter(F.length("value") > 0)
+    counts = exploded.groupBy("value").agg(F.count("*").alias("count"))
+    counts = counts.orderBy(F.desc("count"), F.col("value"))
+    return counts.limit(top_n) if top_n else counts
+
+
+def histogram(
+    df: DataFrame, col: str, bin_width: float, min_value: float = 0.0
+) -> DataFrame:
+    """A7 — fixed-width binning (numpy hist analogue). Bin label is the
+    inclusive lower bound."""
+    bin_col = (
+        F.floor((F.col(col) - F.lit(min_value)) / F.lit(bin_width)) * F.lit(bin_width)
+        + F.lit(min_value)
+    ).cast("double")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("bin")
+    )
+
+
+def decade(col) -> F.Column:
+    """F9 — ``(year // 10) * 10`` (analyze_dataset_distribution.py:102)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / 10) * 10).cast("int")
+
+
+def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """A6 — per-group mean/median/min/max (visualize_segmented_tags.py:171-177).
+
+    Median is the exact interpolated percentile (matches the oracle's
+    ``quantile_cont``); swap for ``percentile_approx`` at 100 TB where
+    an exact median forces a full sort per group.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(value_col).alias("mean"),
+            F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def top_n_per_group(
+    df: DataFrame, group_col: str, order_col: str, n: int, tiebreak_col: str
+) -> DataFrame:
+    """W2 — row_number window capped at n per group (the reference's
+    max-segments-per-image cap, SAM/extract_sam_clip_features.py:65-78)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.col(tiebreak_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def vector_mean(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """A3 — element-wise mean vector per group
+    (SAM/upload_segments_to_elasticsearch.py:61-68 ``np.mean(axis=0)``).
+
+    posexplode → groupBy(group, pos) avg → reassemble ordered array.
+    Two shuffles but both on narrow (group, pos, double) rows; at
+    scale this beats collecting vectors to Python by construction.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    means = exploded.groupBy(group_col, "pos").agg(F.avg("x").alias("mean_x"))
+    return (
+        means.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("mean_x")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col(group_col),
+            F.transform(F.col("pairs"), lambda p: p["mean_x"]).alias("mean_vec"),
+        )
+    )

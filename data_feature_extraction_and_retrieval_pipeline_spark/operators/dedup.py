@@ -1,0 +1,226 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Not present in the reference (its corpus is 14k curated photos) but a
+first-class requirement at 100 TB. Four families:
+
+- **exact**: hash-groupBy on a cheap fingerprint — one shuffle of
+  (hash, id), never the payload.
+- **n-gram Jaccard**: shingle → self-join on shingle → count common.
+  Scales with colliding pairs, not O(N²); fully SQL-expressible so the
+  DuckDB oracle can verify it exactly.
+- **MinHash + LSH**: k independent min-hashes → band → bucket-join;
+  candidate pairs verified with exact Jaccard. The 100 TB path — cost
+  is O(N·k) plus bucket collisions.
+- **SimHash**: 64-bit signature; near-dups share band keys.
+
+All signatures use xxhash64 with distinct seeds — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as X
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text.
+
+    Groups on (length, fingerprint) — two cheap LONGs — rather than the
+    raw text, so the shuffle carries ~16 bytes/row regardless of
+    document size. Returns (id, group_size).
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__len"),
+        X.rolling_hash_fingerprint(F.col(text_col)).alias("__fp"),
+    )
+    return (
+        keyed.groupBy("__len", "__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .select(id_col, "group_size")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by n-gram (word shingle) Jaccard ≥ threshold.
+
+    shingles(A) ∩ shingles(B) via an equi-join on the shingle string;
+    Jaccard = common / (|A| + |B| − common). Only documents sharing at
+    least one shingle ever meet, and the pre-aggregated shingle lists
+    keep the join input to one row per (doc, distinct shingle).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    pairs = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def _minhash_signature(shingle_col, num_hashes: int):
+    """k min-hashes of a distinct-shingle array, as k columns.
+
+    xxhash64(shingle, seed=i) stays in codegen; min() over the array
+    via aggregate — no explode, no shuffle for signature building.
+    """
+    def _mh(i: int):
+        # factory keeps the lambda single-arg (a default param would be
+        # parsed by PySpark as the optional array-index argument)
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+
+    return [_mh(i) for i in range(num_hashes)]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    Stage 1: per doc, a k-wide minhash signature (no shuffle).
+    Stage 2: band the signature (rows = k/bands); groupBy band key —
+    docs sharing any band become candidate pairs. The band key is the
+    only thing shuffled.
+    Stage 3: exact n-gram Jaccard on the (small) candidate set.
+
+    At 100 TB this is the dedup path: stage 2's shuffle is
+    O(N · bands) tiny rows, versus the shingle join's O(collisions).
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col),
+        X.word_shingles(X.tokens(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        F.col(id_col),
+        F.col("shingles"),
+        *_minhash_signature(F.col("shingles"), num_hashes),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                        "key"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        ).alias("bandkeys"),
+    ).select(id_col, "shingles", F.explode("bandkeys").alias("bk"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(toks) -> F.Column:
+    """64-bit SimHash of a token array, built bit-by-bit JVM-side:
+    bit_j = 1 iff Σ_tokens sign(xxhash64(token) bit j) > 0."""
+    def _vote(j: int):
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    bit_votes = [_vote(j) for j in range(64)]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(0)
+    return out
+
+
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidate buckets: documents sharing any
+    16-bit band of their 64-bit simhash (≥1 identical band ⇒ hamming
+    distance likely small). Returns (band, key, id) for bucket-join
+    downstream."""
+    sig = df.select(
+        F.col(id_col), simhash64(X.tokens(F.col(text_col))).alias("simhash")
+    )
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    return banded.select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), F.col(id_col)
+    )

@@ -1,0 +1,225 @@
+"""Retrieval operators Q1-Q4 (SURVEY.md §2.9).
+
+These are the reference's four query modes re-expressed as lazy
+DataFrame programs:
+
+- the query vector(s) are tiny → literal arrays / broadcast, never a
+  shuffle side;
+- scoring is a JVM-side dot product over the scanned vectors (exact
+  KNN, same semantics as ES script_score which also scans);
+- top-k is `orderBy(...).limit(k)` which Spark plans as
+  TakeOrderedAndProject — per-partition heaps + driver merge, no
+  global sort, so it scales to arbitrarily wide scans;
+- the two-phase hybrid keeps the phase-1 candidate pool small
+  (`max(20·k, 100)`, a few hundred rows) so phase 2's segment join is
+  a broadcast join against the candidate ids.
+
+Deterministic tie-breaks (score DESC, id ASC) everywhere — the
+reference relies on ES's stable ordering; we make ours explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vectors as V
+
+
+def _query_vec_col(query_vec: Sequence[float]):
+    return F.lit([float(x) for x in query_vec]).cast("array<double>")
+
+
+def knn(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    calibrate: bool = True,
+) -> DataFrame:
+    """Q1 — whole-image KNN (search_with_segments.py:148-185).
+
+    Score = dot(query, vec) [+ 1.0 when ``calibrate``, matching the ES
+    Painless ``cosineSimilarity(...) + 1.0``]. Vectors are stored
+    L2-normalized so dot ≡ cosine. Returns (id, score) ordered desc.
+
+    Scale: one scan + TakeOrderedAndProject; the heavy vector column
+    is pruned from the output (P1) so only k small rows reach the
+    driver.
+    """
+    score = V.dot(F.col(vec_col), _query_vec_col(query_vec))
+    if calibrate:
+        score = V.calibrated_whole_score(score)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query top-k for a small batch of query vectors.
+
+    The query side is broadcast (it is tiny); candidates are ranked
+    per query with a window — per-partition partial ranking under AQE,
+    no driver loop.
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        V.dot(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def segment_search(
+    segments: DataFrame,
+    query_segments: DataFrame,
+    top_k: int = 10,
+    candidate_cap: int | None = None,
+    image_col: str = "image_id",
+    vec_col: str = "clip_features",
+    qvec_col: str = "features",
+    qid_col: str = "q_segment_id",
+) -> DataFrame:
+    """Q2 — segment-level search (search_with_segments.py:188-301).
+
+    For each candidate image: for each (≤10) query segment, the best
+    cosine over the image's segments (per-query-segment argmax, W4);
+    image score = mean of those maxima, with max also reported.
+
+    ``candidate_cap`` reproduces the reference's ``top_k*3`` ES recall
+    heuristic when set: only the first cap images (by image id) with
+    segments are scored — a parity knob, not a semantic requirement.
+
+    Plan shape: segments ⋈ broadcast(query segments) → two-level
+    aggregation. The only shuffle is the groupBy on (image, q-seg) —
+    map-side partial max applies, and the query side never shuffles.
+    """
+    cand = segments
+    if candidate_cap is not None:
+        cand_ids = (
+            segments.select(image_col).distinct()
+            .orderBy(image_col).limit(candidate_cap)
+        )
+        cand = segments.join(F.broadcast(cand_ids), image_col, "left_semi")
+
+    pairs = cand.crossJoin(F.broadcast(query_segments)).select(
+        F.col(image_col),
+        F.col(qid_col),
+        V.dot(F.col(vec_col), F.col(qvec_col)).alias("sim"),
+    )
+    best = pairs.groupBy(image_col, qid_col).agg(F.max("sim").alias("best_sim"))
+    scored = best.groupBy(image_col).agg(
+        F.avg("best_sim").alias("avg_similarity"),
+        F.max("best_sim").alias("max_segment_similarity"),
+    )
+    return scored.orderBy(F.desc("avg_similarity"), F.col(image_col)).limit(top_k)
+
+
+def hybrid_search(
+    images: DataFrame,
+    segments: DataFrame,
+    query_vec: Sequence[float],
+    query_segments: DataFrame,
+    top_k: int = 10,
+    whole_weight: float = 0.4,
+    segment_weight: float = 0.6,
+    image_col: str = "image_id",
+    whole_vec_col: str = "embedding",
+    seg_vec_col: str = "clip_features",
+    qvec_col: str = "features",
+    qid_col: str = "q_segment_id",
+) -> DataFrame:
+    """Q3 — two-phase hybrid re-rank (search_with_segments.py:345-445).
+
+    Phase 1: whole-image KNN with candidate pool ``max(top_k*20, 100)``
+    (score shifted to 0..2). Phase 2: segment score (raw cosine in
+    −1..1 — the reference's asymmetry, SURVEY.md §1.4) for candidates
+    only, via a broadcast semi-join on the candidate ids. Phase 3:
+    ``hybrid = w_w·whole + w_s·segment`` with missing segment score
+    → 0.0; final top-k.
+    """
+    pool = max(top_k * 20, 100)
+    phase1 = knn(
+        images, query_vec, k=pool, id_col=image_col, vec_col=whole_vec_col
+    ).withColumnRenamed("score", "whole_score")
+
+    cand_segments = segments.join(
+        F.broadcast(phase1.select(image_col)), image_col, "left_semi"
+    )
+    pairs = cand_segments.crossJoin(F.broadcast(query_segments)).select(
+        F.col(image_col),
+        F.col(qid_col),
+        V.dot(F.col(seg_vec_col), F.col(qvec_col)).alias("sim"),
+    )
+    seg_score = (
+        pairs.groupBy(image_col, qid_col)
+        .agg(F.max("sim").alias("best_sim"))
+        .groupBy(image_col)
+        .agg(F.avg("best_sim").alias("segment_score"))
+    )
+
+    combined = phase1.join(seg_score, image_col, "left").select(
+        F.col(image_col),
+        F.col("whole_score"),
+        F.coalesce(F.col("segment_score"), F.lit(0.0)).alias("segment_score"),
+        V.hybrid_score(
+            F.col("whole_score"), F.col("segment_score"), whole_weight, segment_weight
+        ).alias("hybrid_score"),
+    )
+    return combined.orderBy(F.desc("hybrid_score"), F.col(image_col)).limit(top_k)
+
+
+def tag_search(
+    segments: DataFrame,
+    tags: Sequence[str],
+    min_confidence: float = 0.1,
+    top_k: int = 10,
+    image_col: str = "image_id",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Q4 — tag search (search_with_segments.py:304-342).
+
+    OR-match on the nested tag structs with ``confidence >=
+    min_confidence``. The reference ranks by ES's BM25-ish constant
+    relevance; exact BM25 parity is a non-goal (SURVEY.md §2.9), so
+    the deterministic relevance proxy is (#matching tags, max matching
+    confidence).
+
+    ``tags_col`` is ``array<struct<tag,confidence>>``; rows with no
+    qualifying tag are filtered before the aggregate, so only matches
+    shuffle.
+    """
+    tag_arr = F.lit([str(t) for t in tags])
+    matching = F.filter(
+        F.col(tags_col),
+        lambda t: t["tag"].isin(*[str(x) for x in tags])
+        & (t["confidence"] >= F.lit(float(min_confidence))),
+    )
+    per_segment = segments.select(
+        F.col(image_col),
+        F.explode(matching).alias("m"),
+    ).select(image_col, F.col("m.tag").alias("tag"), F.col("m.confidence").alias("confidence"))
+    scored = per_segment.groupBy(image_col).agg(
+        F.countDistinct("tag").alias("matched_tags"),
+        F.max("confidence").alias("max_confidence"),
+    )
+    _ = tag_arr  # literal kept for API symmetry / future pushdown
+    return scored.orderBy(
+        F.desc("matched_tags"), F.desc("max_confidence"), F.col(image_col)
+    ).limit(top_k)

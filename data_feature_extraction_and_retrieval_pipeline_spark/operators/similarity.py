@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns.
+
+Two tiers, per the training-data-pipeline requirement:
+
+- **brute force**: exact cosine top-k — one scan, TakeOrderedAndProject.
+  Correctness baseline and exactly the reference's ES script_score
+  semantics (which is also an exact scan).
+- **IVF (inverted file)**: coarse-quantize every vector to its nearest
+  centroid ONCE (write-time at scale), then search only the nprobe
+  closest clusters — the scan shrinks by ~nlist/nprobe. Centroids are
+  a broadcast literal; cluster assignment is a partition-prunable
+  column when the table is written partitioned by it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (vectors pre-normalized ⇒ dot)."""
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col), V.dot(F.col(vec_col), q).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (max dot over a literal centroid
+    array) — pure Catalyst expressions, no UDF.
+
+    At 100 TB this runs once at ingest and the table is written
+    ``partitionBy(cluster)`` so queries prune whole clusters.
+    """
+    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
+    )
+    sims = F.transform(
+        cents, lambda c: V.dot(F.col(vec_col), c)
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return embeddings.withColumn(out_col, best.cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose nearest centroid
+    is among the query's ``nprobe`` closest centroids.
+
+    Deterministic given fixed centroids (we use seeded/fixed centroid
+    lists, mirroring the reference's seed=42 convention).
+    """
+    q = [float(x) for x in query_vec]
+    # nprobe closest centroids to the query — tiny, computed driver-side
+    import math
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-_dot(centroids[i], q), i),
+    )
+    probe = ranked[:nprobe]
+    _ = math  # keep import local & explicit
+
+    assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
+    qcol = F.lit(q).cast("array<double>")
+    return (
+        assigned.filter(F.col("cluster").isin(*probe))
+        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_pairs(
+    embeddings: DataFrame,
+    centroids: list[Sequence[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster:
+    only vectors in the SAME cluster are compared (blocking), turning
+    the O(N²) self-join into per-cluster joins co-partitioned on the
+    cluster key."""
+    assigned = assign_clusters(embeddings, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= F.lit(float(threshold)))

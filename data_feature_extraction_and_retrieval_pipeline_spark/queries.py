@@ -1,0 +1,1425 @@
+"""Named query registry — the driver-facing correctness contract.
+
+Each entry pairs a Spark DataFrame program (built from the package's
+operators) with an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables. Conventions that make the value-hash comparison
+deterministic (FIXTURES.md §6):
+
+- every computed column is aliased identically on both sides;
+- float outputs are rounded to 6 decimals (money sums to 2);
+- every LIMIT is preceded by a total order (rounded score DESC, id ASC)
+  so the selected row SET is identical in both engines;
+- timestamps are emitted as formatted strings;
+- oracle aggregate types are cast to match Spark (BIGINT counts/sums,
+  INT ranks).
+
+Dot products are computed in DOUBLE on both sides over the same
+float32-widened inputs, and accumulate left-to-right in both engines,
+so scores agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import text as X
+from .functions import vectors as V
+from .operators import analytics, dedup, etl, retrieval, similarity
+from .ml import encoders
+from .sources import load_table
+from .streaming import tumbling_window_counts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The seeded query vector: the embedding of a fixed row — the
+    rebuild's analogue of the reference's seed=42 sample queries."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# =====================================================================
+# Relational core (SURVEY.md §2.4/§2.5; TPC-H-ish shapes)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                     AS avg_price,
+           ROUND(AVG(l_discount), 6)                                          AS avg_disc,
+           COUNT(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan+aggregate; single shuffle
+    with map-side partial aggregation (A1/A10 analytics shapes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_value_counts",
+    """
+    SELECT event_type, COUNT(*) AS count
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — value_counts (analyze_dataset_distribution.py:62)."""
+    return analytics.value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "agg_explode_count",
+    """
+    SELECT value, COUNT(*) AS count
+    FROM (
+        SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS value
+        FROM documents
+    )
+    WHERE LENGTH(value) > 0
+    GROUP BY value
+    ORDER BY count DESC, value
+    LIMIT 30
+    """,
+)
+def agg_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — explode-then-count leaderboard over the multi-valued text
+    cell (analyze_dataset_distribution.py:78-83), top 30 words."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(F.explode(X.tokens(F.col("text"))).alias("value"))
+    return (
+        exploded.groupBy("value")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.col("value"))
+        .limit(30)
+    )
+
+
+@register(
+    "agg_histogram_chars",
+    """
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bin, COUNT(*) AS count
+    FROM documents GROUP BY bin
+    """,
+)
+def agg_histogram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — fixed-width histogram binning of document lengths."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bin")
+    ).agg(F.count("*").alias("count"))
+
+
+@register(
+    "agg_decade_orders",
+    """
+    SELECT CAST(FLOOR(YEAR(o_orderdate) / 10) * 10 AS INT) AS decade,
+           COUNT(*) AS count
+    FROM orders GROUP BY decade
+    """,
+)
+def agg_decade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/A1 — decade binning ``(y//10)*10``
+    (analyze_dataset_distribution.py:102)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        analytics.decade(F.year("o_orderdate")).alias("decade")
+    ).agg(F.count("*").alias("count"))
+
+
+@register(
+    "agg_group_stats",
+    """
+    SELECT lang,
+           COUNT(*)                                   AS n,
+           ROUND(AVG(n_chars), 6)                     AS mean,
+           ROUND(quantile_cont(n_chars, 0.5), 6)      AS median,
+           MIN(n_chars)                               AS min,
+           MAX(n_chars)                               AS max
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-group mean/median/min/max
+    (visualize_segmented_tags.py:171-177)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = analytics.group_stats(docs, "lang", "n_chars")
+    return out.select(
+        "lang",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        "min",
+        "max",
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT user_id)     AS n_users,
+           COUNT(DISTINCT event_type)  AS n_types,
+           COUNT(*)                    AS n_events
+    FROM events
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — nunique counters (analyze_dataset_distribution.py:336-358)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "agg_bool_flags",
+    """
+    SELECT source,
+           MAX(CASE WHEN lang = 'en' THEN TRUE ELSE FALSE END) AS has_en,
+           COUNT(DISTINCT lang)                                AS n_langs,
+           COUNT(*)                                            AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def agg_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — boolean any-flags per group (the has_architecture/
+    has_nature/has_objects pattern,
+    SAM/upload_segments_to_elasticsearch.py:88-96)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.max(F.when(F.col("lang") == "en", True).otherwise(False)).alias("has_en"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "win_topn_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rank
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rank
+        FROM part
+    )
+    WHERE rank <= 3
+    """,
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — top-N per group (the ≤10-segments-per-image cap,
+    SAM/extract_sam_clip_features.py:65-78)."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.top_n_per_group(
+        part, "p_brand", "p_retailprice", 3, "p_partkey"
+    ).select("p_brand", "p_partkey", "p_retailprice", "rank")
+
+
+@register(
+    "win_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def win_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W8 — global top-k with rank numbering; Spark plans
+    TakeOrderedAndProject (no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Joins (SURVEY.md §2.3)
+# =====================================================================
+
+
+@register(
+    "join_meta_counters",
+    """
+    SELECT COUNT(*)                                              AS n_vectors,
+           SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS matched,
+           SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT     AS not_matched
+    FROM embeddings e
+    LEFT JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+def join_meta_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — features ⋈ metadata broadcast left join with
+    matched/not-matched counters
+    (upload_features_to_elasticsearch.py:160-205)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    joined = emb.join(
+        F.broadcast(docs), emb["vec_id"] == docs["doc_id"], "left"
+    )
+    return joined.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0)).alias("matched"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("not_matched"),
+    )
+
+
+@register(
+    "join_semi_allowlist",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+    GROUP BY l_returnflag
+    """,
+)
+def join_semi_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/P14 — allow-list as broadcast left-semi join
+    (extract_clip_features.py:79,94-96)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    return (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "join_anti_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the complement-split analogue (P4) expressed as a
+    proper left_anti instead of a double scan: customers with no
+    recent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name, r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — multi-join with broadcast dims (nation/region)
+    and a date-range filter that pushes to the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# =====================================================================
+# Metadata ETL (SURVEY.md §2.2; M1)
+# =====================================================================
+
+
+@register(
+    "etl_sentinel_cleanse",
+    """
+    WITH injected AS (
+        SELECT lang,
+               CASE WHEN doc_id % 7 = 0 THEN 'NA'
+                    WHEN doc_id % 7 = 1 THEN ''
+                    WHEN doc_id % 7 = 2 THEN 'Konum Yok'
+                    ELSE source END AS cell
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT lang,
+               CASE WHEN cell IS NULL OR TRIM(cell) = ''
+                         OR contains(cell, 'NA')
+                         OR contains(cell, 'Konum Yok')
+                         OR contains(cell, 'Konum İşaretlenmedi')
+                    THEN NULL ELSE cell END AS cell
+        FROM injected
+    )
+    SELECT lang, COUNT(*) AS n, COUNT(cell) AS non_null,
+           (COUNT(*) - COUNT(cell))::BIGINT AS cells_cleaned
+    FROM cleaned GROUP BY lang
+    """,
+)
+def etl_sentinel_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — sentinel/empty → null cleansing with cells-cleaned
+    counters (clean_and_fill_na.py:4-17,28-95). Sentinels are injected
+    deterministically since the synthetic table has none."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, "NA")
+        .when(F.col("doc_id") % 7 == 1, "")
+        .when(F.col("doc_id") % 7 == 2, "Konum Yok")
+        .otherwise(F.col("source"))
+        .alias("cell"),
+    )
+    cleaned = injected.select("lang", X.sentinels_to_null("cell").alias("cell"))
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.count("cell").alias("non_null"),
+        (F.count("*") - F.count("cell")).alias("cells_cleaned"),
+    )
+
+
+@register(
+    "etl_safe_cast",
+    """
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 13 = 0 THEN 'NA'
+                    WHEN event_id % 13 = 1 THEN ''
+                    ELSE regexp_extract(props, '"k":\\s*(\\d+)', 1) END AS k_str
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(TRY_CAST(NULLIF(NULLIF(TRIM(k_str), 'NA'), '') AS DOUBLE)) AS n_parsed,
+           SUM(CAST(TRY_CAST(NULLIF(NULLIF(TRIM(k_str), 'NA'), '') AS DOUBLE) AS BIGINT))::BIGINT AS sum_k
+    FROM raw GROUP BY event_type
+    """,
+)
+def etl_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — safe_int: 'NA'/empty/bad → null, numeric via int(float(v))
+    (upload_features_to_elasticsearch.py:95-114). Extracts the numeric
+    field from the JSON-ish props string, with injected bad cells."""
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, "NA")
+        .when(F.col("event_id") % 13 == 1, "")
+        .otherwise(F.regexp_extract("props", '"k":\\s*(\\d+)', 1))
+        .alias("k_str"),
+    )
+    parsed = raw.select("event_type", X.safe_int("k_str").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_parsed"), F.sum("k").alias("sum_k")
+    )
+
+
+@register(
+    "etl_multiformat_date",
+    """
+    WITH formatted AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                    ELSE CAST(CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS VARCHAR) END AS ds
+        FROM orders
+    ),
+    parsed AS (
+        SELECT o_orderkey,
+               COALESCE(
+                   try_strptime(ds, '%Y-%m-%d %H:%M:%S'),
+                   try_strptime(ds, '%Y-%m-%d'),
+                   CASE WHEN TRY_CAST(ds AS BIGINT) IS NOT NULL
+                        THEN to_timestamp(TRY_CAST(ds AS BIGINT) / 1000) AT TIME ZONE 'UTC'
+                        ELSE NULL END
+               ) AS ts
+        FROM formatted
+    )
+    SELECT YEAR(ts) AS y, COUNT(*) AS n,
+           MIN(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts,
+           MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
+    FROM parsed GROUP BY y
+    """,
+)
+def etl_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — the ES mapping's three accepted date formats
+    (yyyy-MM-dd HH:mm:ss || yyyy-MM-dd || epoch_millis,
+    upload_features_to_elasticsearch.py:40): round-trip through
+    heterogeneous string formats and re-parse with one coalesce."""
+    orders = _t(spark, sf_dir, "orders")
+    formatted = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(
+            (F.col("o_orderdate").cast("timestamp").cast("long") * 1000).cast("string")
+        )
+        .alias("ds"),
+    )
+    parsed = formatted.select(
+        "o_orderkey", etl.multiformat_timestamp("ds").alias("ts")
+    )
+    return parsed.groupBy(F.year("ts").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("max_ts"),
+    )
+
+
+@register(
+    "etl_regex_extract_path",
+    """
+    WITH paths AS (
+        SELECT 'dataset/' || strftime(o_orderdate, '%Y') || '/'
+               || strftime(o_orderdate, '%m') || '/img_'
+               || CAST(o_orderkey AS VARCHAR) || '.jpg' AS image_path
+        FROM orders
+    )
+    SELECT regexp_extract(image_path, 'dataset/(\\d{4})/', 1)        AS year,
+           regexp_extract(image_path, 'dataset/\\d{4}/(\\d{2})/', 1) AS month,
+           COUNT(*) AS count
+    FROM paths GROUP BY year, month
+    """,
+)
+def etl_regex_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — regex year/month extraction from dataset paths
+    (analyze_dataset_distribution.py:55-56)."""
+    orders = _t(spark, sf_dir, "orders")
+    paths = orders.select(
+        F.concat(
+            F.lit("dataset/"),
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("/"),
+            F.date_format("o_orderdate", "MM"),
+            F.lit("/img_"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".jpg"),
+        ).alias("image_path")
+    )
+    return paths.groupBy(
+        F.regexp_extract("image_path", r"dataset/(\d{4})/", 1).alias("year"),
+        F.regexp_extract("image_path", r"dataset/\d{4}/(\d{2})/", 1).alias("month"),
+    ).agg(F.count("*").alias("count"))
+
+
+@register(
+    "etl_prefix_split",
+    """
+    SELECT CASE WHEN starts_with(source, 'src1') THEN 'keep' ELSE 'test' END AS split,
+           COUNT(*) AS n, COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY split
+    """,
+)
+def etl_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 — prefix filter + complement split
+    (filter_label_paths.py:41-54 / create_label_test.py:38-53)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep, test = etl.prefix_split(docs, "source", "src1")
+    keep = keep.withColumn("split", F.lit("keep"))
+    test = test.withColumn("split", F.lit("test"))
+    return (
+        keep.unionByName(test)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.countDistinct("lang").alias("n_langs"))
+    )
+
+
+@register(
+    "etl_url_basename_join",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               'http://archive.example.com/files/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS source_url
+        FROM documents
+    ),
+    listing AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+               '/data/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    resolved AS (
+        SELECT m.doc_id,
+               COALESCE(l.path, m.source_url) AS resolved
+        FROM meta m
+        LEFT JOIN listing l
+          ON regexp_extract(m.source_url, '([^/]+)$', 1) = l.filename
+    )
+    SELECT SUM(CASE WHEN resolved LIKE '/data/%' THEN 1 ELSE 0 END)::BIGINT AS n_resolved,
+           SUM(CASE WHEN resolved LIKE 'http%' THEN 1 ELSE 0 END)::BIGINT   AS n_unresolved
+    FROM resolved
+    """,
+)
+def etl_url_basename_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F4 — URL→local-path resolution join
+    (update_label_paths.py:7-38,73-108): per-row rglob becomes one
+    broadcast hash join on the URL basename."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://archive.example.com/files/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("source_url"),
+    )
+    listing = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "filename"
+        ),
+        F.concat(
+            F.lit("/data/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+    )
+    resolved = etl.resolve_paths(meta, listing)
+    return resolved.agg(
+        F.sum(F.when(F.col("source_url").startswith("/data/"), 1).otherwise(0)).alias(
+            "n_resolved"
+        ),
+        F.sum(F.when(F.col("source_url").startswith("http"), 1).otherwise(0)).alias(
+            "n_unresolved"
+        ),
+    )
+
+
+# =====================================================================
+# Vector retrieval Q1-Q4 (SURVEY.md §2.9; M2/M4)
+#
+# The driver's flat `embeddings` table plays two roles, mirroring the
+# reference's two data models (§1.4): whole-image vectors (one row per
+# id), and a derived segment model where image_id = vec_id // 10 and
+# each vector is one segment of its image — the flat per-segment
+# layout of the foto_atlas_sam index.
+# =====================================================================
+
+# DuckDB CTE fragments reused by the retrieval oracles.
+_SEG_CTE = """
+    seg AS (
+        SELECT CAST(vec_id // 10 AS BIGINT) AS image_id,
+               vec_id,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "knn_whole",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.v) + 1.0, 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_whole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — whole-image KNN, the flagship retrieval path
+    (search_with_segments.py:148-185): score = dot + 1.0 (Painless
+    cosineSimilarity parity), top-10. One scan, no shuffle,
+    TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            V.calibrated_whole_score(
+                V.dot(F.col("embedding"), F.lit(q).cast("array<double>"))
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col("vec_id")).limit(10)
+
+
+@register(
+    "knn_tag_filtered",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.v) + 1.0, 6) AS score
+    FROM embeddings e, q
+    WHERE e.label IN (1, 3, 5)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with pre-filter — the tag terms filter inside script_score
+    (search_with_segments.py:167-183): only matching rows are scored;
+    the predicate pushes to the parquet scan."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(1, 3, 5))
+    q = _query_vector(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            V.calibrated_whole_score(
+                V.dot(F.col("embedding"), F.lit(q).cast("array<double>"))
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col("vec_id")).limit(10)
+
+
+@register(
+    "knn_batch",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS sim
+        FROM embeddings e, q
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Q1 — per-query top-k for a broadcast batch of query
+    vectors (the Flask service's request fan-in, app.py:296-321, as
+    one set-oriented plan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    joined = emb.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        F.round(V.dot(F.col("embedding"), F.col("query_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+@register(
+    "vec_mean_per_label",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
+    FROM (SELECT label,
+                 UNNEST(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def vec_mean_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — element-wise mean vector per group (np.mean(axis=0),
+    SAM/upload_segments_to_elasticsearch.py:61-68), exploded form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mean_x")
+    )
+
+
+@register(
+    "segment_search",
+    f"""
+    WITH {_SEG_CTE},
+    q AS (SELECT vec_id AS qid, v AS qv FROM seg WHERE image_id = 0),
+    cand AS (
+        SELECT * FROM seg
+        WHERE image_id IN (SELECT DISTINCT image_id FROM seg ORDER BY image_id LIMIT 30)
+    ),
+    best AS (
+        SELECT c.image_id, q.qid, MAX(list_dot_product(c.v, q.qv)) AS best_sim
+        FROM cand c, q
+        GROUP BY c.image_id, q.qid
+    )
+    SELECT image_id,
+           ROUND(AVG(best_sim), 6) AS avg_similarity,
+           ROUND(MAX(best_sim), 6) AS max_segment_similarity
+    FROM best
+    GROUP BY image_id
+    ORDER BY avg_similarity DESC, image_id
+    LIMIT 10
+    """,
+)
+def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — segment-level search (search_with_segments.py:188-301):
+    per-query-segment argmax over candidate segments, image score =
+    mean of maxima; candidate pool capped at top_k*3 (the reference's
+    ES recall heuristic, :193)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        F.col("embedding").alias("clip_features"),
+    )
+    qsegs = (
+        seg.filter(F.col("image_id") == 0)
+        .select(
+            F.col("vec_id").alias("q_segment_id"),
+            F.col("clip_features").alias("features"),
+        )
+    )
+    out = retrieval.segment_search(
+        seg, qsegs, top_k=10, candidate_cap=30
+    )
+    return out.select(
+        "image_id",
+        F.round("avg_similarity", 6).alias("avg_similarity"),
+        F.round("max_segment_similarity", 6).alias("max_segment_similarity"),
+    )
+
+
+@register(
+    "hybrid_search",
+    f"""
+    WITH {_SEG_CTE},
+    whole AS (SELECT image_id, v FROM seg WHERE vec_id % 10 = 0),
+    qwhole AS (SELECT v AS qv FROM seg WHERE vec_id = 0),
+    qsegs AS (SELECT vec_id AS qid, v AS qv FROM seg WHERE image_id = 0),
+    phase1 AS (
+        SELECT w.image_id,
+               list_dot_product(w.v, q.qv) + 1.0 AS whole_score
+        FROM whole w, qwhole q
+        ORDER BY whole_score DESC, w.image_id
+        LIMIT 100
+    ),
+    best AS (
+        SELECT s.image_id, q.qid, MAX(list_dot_product(s.v, q.qv)) AS best_sim
+        FROM seg s
+        JOIN phase1 p ON p.image_id = s.image_id
+        CROSS JOIN qsegs q
+        GROUP BY s.image_id, q.qid
+    ),
+    segscore AS (
+        SELECT image_id, AVG(best_sim) AS segment_score FROM best GROUP BY image_id
+    )
+    SELECT p.image_id,
+           ROUND(p.whole_score, 6) AS whole_score,
+           ROUND(COALESCE(s.segment_score, 0.0), 6) AS segment_score,
+           ROUND(0.4 * p.whole_score + 0.6 * COALESCE(s.segment_score, 0.0), 6) AS hybrid_score
+    FROM phase1 p LEFT JOIN segscore s ON s.image_id = p.image_id
+    ORDER BY hybrid_score DESC, p.image_id
+    LIMIT 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — two-phase hybrid re-rank (search_with_segments.py:345-445)
+    with the reference's exact score algebra: phase-1 whole score
+    shifted to 0..2, phase-2 segment score raw cosine in −1..1,
+    hybrid = 0.4·whole + 0.6·segment, missing segment score → 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        F.col("embedding").alias("clip_features"),
+    )
+    images = seg.filter(F.col("vec_id") % 10 == 0).select(
+        "image_id", F.col("clip_features").alias("embedding")
+    )
+    qsegs = seg.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    qvec = _query_vector(spark, sf_dir, 0)
+    out = retrieval.hybrid_search(images, seg, qvec, qsegs, top_k=10)
+    return out.select(
+        "image_id",
+        F.round("whole_score", 6).alias("whole_score"),
+        F.round("segment_score", 6).alias("segment_score"),
+        F.round("hybrid_score", 6).alias("hybrid_score"),
+    )
+
+
+@register(
+    "tag_search",
+    """
+    WITH tagged AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               t -> LENGTH(t) > 0)))[1:5] AS tag_list
+        FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, UNNEST(tag_list) AS tag FROM tagged
+    ),
+    matched AS (
+        SELECT doc_id, tag,
+               ((doc_id + LENGTH(tag)) % 100) / 100.0 AS confidence
+        FROM exploded
+        WHERE tag IN ('data', 'table', 'row')
+          AND ((doc_id + LENGTH(tag)) % 100) / 100.0 >= 0.1
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT tag) AS matched_tags,
+           ROUND(MAX(confidence), 6) AS max_confidence
+    FROM matched
+    GROUP BY doc_id
+    ORDER BY matched_tags DESC, max_confidence DESC, doc_id
+    LIMIT 10
+    """,
+)
+def tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — tag search (search_with_segments.py:304-342): OR-match on
+    nested (tag, confidence) structs with confidence ≥ 0.1; relevance
+    proxy = (#matching tags, max confidence) per SURVEY.md §2.9. Tags
+    are derived deterministically from document tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tag_list = F.slice(F.array_sort(F.array_distinct(X.tokens(F.col("text")))), 1, 5)
+    tagged = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.transform(
+            tag_list,
+            lambda t: F.struct(
+                t.alias("tag"),
+                (((F.col("doc_id") + F.length(t)) % 100) / 100.0)
+                .cast("float")
+                .alias("confidence"),
+            ),
+        ).alias("tags"),
+    )
+    out = retrieval.tag_search(
+        tagged, ["data", "table", "row"], min_confidence=0.1, top_k=10
+    )
+    return out.select(
+        F.col("image_id").alias("doc_id"),
+        "matched_tags",
+        F.round(F.col("max_confidence").cast("double"), 6).alias("max_confidence"),
+    )
+
+
+# =====================================================================
+# Similarity search (ANN) — M6 / training-data suite
+# =====================================================================
+
+
+@register(
+    "ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+    probe AS (
+        SELECT cid FROM c, q
+        ORDER BY list_dot_product(cv, qv) DESC, cid
+        LIMIT 2
+    ),
+    assign AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, ROUND(list_dot_product(a.v, q.qv), 6) AS cosine
+    FROM assign a, q
+    WHERE a.cluster IN (SELECT cid FROM probe)
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: 8 fixed centroids (vectors 0..7), nprobe=2.
+    At scale the cluster assignment happens at write time and the
+    table is partitioned by cluster → partition pruning does the probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    q = _query_vector(spark, sf_dir, 42)
+    out = similarity.ivf_topk(emb, centroids, q, k=10, nprobe=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "ann_brute_force",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k — the ANN correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 42)
+    out = similarity.brute_force_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# =====================================================================
+# Dedup + text analysis (training-data suite; M6)
+# =====================================================================
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%5=0) ∪ near copies (doc_id%11=0,
+    one token appended) — deterministic dup injection shared with the
+    oracles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DOCS_DUPS_CTE = """
+    docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text
+        FROM documents WHERE doc_id % 11 = 0
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_DOCS_DUPS_CTE}
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+    FROM docs2 GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via (length, rolling-hash fingerprint) grouping —
+    the shuffle carries 16 bytes/row instead of the document text.
+    The oracle groups by raw text: same answer absent hash collisions."""
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DOCS_DUPS_CTE},
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM docs2
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(t) - 2)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(c.common / (sa.n_shingles + sb.n_shingles - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.5 — the SQL-exact near-dup
+    path (shingle equi-join; scales with colliding pairs, not N²)."""
+    out = dedup.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # xxhash64 signatures — rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard — the
+    100 TB dedup path (banded signatures, bucket join). Signature
+    hashes (xxhash64) have no DuckDB twin → rows-only check; the
+    *verified* pairs are asserted against the exact path in
+    tests/test_dedup.py."""
+    out = dedup.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash")  # xxhash64 signatures — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding: near-dup candidate buckets (band, key) with
+    >1 member. Rows-only (xxhash64)."""
+    buckets = dedup.simhash_buckets(_docs_with_dups(spark, sf_dir), band_bits=16)
+    return (
+        buckets.groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(t)::BIGINT AS n_tokens,
+               CASE WHEN len(t) > 0
+                    THEN len(list_filter(t, x -> list_contains(
+                        ['the','a','an','and','of','to','in','is','it','that'], x)))
+                         / CAST(len(t) AS DOUBLE)
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN LENGTH(text) > 0
+                    THEN LENGTH(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                         / CAST(LENGTH(text) AS DOUBLE)
+                    ELSE 0.0 END AS alpha_ratio,
+               LEAST(LENGTH(text) / 200.0, 1.0) AS length_sig
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND((length_sig + alpha_ratio + LEAST(stop_ratio * 10.0, 1.0)) / 3.0, 6)
+               AS quality
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring per document: token count, stopword ratio,
+    alpha ratio, composite quality in 0..1 (training-data suite)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(X.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(X.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(X.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> list_contains(['the','a','and','of','is'], x))) AS h_en,
+               len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+               len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+               len(list_filter(t, x -> list_contains(['el','la','los','y','es'], x))) AS h_es
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = GREATEST(h_en, h_de, h_es, h_fr) THEN 'de'
+                    WHEN h_en = GREATEST(h_en, h_de, h_es, h_fr) THEN 'en'
+                    WHEN h_es = GREATEST(h_en, h_de, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM hits
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax, alphabetical
+    tie-break) vs the labeled lang column — confusion-matrix counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id(X.tokens(F.col("text"))).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0)) AS n_tokens,
+           len(list_distinct(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0))) AS n_distinct,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct vocabulary size."""
+    docs = _t(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> ascii(text[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint (h = h·31 + cp mod 1e9+7) —
+    portable across engines, unlike murmur/xxhash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# =====================================================================
+# Streaming-equivalent batch window aggregation (M6)
+# =====================================================================
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts — the batch twin of the
+    Structured Streaming ingest aggregation (streaming/ingest.py);
+    identical transformation runs on the stream in tests."""
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# =====================================================================
+# ML UDF surface (U1-U5) — deterministic stubs, rows-only checks
+# =====================================================================
+
+
+@register("ml_stub_text_embeddings")  # sha256-seeded stub — rows-only
+def ml_stub_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-analog — Arrow-batched stub text encoder over documents:
+    returns (doc_id, dim, l2_norm≈1). Exercises the pandas-UDF
+    embedding plumbing end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = encoders.stub_text_encoder_udf(dim=64)
+    emb = docs.select("doc_id", enc(F.col("text")).alias("embedding"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+@register("ml_zero_shot_tags")  # stub embeddings — rows-only
+def ml_zero_shot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — zero-shot tagger: logits = 100·(img @ textᵀ), softmax over
+    the full vocabulary, top-5 — against a precomputed broadcast
+    vocab matrix (fixes the reference's recompute-per-segment,
+    SAM/sam_segment_clip_pipeline.py:229-241)."""
+    emb = _t(spark, sf_dir, "embeddings").limit(50)
+    vocab_rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    )
+    vocab = [(f"tag_{r['vec_id']}", [float(x) for x in r["embedding"]]) for r in vocab_rows]
+    tagged = encoders.zero_shot_tags(emb, "embedding", vocab, top_k=5)
+    return tagged.select(
+        "vec_id",
+        F.size("tags").alias("n_tags"),
+        F.col("tags")[0]["tag"].alias("top_tag"),
+        F.round(F.col("tags")[0]["confidence"].cast("double"), 4).alias("top_conf"),
+    )
+
+
+@register("ml_segment_pipeline")  # stub SAM — rows-only
+def ml_segment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3 — SAM segmentation UDTF plumbing: documents as fake image
+    payloads → mapInPandas 1→N segment rows, sorted by area desc and
+    capped (SAM/sam_segment_clip_pipeline.py:157-200)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias(
+            "filename"
+        ),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    segs = encoders.segment_image(docs, max_segments=10, min_area=500)
+    return segs.groupBy("filename").agg(
+        F.count("*").alias("n_segments"),
+        F.max("segment_area").alias("max_area"),
+        F.round(F.avg("stability_score"), 4).alias("avg_stability"),
+    )
+
+
+# =====================================================================
+# Flagship entry
+# =====================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() — Q1 whole-image KNN joined to metadata (J1): top-10
+    neighbors of the seeded query vector with their document metadata,
+    the reference's core search → display flow as one plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    q = _query_vector(spark, sf_dir, 0)
+    topk = retrieval.knn(emb, q, k=10)
+    return (
+        topk.join(
+            F.broadcast(docs), topk["vec_id"] == docs["doc_id"], "left"
+        )
+        .select(
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness on local[N] AND sanity at cluster
+scale: AQE handles runtime coalescing/skew, Arrow accelerates the
+pandas-UDF boundary, and the session timezone is pinned to UTC so date
+arithmetic is deterministic regardless of host timezone (the DuckDB
+oracle operates on naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dferp-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    On a real cluster the ``master`` is supplied externally
+    (spark-submit); here we default to ``local[$SPARK_GRAFT_CPUS]``.
+    ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound —
+    AQE coalesces at runtime, so a generous value is safe both at
+    sf0.001 and at 100 TB (where the cluster overrides it anyway).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) * 2, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pandas-written parquet may carry TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long and convert at the reader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is None:
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

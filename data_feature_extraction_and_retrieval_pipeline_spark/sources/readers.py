@@ -1,0 +1,130 @@
+"""Sources (SURVEY.md §2.1 S1-S4).
+
+Everything is a declarative `spark.read` so Catalyst gets column
+pruning + predicate pushdown for free; at 100 TB these scans are the
+dominant cost and the pushed filters/projections are what keep them
+cheap (check `.explain()` → `PushedFilters:` / `ReadSchema:`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table.
+
+    TIMESTAMP(NANOS) columns (pandas datetime64[ns]) surface as LONG
+    under ``spark.sql.legacy.parquet.nanosAsLong``; convert them back
+    to timestamps here (integer ``div`` — a double division would lose
+    precision on ns-epoch magnitudes). The expected nanos columns per
+    table are known from the canonical schemas.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = schemas.TABLES.get(name)
+    if expected is not None:
+        actual = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for f in expected.fields:
+            if (
+                f.dataType.typeName() == "timestamp"
+                and actual.get(f.name) == "long"
+            ):
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All ten driver tables keyed by name (lazy — just scan nodes)."""
+    return {name: load_table(spark, sf_dir, name) for name in schemas.TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver tables as temp views for spark.sql()."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv_bom(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with header + UTF-8 BOM handling (S2).
+
+    The reference opens metadata CSVs with ``encoding='utf-8-sig'`` and
+    one script matches a BOM-prefixed header by substring
+    (upload_features_to_elasticsearch.py:78-86). Spark's CSV reader
+    leaves the BOM glued to the first header name, so we normalize it
+    away and canonicalize header names.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("delimiter", delimiter)
+        .option("multiLine", True)
+        .option("escape", '"')
+    )
+    if schema is not None:
+        df = reader.schema(schema).csv(path)
+    else:
+        df = reader.csv(path)
+    first = df.columns[0]
+    cleaned = first.lstrip("﻿")
+    if cleaned != first:
+        df = df.withColumnRenamed(first, cleaned)
+    return df
+
+
+def read_json_dir(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON feature-directory scan (S3).
+
+    The reference globs one pretty-printed JSON file per image
+    (upload_features_to_elasticsearch.py:142-158) — hence multiLine.
+    An explicit schema avoids the double-pass inference scan, which
+    matters when the directory holds millions of files.
+    """
+    reader = spark.read.option("multiLine", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "gif")
+
+
+def read_image_dir(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    allowed_filenames: DataFrame | None = None,
+) -> DataFrame:
+    """Recursive binary image scan (S1).
+
+    Mirrors ``process_images_folder`` (extract_clip_features.py:68-84):
+    os.walk + extension filter + optional allow-list, but as a
+    distributed binaryFile scan. The allow-list becomes a broadcast
+    left-semi join on the basename — one hash join instead of a Python
+    set probe per file.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.load(path)
+    ext_re = "(?i)\\.(" + "|".join(IMAGE_EXTENSIONS) + ")$"
+    df = df.filter(F.col("path").rlike(ext_re))
+    df = df.withColumn("filename", F.element_at(F.split(F.col("path"), "/"), -1))
+    if allowed_filenames is not None:
+        df = df.join(
+            F.broadcast(allowed_filenames.select("filename").distinct()),
+            "filename",
+            "left_semi",
+        )
+    return df

@@ -1,0 +1,69 @@
+"""Sinks (SURVEY.md §2.1 S5, S7-S12).
+
+The reference's sinks are per-image JSON files and Elasticsearch bulk
+uploads; the engine's canonical store is partitioned parquet (the
+"index table"), with JSON export kept as an optional compatibility
+sink. Upserts (S8) are expressed as join + coalesce + rewrite since
+plain Spark has no MERGE INTO without a lakehouse format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append/overwrite sink (S7, S9).
+
+    ``partition_by`` is the scale lever: at 100 TB the index tables are
+    partitioned by a coarse key (e.g. ingest date) so queries prune
+    whole directories.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_export(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON export sink (S5, S11) — compatibility with the reference's
+    one-JSON-per-image layout (extract_clip_features.py:123-127),
+    minus the one-file-per-row anti-pattern: Spark writes one file per
+    partition."""
+    df.write.mode(mode).json(path)
+
+
+def upsert_parquet(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """Bulk partial update (S8) as a DataFrame program.
+
+    The reference merges new nested fields into live ES docs one
+    ``_op_type:update`` action at a time
+    (SAM/update_elasticsearch_with_segments.py:205-268). Distributed
+    equivalent: full outer join on the key, new columns win via
+    coalesce. Returns the merged frame; caller rewrites the table
+    (or MERGEs if a lakehouse format is available).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    update_cols = [c for c in updates.columns if c not in keys]
+    existing_cols = [c for c in existing.columns if c not in keys]
+    upd = updates.select(*keys, *[F.col(c).alias(f"__u_{c}") for c in update_cols])
+    merged = existing.join(upd, keys, "full_outer")
+    out = []
+    for c in existing_cols:
+        if c in update_cols:
+            out.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+        else:
+            out.append(F.col(c))
+    for c in update_cols:
+        if c not in existing_cols:
+            out.append(F.col(f"__u_{c}").alias(c))
+    return merged.select(*keys, *out)

@@ -1,0 +1,87 @@
+"""Structured Streaming surface (SURVEY.md §2.11, build plan M6).
+
+The reference has no streaming operators — its online path is a
+request/response Flask service. The rebuild's incremental-ingest
+story (SRS §4.1-4.2: new uploads trigger similarity display and
+auto-tagging) maps to a file-source stream + windowed aggregation
+with a watermark for late data.
+
+``tumbling_window_counts`` is the batch-equivalent transformation —
+the SAME function is applied to a static frame (oracle-checkable) and
+to a streaming frame (tests/test_streaming.py), which is the
+Structured Streaming contract: one query, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + value sum per event_type.
+
+    On a stream, the watermark bounds state: windows older than the
+    watermark are finalized and evicted, so state size is O(types ×
+    active windows) no matter how long the stream runs.
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark,
+    source_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """File-source streaming variant: new parquet files landing in
+    ``source_dir`` are incrementally aggregated. Returns the streaming
+    DataFrame; caller attaches a sink via ``writeStream``."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return tumbling_window_counts(
+        stream, window_duration=window_duration, watermark=watermark
+    )
+
+
+def incremental_ingest(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Incremental index maintenance: stream new rows, apply the
+    (optional) feature transform, append to the parquet index table.
+    ``foreachBatch`` would enable MERGE semantics; append suffices for
+    immutable feature rows."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+    hybrid_search,
+    knn,
+    knn_batch,
+    segment_search,
+    tag_search,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.plans.inspect import (
+    has_take_ordered,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_knn_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0]
+    scores = mat @ q + 1.0
+    order = np.lexsort((ids, -scores))[:10]
+    expected = list(ids[order])
+    got = [r["vec_id"] for r in knn(emb, list(q), k=10).collect()]
+    assert got == expected
+
+
+def test_knn_plans_take_ordered(emb):
+    df = knn(emb, [0.0] * 64, k=10)
+    assert has_take_ordered(df), "top-k must plan TakeOrderedAndProject"
+
+
+def test_knn_batch_per_query_counts(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_batch(emb, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert len(rows) == 4
+        # self-match ranks first (dot(v,v)=1 is max for normalized vectors)
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q
+
+
+def _seg_frames(spark, emb):
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        F.col("embedding").alias("clip_features"),
+    )
+    qsegs = seg.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    return seg, qsegs
+
+
+def test_segment_search_math(spark, emb, emb_np):
+    """Image score == mean over query segments of max cosine vs the
+    image's segments (search_with_segments.py:246-272)."""
+    ids, mat = emb_np
+    seg, qsegs = _seg_frames(spark, emb)
+    got = {r["image_id"]: r for r in segment_search(seg, qsegs, top_k=5).collect()}
+
+    img_of = ids // 10
+    qmat = mat[img_of == 0]
+    sims = qmat @ mat.T  # (nq, N)
+    expected = {}
+    for img in np.unique(img_of):
+        best = sims[:, img_of == img].max(axis=1)
+        expected[img] = (best.mean(), best.max())
+    top5 = sorted(expected, key=lambda i: (-expected[i][0], i))[:5]
+    assert sorted(got) == sorted(top5)
+    for img, row in got.items():
+        assert row["avg_similarity"] == pytest.approx(expected[img][0], abs=1e-9)
+        assert row["max_segment_similarity"] == pytest.approx(expected[img][1], abs=1e-9)
+
+
+def test_hybrid_missing_segment_score_is_zero(spark, emb, emb_np):
+    """Candidates without segments contribute segment_score = 0.0, not
+    null (search_with_segments.py:419-436)."""
+    ids, mat = emb_np
+    seg, qsegs = _seg_frames(spark, emb)
+    images = seg.filter(F.col("vec_id") % 10 == 0).select(
+        "image_id", F.col("clip_features").alias("embedding")
+    )
+    # drop segments for half the images → their hybrid = 0.4 * whole
+    seg_half = seg.filter(F.col("image_id") % 2 == 0)
+    out = hybrid_search(images, seg_half, list(mat[0]), qsegs, top_k=50).collect()
+    for r in out:
+        if r["image_id"] % 2 == 1:
+            assert r["segment_score"] == 0.0
+            assert r["hybrid_score"] == pytest.approx(0.4 * r["whole_score"])
+        else:
+            assert r["hybrid_score"] == pytest.approx(
+                0.4 * r["whole_score"] + 0.6 * r["segment_score"]
+            )
+
+
+def test_tag_search_confidence_floor(spark):
+    rows = [
+        (1, [("dome", 0.5), ("tree", 0.05)]),   # tree below floor
+        (2, [("tree", 0.3), ("dome", 0.2)]),
+        (3, [("car", 0.9)]),                     # no matching tag
+    ]
+    df = spark.createDataFrame(rows, "image_id: long, tags: array<struct<tag:string,confidence:double>>")
+    out = {r["image_id"]: r for r in tag_search(df, ["dome", "tree"], 0.1, 10).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["matched_tags"] == 1            # tree filtered by confidence
+    assert out[2]["matched_tags"] == 2

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark import schemas
+from data_feature_extraction_and_retrieval_pipeline_spark.sources import (
+    load_table,
+    load_tables,
+    read_csv_bom,
+    write_parquet_table,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+    upsert_parquet,
+)
+
+
+def test_load_all_tables(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(schemas.TABLES)
+    for name, df in tables.items():
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert row["lo"].year == 2024
+
+
+def test_embeddings_normalized(spark, sf_dir):
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(l2_norm(F.col("embedding")).alias("n")).agg(
+        F.min("n").alias("lo"), F.max("n").alias("hi")
+    ).first()
+    assert abs(norms["lo"] - 1.0) < 1e-3
+    assert abs(norms["hi"] - 1.0) < 1e-3
+
+
+def test_csv_bom_reader(spark, tmp_path):
+    p = tmp_path / "bom.csv"
+    p.write_bytes("﻿Kapak Görseli,Başlık\ndataset/1930/05/x.jpg,Ayasofya\n".encode())
+    df = read_csv_bom(spark, str(p))
+    assert df.columns[0] == "Kapak Görseli"
+    assert df.count() == 1
+
+
+def test_parquet_roundtrip_and_upsert(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "name", "v"]
+    )
+    write_parquet_table(df, str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert back.count() == 2
+
+    updates = spark.createDataFrame([(2, 99), (3, 30)], ["id", "v"])
+    merged = upsert_parquet(back, updates, "id")
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[2]["v"] == 99 and rows[2]["name"] == "b"   # updated, kept
+    assert rows[3]["v"] == 30 and rows[3]["name"] is None  # inserted
+    assert rows[1]["v"] == 10                              # untouched
