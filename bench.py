@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark driver: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + fetch) the same way
+the driver's correctness gate consumes it (collect of a small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: every operator family, weighted toward the plans whose
+# scale behavior matters (scan+agg, multi-join, vector top-k, windowed
+# dedup, text features, streaming-twin windows).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "join_semi_allowlist",
+    "join_anti_customers",
+    "win_topn_per_group",
+    "win_global_topk",
+    "agg_explode_count",
+    "agg_group_stats",
+    "knn_whole",
+    "knn_batch",
+    "segment_search",
+    "hybrid_search",
+    "tag_search",
+    "ann_ivf",
+    "ann_brute_force",
+    "vec_mean_per_label",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_fingerprint",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    from data_feature_extraction_and_retrieval_pipeline_spark import queries as Q
+    from data_feature_extraction_and_retrieval_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dferp-spark-bench",
+        cpus=int(CPUS),
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = Q.queries()
+    # Warm the JVM + file-listing caches so per-query times measure the
+    # query, not session startup (the reference's steady-state serving
+    # model: models/indices resident, queries arrive hot).
+    qs["agg_value_counts"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = None
+    tail = Path(SF_DIR.rstrip("/")).name
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
