@@ -45,8 +45,15 @@ HEADLINE = [
     "vec_mean_per_label",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_lsh",
+    "asof_join_clicks",
+    "events_sessionize",
+    "agg_rollup_acctbal",
     "text_quality",
     "text_fingerprint",
+    "text_token_bpe",
+    "ml_multimodal_meta",
     "events_tumbling_window",
 ]
 

@@ -82,6 +82,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, punctuation
+# runs (the GPT-2 pre-tokenizer's shape, minus unicode categories —
+# identical regex semantics in Spark and DuckDB so the oracle can
+# verify it).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish regex pre-tokenization of lowercased text: maximal runs
+    of letters / digits / non-space punctuation — the token-counting
+    basis for training-data budgeting (chars-per-token etc.)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PATTERN), 0)
+
+
 def word_shingles(toks: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles from a token array.
 

@@ -2,4 +2,6 @@ from .retrieval import knn, knn_batch, segment_search, hybrid_search, tag_search
 from .etl import clean_metadata, prefix_split, url_basename  # noqa: F401
 from .dedup import exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, simhash_buckets  # noqa: F401
 from .analytics import value_counts, explode_counts, histogram, group_stats  # noqa: F401
-from .similarity import brute_force_topk, ivf_topk  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk, lsh_topk, cosine_self_join_pairs  # noqa: F401
+from .temporal import asof_join, sessionize  # noqa: F401
+from .multimodal import decode_image_meta, resize_plan, sample_frames  # noqa: F401

@@ -1,0 +1,170 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The reference's media path is per-file Python over a directory tree
+(extract_clip_features.py:68-84 scan; SAM/sam_segment_clip_pipeline.py
+crops/resizes). The engine treats media as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` — the
+100 TB layout: blobs live inside the table (or as references), decode
+happens executor-side in vectorized batches, and the Spark-side
+schema / partitioning / UDF batch shape is real and tested.
+
+The actual codec work (PIL/libav) is NOT available in this
+environment, so the decode kernels are deterministic stubs derived
+from the byte payload — clearly marked, swap-in points for real
+decoders. Everything around them (schemas, batch iteration, 1→N frame
+fan-out, column pruning) is production-shaped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+_FORMATS = ("jpeg", "png", "gif")
+
+
+def _stub_dims(n_bytes: int) -> tuple[int, int, str]:
+    """Deterministic fake (width, height, format) from payload size.
+
+    STUB — replace with a real header parse (PIL ``Image.open`` /
+    ``struct`` over magic bytes) when codec libs are present. Kept as
+    pure integer arithmetic so the DuckDB oracle can verify the
+    mapInPandas plumbing end-to-end.
+    """
+    width = (n_bytes * 7) % 1024 + 32
+    height = (n_bytes * 13) % 1024 + 32
+    return width, height, _FORMATS[n_bytes % 3]
+
+
+def decode_image_meta(
+    images: DataFrame,
+    content_col: str = "content",
+    filename_col: str = "filename",
+) -> DataFrame:
+    """binary content → typed image metadata, one row per image.
+
+    ``mapInPandas``: Arrow batches in, Arrow batches out; the binary
+    column is pruned from the output so only small metadata rows
+    shuffle downstream.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf[content_col].map(len)
+            dims = n_bytes.map(_stub_dims)
+            yield pd.DataFrame(
+                {
+                    "filename": pdf[filename_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "format": dims.map(lambda d: d[2]),
+                }
+            )
+
+    return images.select(filename_col, content_col).mapInPandas(
+        _decode, IMAGE_META_SCHEMA
+    )
+
+
+def resize_plan(
+    meta: DataFrame, max_side: int = 800
+) -> DataFrame:
+    """U4 — the ≤800 px downscale rule (search_with_segments.py:62-67)
+    as a declarative column: target dims preserving aspect ratio.
+    Pure Catalyst expressions — the actual pixel resample happens in
+    the decode UDF at scale.
+    """
+    from pyspark.sql import functions as F
+
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        F.lit(float(max_side)) / F.greatest("width", "height"),
+    ).otherwise(F.lit(1.0))
+    return meta.select(
+        "*",
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_nth: int = 30,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling: 1 input row → N frame rows (UDTF shape,
+    like the SAM 1→N segment fan-out, U2).
+
+    STUB decode: frame count is derived from payload size and each
+    "frame" is a deterministic byte slice. A real implementation swaps
+    the body for an av/ffmpeg keyframe iterator — the schema, the
+    mapInPandas fan-out, and the downstream explode-free layout stay
+    identical.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_name, out_idx, out_frame = [], [], []
+            for name, content in zip(pdf[filename_col], pdf[content_col]):
+                n_frames = len(content) % 240 + 1
+                picked = list(range(0, n_frames, every_nth))[:max_frames]
+                for idx in picked:
+                    lo = idx % max(len(content), 1)
+                    out_name.append(name)
+                    out_idx.append(idx)
+                    out_frame.append(bytes(content[lo : lo + 16]))
+            yield pd.DataFrame(
+                {"filename": out_name, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return videos.select(filename_col, content_col).mapInPandas(
+        _sample, FRAME_SCHEMA
+    )
+
+
+def decode_image_real(content: bytes):
+    """Real image decode — requires PIL, not present in this
+    environment. Swap-in point for ``decode_image_meta``'s stub."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "Real image decoding needs Pillow; this environment ships "
+            "without codec libraries. Use decode_image_meta (stub) for "
+            "plumbing tests."
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(content))  # pragma: no cover

@@ -100,6 +100,61 @@ def ivf_topk(
     )
 
 
+def hyperplane_bucket(
+    vec_col,
+    hyperplanes: list[Sequence[float]],
+):
+    """Random-hyperplane LSH bucket id: bit i = sign(v · h_i).
+
+    Pure Catalyst expression (sum of sign tests) → whole-stage
+    codegen; with the table written ``partitionBy(bucket)`` the probe
+    becomes partition pruning, exactly like the IVF path.
+    """
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("int")
+    for i, h in enumerate(hyperplanes):
+        hcol = F.lit([float(x) for x in h]).cast("array<double>")
+        bucket = bucket + F.when(V.dot(col, hcol) > 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    hyperplanes: list[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only vectors whose bucket
+    is within ``hamming`` bits of the query's bucket (multi-probe).
+
+    The candidate set shrinks ~2^bits/(1+bits choose hamming); recall
+    comes from multi-probe rather than bigger buckets.
+    """
+    q = [float(x) for x in query_vec]
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qbucket = sum(1 << i for i, h in enumerate(hyperplanes) if _dot(q, h) > 0)
+
+    bucketed = embeddings.withColumn(
+        "bucket", hyperplane_bucket(vec_col, hyperplanes)
+    )
+    probe = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.lit(qbucket))
+    ) <= F.lit(hamming)
+    qcol = F.lit(q).cast("array<double>")
+    return (
+        bucketed.filter(probe)
+        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_self_join_pairs(
     embeddings: DataFrame,
     centroids: list[Sequence[float]],

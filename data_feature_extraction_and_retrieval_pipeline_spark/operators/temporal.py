@@ -1,0 +1,122 @@
+"""Temporal operators: as-of join and sessionization.
+
+Absent from the reference (SURVEY.md §2.3 lists range/as-of joins as
+"absent — provided by Spark built-ins as needed"; §2.11 notes the
+reference has no streaming/stateful surface at all). Both are
+first-class needs of a large-scale event/training-data pipeline, so
+the engine ships them as proper set-oriented operators.
+
+Scale notes:
+
+- ``asof_join`` uses the union-merge formulation: tag both sides,
+  union, one window over (key, ts) with a forward-fill. ONE shuffle on
+  the join key, no range explosion, no per-key driver loops — the
+  classic scalable as-of strategy (vs. the naive equi-join +
+  filter + argmax which materializes every candidate pair).
+- ``sessionize`` uses Spark's native ``session_window`` — on a stream
+  the same expression becomes stateful session aggregation with
+  watermark-driven state eviction; in batch it is a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the latest right row with the same
+    ``key`` and ``right_ts <= left_ts`` (inclusive).
+
+    Implementation: union-merge. Right rows sort before left rows at
+    equal timestamps (side 0 < side 1), so a right row at exactly
+    ``left_ts`` matches — the same inclusive semantics as DuckDB/kdb
+    ASOF JOIN.
+
+    Left rows with no prior right row keep nulls (left-outer as-of).
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lcols = left.columns
+
+    l_tagged = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__left"].dataType
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{prefix}{right_ts}"),
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col("__left")[c].alias(c) for c in lcols],
+        *[F.col(f"{prefix}{c}") for c in right_payload],
+        F.col(f"{prefix}{right_ts}"),
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Group each key's events into sessions separated by inactivity
+    ``gap`` — Spark-native ``session_window``, which on a streaming
+    input becomes stateful session aggregation (state evicted past the
+    watermark) with zero code change.
+
+    Returns (key, session_start, session_end, n_events[, sum_value])
+    where session_end = last event + gap (Spark session_window
+    semantics).
+    """
+    aggs: list[Column] = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key)
+        )
+        .agg(*aggs)
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            *([F.col("sum_value")] if value_col is not None else []),
+        )
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions import text as X
 from .functions import vectors as V
-from .operators import analytics, dedup, etl, retrieval, similarity
+from .operators import analytics, dedup, etl, multimodal, retrieval, similarity, temporal
 from .ml import encoders
 from .sources import load_table
 from .streaming import tumbling_window_counts
@@ -1303,6 +1303,537 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# =====================================================================
+# Embedding near-dup + LSH ANN (training-data suite; M6)
+# =====================================================================
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    inj AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id % 10 = 0),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM inj),
+    c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT a.vec_id, a.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+            FROM allv a, c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with IVF-cluster blocking
+    (operators/similarity.py::cosine_self_join_pairs): only vectors in
+    the same coarse cluster are compared, so the O(N²) self-join
+    becomes per-cluster joins co-partitioned on the cluster key.
+    Exact duplicates are injected (vec_id%10==0 copies) to guarantee
+    hits at the 0.99 threshold."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inj = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(inj)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    out = similarity.cosine_self_join_pairs(allv, centroids, threshold=0.99)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "ann_lsh",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    h AS (SELECT vec_id AS hid, v AS hv FROM e WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+    b AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN list_dot_product(e.v, h.hv) > 0
+                        THEN 1 << hid ELSE 0 END)::INT AS bucket
+        FROM e, h GROUP BY e.vec_id
+    ),
+    qb AS (
+        SELECT SUM(CASE WHEN list_dot_product(q.qv, h.hv) > 0
+                        THEN 1 << hid ELSE 0 END)::INT AS bucket
+        FROM q, h
+    )
+    SELECT e.vec_id, ROUND(list_dot_product(e.v, q.qv), 6) AS cosine
+    FROM e JOIN b ON b.vec_id = e.vec_id, q, qb
+    WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with multi-probe (hamming ≤ 1):
+    8 sign-bits → 256 buckets; only vectors in the query's bucket or a
+    1-bit neighbor are scored. At scale the bucket is a write-time
+    partition column → partition pruning does the probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hyp_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    hyperplanes = [[float(x) for x in r[0]] for r in hyp_rows]
+    q = _query_vector(spark, sf_dir, 42)
+    out = similarity.lsh_topk(emb, hyperplanes, q, k=10, hamming=1)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# =====================================================================
+# Temporal operators: as-of join + sessionization (M6)
+# =====================================================================
+
+
+@register(
+    "asof_join_clicks",
+    """
+    WITH errors AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT e.user_id, e.ts AS ets, c.ts AS cts
+        FROM errors e
+        ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_errors,
+           COUNT(cts) AS n_matched,
+           ROUND(SUM(epoch_us(ets) - epoch_us(cts))::DOUBLE / COUNT(cts) / 1000000.0, 6)
+               AS avg_lag_s
+    FROM j GROUP BY user_id
+    """,
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-merge formulation, operators/temporal.py):
+    for every error event, the latest click by the same user at-or-
+    before it — ONE shuffle on user_id, no range explosion. Absent
+    from the reference; first-class for event pipelines."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = temporal.asof_join(
+        errors, clicks, key="user_id", right_payload=["value"]
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_errors"),
+        F.count("asof_ts").alias("n_matched"),
+        # exact integer SUM, then division down to seconds-scale where
+        # ROUND(x, 6) is loss-free in both engines (µs-scale magnitudes
+        # overflow DuckDB's multiply-round beyond 2^53)
+        F.round(
+            F.sum(F.unix_micros("ts") - F.unix_micros("asof_ts")).cast("double")
+            / F.count("asof_ts")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_lag_s"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flag AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark-native session_window (30-min gap) —
+    the same expression is stateful session aggregation on a stream.
+    The applyInPandasWithState twin (streaming/sessionize.py) is
+    asserted equal in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.sessionize(ev, "30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# =====================================================================
+# Tag dim join, AND-tag search, rollup, set ops, nested round-trip
+# =====================================================================
+
+
+@register(
+    "join_tag_category",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               t -> LENGTH(t) > 0)))[1:5] AS tag_list
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tag,
+               CASE (LENGTH(tag) % 3) WHEN 0 THEN 'architecture'
+                                      WHEN 1 THEN 'nature'
+                                      ELSE 'objects' END AS category
+        FROM (
+            SELECT DISTINCT UNNEST(
+                list_filter(string_split_regex(LOWER(text), '\\s+'),
+                            t -> LENGTH(t) > 0)) AS tag
+            FROM documents
+        )
+        ORDER BY tag LIMIT 20
+    ),
+    tags AS (SELECT doc_id, UNNEST(tag_list) AS tag FROM toks)
+    SELECT COALESCE(v.category, 'unknown') AS category,
+           COUNT(*) AS n_tags,
+           COUNT(DISTINCT t.tag) AS n_distinct_tags,
+           COUNT(DISTINCT t.doc_id) AS n_docs
+    FROM tags t LEFT JOIN vocab v ON v.tag = t.tag
+    GROUP BY category
+    """,
+)
+def join_tag_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — tag→category broadcast dim lookup with unknown fallback
+    (SAM/upload_segments_to_elasticsearch.py:20-46): the 50-term
+    vocabulary becomes a broadcast dim table; unknown → 'unknown' via
+    coalesce after a left join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tag"))
+        .distinct()
+        .orderBy("tag")
+        .limit(20)
+        .withColumn(
+            "category",
+            F.when(F.length("tag") % 3 == 0, "architecture")
+            .when(F.length("tag") % 3 == 1, "nature")
+            .otherwise("objects"),
+        )
+    )
+    tags = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)
+        ).alias("tag"),
+    )
+    joined = tags.join(F.broadcast(vocab), "tag", "left").withColumn(
+        "category", F.coalesce("category", F.lit("unknown"))
+    )
+    return joined.groupBy("category").agg(
+        F.count("*").alias("n_tags"),
+        F.countDistinct("tag").alias("n_distinct_tags"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "tag_search_and",
+    """
+    WITH tagged AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               t -> LENGTH(t) > 0)))[1:5] AS tag_list
+        FROM documents
+    )
+    SELECT doc_id, len(tag_list) AS n_tags
+    FROM tagged
+    WHERE list_has_all(tag_list, ['a', 'big'])
+    ORDER BY doc_id
+    LIMIT 20
+    """,
+)
+def tag_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — AND-tag filter (SAM/test_similarity_search.py:74-84):
+    document must have ALL requested tags —
+    size(array_intersect) == size(requested)."""
+    docs = _t(spark, sf_dir, "documents")
+    want = ["a", "big"]
+    tag_list = F.slice(F.array_sort(F.array_distinct(X.tokens(F.col("text")))), 1, 5)
+    tagged = docs.select("doc_id", tag_list.alias("tag_list"))
+    return (
+        tagged.filter(
+            F.size(F.array_intersect("tag_list", F.lit(want))) == len(want)
+        )
+        .select("doc_id", F.size("tag_list").alias("n_tags"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_rollup_acctbal",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (region → nation → grand total) — the grouping-sets
+    surface SURVEY.md §2.4 notes Spark provides free; one shuffle,
+    partial aggregation at every level."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@register(
+    "set_ops_users",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM errorers)) AS n_both,
+           (SELECT COUNT(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM errorers))    AS n_click_only,
+           (SELECT COUNT(*) FROM (SELECT * FROM clickers UNION SELECT * FROM errorers))     AS n_either
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set operations — intersect / except / union-distinct on
+    user sets (nothing to port from the reference; the engine exposes
+    Spark's built-ins as first-class operators)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clickers.intersect(errorers).agg(F.count("*").alias("n_both"))
+    click_only = clickers.exceptAll(errorers).agg(
+        F.count("*").alias("n_click_only")
+    )
+    either = clickers.union(errorers).distinct().agg(F.count("*").alias("n_either"))
+    return both.crossJoin(click_only).crossJoin(either)
+
+
+@register(
+    "nested_roundtrip",
+    """
+    SELECT CAST(vec_id // 10 AS BIGINT) AS image_id,
+           COUNT(*) AS n_segments,
+           SUM(label)::BIGINT AS sum_labels,
+           MIN(vec_id) AS first_vec
+    FROM embeddings
+    GROUP BY image_id
+    """,
+)
+def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 — the two parallel segment data models: flat rows →
+    nested array<struct> per image (collect_list(struct), the
+    foto_atlas nested layout) → aggregates computed FROM the nested
+    form with higher-order functions. The oracle computes the same
+    numbers from the flat model: round-trip equality."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        "label",
+    )
+    nested = seg.groupBy("image_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vec_id", "label"))
+        ).alias("segments")
+    )
+    return nested.select(
+        "image_id",
+        F.size("segments").cast("long").alias("n_segments"),
+        F.aggregate(
+            "segments",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["label"],
+        ).alias("sum_labels"),
+        F.col("segments")[0]["vec_id"].alias("first_vec"),
+    )
+
+
+# =====================================================================
+# BPE-ish tokenization + multimodal binary plumbing
+# =====================================================================
+
+
+@register(
+    "text_token_bpe",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) AS n_alpha,
+           len(list_filter(t, x -> regexp_full_match(x, '[0-9]+'))) AS n_num
+    FROM toks
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (letter/digit/punct runs — the
+    GPT-2 pre-tokenizer shape) for token budgeting; pure
+    regexp_extract_all, identical RE semantics in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = X.bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).alias("n_num"),
+    )
+
+
+@register(
+    "ml_multimodal_meta",
+    """
+    WITH meta AS (
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS filename,
+               strlen(text)::BIGINT AS n_bytes
+        FROM documents
+    ),
+    decoded AS (
+        SELECT filename, n_bytes,
+               ((n_bytes * 7) % 1024 + 32)::INT AS width,
+               ((n_bytes * 13) % 1024 + 32)::INT AS height,
+               ['jpeg', 'png', 'gif'][(n_bytes % 3) + 1] AS format
+        FROM meta
+    )
+    SELECT format,
+           COUNT(*) AS n,
+           SUM(n_bytes) AS total_bytes,
+           ROUND(AVG(width), 6) AS avg_width,
+           ROUND(AVG(height), 6) AS avg_height
+    FROM decoded GROUP BY format
+    """,
+)
+def ml_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque binary content →
+    typed metadata via Arrow-batched mapInPandas
+    (operators/multimodal.py). The decode kernel is a deterministic
+    stub (no codec libs in this env) so the oracle can verify the
+    full mapInPandas path, not just row counts."""
+    docs = _t(spark, sf_dir, "documents")
+    images = docs.select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("filename"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    meta = multimodal.decode_image_meta(images)
+    return meta.groupBy("format").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+    )
+
+
+@register(
+    "ml_resize_plan",
+    """
+    WITH meta AS (
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS filename,
+               strlen(text)::BIGINT AS n_bytes
+        FROM documents
+    ),
+    decoded AS (
+        SELECT filename, n_bytes,
+               ((n_bytes * 7) % 1024 + 32)::INT AS width,
+               ((n_bytes * 13) % 1024 + 32)::INT AS height
+        FROM meta
+    ),
+    plan AS (
+        SELECT filename, width, height,
+               CASE WHEN GREATEST(width, height) > 800
+                    THEN 800.0 / GREATEST(width, height) ELSE 1.0 END AS scale
+        FROM decoded
+    )
+    SELECT CAST(FLOOR(width * scale) AS INT) AS target_width,
+           CAST(FLOOR(height * scale) AS INT) AS target_height,
+           COUNT(*) AS n
+    FROM plan GROUP BY target_width, target_height
+    """,
+)
+def ml_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — the ≤800 px downscale rule as a declarative resize plan
+    (search_with_segments.py:62-67): target dims preserving aspect
+    ratio, grouped to a small distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    images = docs.select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("filename"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    meta = multimodal.decode_image_meta(images)
+    plan = multimodal.resize_plan(meta, max_side=800)
+    return plan.groupBy("target_width", "target_height").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register("ml_frame_sample")  # binary fan-out stub — rows-only
+def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 row → N frame rows, the UDTF fan-out
+    shape of U2): deterministic stub decode, real mapInPandas
+    batch-iteration and schema."""
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    videos = docs.select(
+        F.concat(F.lit("vid_"), F.col("doc_id").cast("string")).alias("filename"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    frames = multimodal.sample_frames(videos, every_nth=30, max_frames=8)
+    return frames.groupBy("filename").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").alias("max_idx"),
     )
 
 

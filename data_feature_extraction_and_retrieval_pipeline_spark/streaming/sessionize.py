@@ -1,0 +1,150 @@
+"""Custom stateful streaming operator: sessionization via
+``applyInPandasWithState`` (SURVEY.md §2.11 — the reference has no
+stateful surface; this is the engine's `applyInPandasWithState`
+pattern for operators ``session_window`` can't express, e.g. carrying
+arbitrary per-session aggregates or emitting on custom triggers).
+
+State per user: the currently-open session (start, last_ts, n, sum).
+Each micro-batch: merge the batch's events into sessions with the
+same gap rule as the batch twin (operators/temporal.py::sessionize);
+CLOSED sessions are emitted immediately, the still-open one stays in
+state (emitted on timeout). State is O(active users), bounded by the
+event-time timeout — the watermark analogue for map-state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+# open-session state: (start_epoch_us, last_epoch_us, n_events, sum_value)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+GAP_US_DEFAULT = 30 * 60 * 1_000_000
+
+
+def make_sessionizer(gap_us: int = GAP_US_DEFAULT, emit_open: bool = False):
+    """Build the (key, batches, state) -> batches function for
+    ``applyInPandasWithState``.
+
+    ``emit_open=True`` also emits the still-open trailing session each
+    batch (used with availableNow one-shot drains so the final session
+    isn't stranded in state; a long-running stream would instead rely
+    on the timeout to flush it).
+    """
+
+    def sessionize_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts_us: list[int] = []
+        vals: list[float] = []
+        for pdf in batches:
+            # normalize to µs regardless of the Arrow-side unit (ns/us)
+            ts_us.extend(
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64").tolist()
+            )
+            vals.extend(pdf["value"].astype("float64"))
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, s = state.get
+                state.remove()
+                yield _emit(user_id, start_us, last_us, n, s, gap_us)
+            return
+
+        order = sorted(range(len(ts_us)), key=ts_us.__getitem__)
+        cur = list(state.get) if state.exists else None
+
+        closed: list[tuple[int, int, int, float]] = []
+        for i in order:
+            t, v = ts_us[i], vals[i]
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 1, v]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+
+        out = [_emit(user_id, *c, gap_us) for c in closed]
+        if cur is not None:
+            if emit_open:
+                out.append(_emit(user_id, *cur, gap_us))
+                state.remove() if state.exists else None
+            else:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(2 * gap_us // 1000)
+        for pdf in out:
+            yield pdf
+
+    return sessionize_fn
+
+
+def _emit(
+    user_id: int, start_us: int, last_us: int, n: int, s: float, gap_us: int
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+            "n_events": [n],
+            "sum_value": [s],
+        }
+    )
+
+
+def sessionize_stream(
+    events_stream,
+    gap: str = "30 minutes",
+    emit_open: bool = False,
+):
+    """Attach the stateful sessionizer to a streaming events frame.
+
+    ``session_end = last_event + gap`` matches the batch twin
+    (``session_window`` semantics), so the stream's output is directly
+    comparable to the batch query — the Structured Streaming contract.
+    """
+    n, unit = gap.split()
+    per = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1, "hour": 3600, "hours": 3600}[unit]
+    gap_us = int(n) * per * 1_000_000
+    return events_stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_us, emit_open=emit_open),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,103 @@
+"""Dedup family invariants (operators/dedup.py, operators/similarity.py):
+the approximate paths (MinHash+LSH, SimHash, embedding-cosine
+blocking) are checked against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+    cosine_self_join_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+    simhash_buckets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_finds_injected_copies(spark, docs_with_dups):
+    n_docs = docs_with_dups.count()
+    groups = exact_dedup(docs_with_dups)
+    # every injected exact copy collapses into its source group
+    n_copies = docs_with_dups.filter(F.col("doc_id") >= 1000000).filter(
+        F.col("doc_id") < 2000000
+    ).count()
+    assert groups.agg(F.sum("group_size")).first()[0] == n_docs
+    dup_members = groups.filter(F.col("group_size") > 1).agg(
+        F.sum("group_size") - F.count("*")
+    ).first()[0]
+    assert dup_members >= n_copies
+
+
+def test_minhash_lsh_pairs_subset_of_exact(spark, docs_with_dups):
+    """LSH candidates are verified with exact Jaccard, so every
+    emitted pair must also be found by the exhaustive n-gram path."""
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs_with_dups, n=3, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    # identical docs always collide in every band → full recall there
+    identical = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.9999).collect()
+    }
+    assert identical <= lsh_pairs
+
+
+def test_simhash_identical_docs_share_all_bands(spark, docs_with_dups):
+    buckets = simhash_buckets(docs_with_dups)
+    # exact copies have identical simhash → co-bucketed in all 4 bands
+    pair = docs_with_dups.filter(F.col("doc_id").isin(0, 1000000))
+    if pair.count() == 2:
+        b = buckets.filter(F.col("doc_id").isin(0, 1000000))
+        per_band = b.groupBy("band", "key").count().filter(F.col("count") == 2)
+        assert per_band.count() == 4
+
+
+def test_embedding_cosine_blocking_recall(spark):
+    """Injected identical vectors land in the same cluster and are
+    found at threshold ~1.0."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    inj = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(inj)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    pairs = cosine_self_join_pairs(allv, cents, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {
+        (r["vec_id"], r["vec_id"] + 1000000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert expected <= got

