@@ -86,22 +86,6 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", "jaccard")
 
 
-def _minhash_signature(shingle_col, num_hashes: int):
-    """k min-hashes of a distinct-shingle array, as k columns.
-
-    xxhash64(shingle, seed=i) stays in codegen; min() over the array
-    via aggregate — no explode, no shuffle for signature building.
-    """
-    def _mh(i: int):
-        # factory keeps the lambda single-arg (a default param would be
-        # parsed by PySpark as the optional array-index argument)
-        return F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh_{i}")
-
-    return [_mh(i) for i in range(num_hashes)]
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -113,11 +97,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
-    Stage 1: per doc, a k-wide minhash signature (no shuffle).
-    Stage 2: band the signature (rows = k/bands); groupBy band key —
-    docs sharing any band become candidate pairs. The band key is the
-    only thing shuffled.
-    Stage 3: exact n-gram Jaccard on the (small) candidate set.
+    Stage 1: explode distinct shingles, project ``num_hashes``
+    xxhash64 columns (plain projections → whole-stage codegen, NOT
+    interpreted higher-order lambdas), groupBy-min per doc — map-side
+    partial min, one narrow shuffle of (id, k longs).
+    Stage 2: band the signature (rows = k/bands) into FLAT (band, key)
+    scalar columns — a struct join key would defeat the hash-join
+    planner and fall back to a cartesian compare — and self-join on
+    the band key; docs sharing any band become candidate pairs.
+    Only (id, band, key) rows ever shuffle here.
+    Stage 3: exact n-gram Jaccard on the (small) candidate set, with
+    the shingle arrays joined back by id.
 
     At 100 TB this is the dedup path: stage 2's shuffle is
     O(N · bands) tiny rows, versus the shingle join's O(collisions).
@@ -127,43 +117,57 @@ def minhash_lsh_pairs(
         F.col(id_col),
         X.word_shingles(X.tokens(F.col(text_col)), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = sh.select(
+    # the shingle frame feeds three consumers (signatures + both sides
+    # of the verify join); persist so the higher-order shingle build
+    # runs once. At warehouse scale this intermediate is a written
+    # (id, shingles) table, not an in-memory cache.
+    sh = sh.persist()
+
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    hashed = exploded.select(
         F.col(id_col),
-        F.col("shingles"),
-        *_minhash_signature(F.col("shingles"), num_hashes),
+        *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
     banded = sig.select(
         F.col(id_col),
-        F.col("shingles"),
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                        "key"
-                    ),
-                )
-                for b in range(bands)
-            ]
-        ).alias("bandkeys"),
-    ).select(id_col, "shingles", F.explode("bandkeys").alias("bk"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
