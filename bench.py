@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_whole",
     "knn_batch",
     "segment_search",
+    "segment_search_tag_filtered",
     "hybrid_search",
     "tag_search",
     "ann_ivf",

@@ -18,10 +18,14 @@ Layout
                    cleansing/analysis, score calibration (SURVEY.md §2.7).
 - ``operators``  : composed query operators — ETL, retrieval Q1-Q4,
                    dedup, analytics, similarity search (SURVEY.md §2).
-- ``streaming``  : Structured Streaming ingest/windowed aggregation.
+- ``streaming``  : Structured Streaming ingest/windowed aggregation and
+                   stateful sessionization (applyInPandasWithState).
 - ``ml``         : model-backed UDF surface (stub encoders by default).
+- ``api``        : the user-facing Engine facade — the reference's four
+                   search modes as one dispatcher (SURVEY.md §2.10).
 """
 
 __version__ = "0.1.0"
 
 from .session import get_spark  # noqa: F401
+from .api import Engine  # noqa: F401

@@ -1,0 +1,136 @@
+"""User-facing search API (SURVEY.md §2.10).
+
+The reference exposes four retrieval modes through a Flask
+microservice and a CLI (app.py:82-321; search_with_segments.py:628-717).
+The engine's equivalent is a session-level facade: one ``Engine``
+bound to the index tables, dispatching ``search(mode=...)`` to the
+operator layer and returning DataFrames (the caller decides whether
+to collect, serve, or write). A web layer, if ever needed, is a thin
+driver-side wrapper over this — out of engine scope by design.
+
+Ingest validations mirror the service's upload constraints
+(16 MB cap, extension allow-list — app.py:27,31-35).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import retrieval
+from .sources import load_table
+
+MAX_UPLOAD_BYTES = 16 * 1024 * 1024  # app.py:27 MAX_CONTENT_LENGTH
+ALLOWED_EXTENSIONS = ("jpg", "jpeg", "png", "gif")  # app.py:31
+
+
+def validate_upload(filename: str, n_bytes: int) -> None:
+    """The service's upload gate (app.py:27,31-35) as an ingest check."""
+    if n_bytes > MAX_UPLOAD_BYTES:
+        raise ValueError(
+            f"upload too large: {n_bytes} bytes > {MAX_UPLOAD_BYTES}"
+        )
+    ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+    if ext not in ALLOWED_EXTENSIONS:
+        raise ValueError(f"extension {ext!r} not in {ALLOWED_EXTENSIONS}")
+
+
+class Engine:
+    """Facade over the index tables + retrieval operators.
+
+    ``images``: one row per item with an L2-normalized ``embedding``.
+    ``segments``: flat per-segment rows (image_id, vec_id,
+    clip_features) — the foto_atlas_sam layout (SURVEY.md §1.4).
+    ``segment_tags``: (image_id, tags array<struct<tag,confidence>>).
+    """
+
+    def __init__(
+        self,
+        images: DataFrame,
+        segments: DataFrame | None = None,
+        segment_tags: DataFrame | None = None,
+        image_col: str = "image_id",
+    ):
+        self.images = images
+        self.segments = segments
+        self.segment_tags = segment_tags
+        self.image_col = image_col
+
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
+        """Bind to the driver test tables using the derived segment
+        model (image_id = vec_id // 10, SURVEY.md queries section)."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        seg = emb.select(
+            F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+            "vec_id",
+            F.col("embedding").alias("clip_features"),
+        )
+        images = seg.filter(F.col("vec_id") % 10 == 0).select(
+            "image_id", F.col("clip_features").alias("embedding")
+        )
+        return cls(images, segments=seg)
+
+    # -- the four modes (app.py /search/whole /segment /hybrid /tags) --
+
+    def search(
+        self,
+        mode: str,
+        query_vec: Sequence[float] | None = None,
+        query_segments: DataFrame | None = None,
+        tags: Sequence[str] | None = None,
+        top_k: int = 10,
+        whole_weight: float = 0.4,
+        segment_weight: float = 0.6,
+        min_confidence: float = 0.1,
+    ) -> DataFrame:
+        """Mode dispatcher (app.py:296-321 POST /api/search)."""
+        if mode == "whole":
+            if query_vec is None:
+                raise ValueError("whole mode needs query_vec")
+            return retrieval.knn(
+                self.images, query_vec, k=top_k,
+                id_col=self.image_col, vec_col="embedding",
+            )
+        if mode == "segment":
+            if query_segments is None:
+                raise ValueError("segment mode needs query_segments")
+            if self.segments is None:
+                raise ValueError("engine has no segments table")
+            return retrieval.segment_search(
+                self.segments, query_segments,
+                top_k=top_k, candidate_cap=top_k * 3,
+                image_col=self.image_col,
+            )
+        if mode == "hybrid":
+            if query_vec is None or query_segments is None:
+                raise ValueError("hybrid mode needs query_vec + query_segments")
+            if self.segments is None:
+                raise ValueError("engine has no segments table")
+            return retrieval.hybrid_search(
+                self.images, self.segments, query_vec, query_segments,
+                top_k=top_k, whole_weight=whole_weight,
+                segment_weight=segment_weight, image_col=self.image_col,
+            )
+        if mode == "tags":
+            if not tags:
+                raise ValueError("tags mode needs tags")
+            if self.segment_tags is None:
+                raise ValueError("engine has no segment_tags table")
+            return retrieval.tag_search(
+                self.segment_tags, tags,
+                min_confidence=min_confidence, top_k=top_k,
+                image_col=self.image_col,
+            )
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def health(self) -> dict:
+        """GET /health analogue (app.py:72-79): table presence + lazy
+        plan sanity (no data is scanned)."""
+        return {
+            "status": "ok",
+            "images": self.images is not None,
+            "segments": self.segments is not None,
+            "segment_tags": self.segment_tags is not None,
+        }

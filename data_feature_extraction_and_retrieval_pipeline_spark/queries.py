@@ -1857,6 +1857,128 @@ def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_ext_fallback",
+    """
+    WITH features AS (
+        SELECT doc_id,
+               'doc_' || CAST(doc_id AS VARCHAR) ||
+               CASE (doc_id % 3) WHEN 0 THEN '.jpg'
+                                 WHEN 1 THEN '.jpeg'
+                                 ELSE '.png' END AS filename
+        FROM documents
+    ),
+    meta AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.jpg' AS filename,
+               source
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    joined AS (
+        SELECT f.doc_id, m.source
+        FROM features f
+        LEFT JOIN meta m
+          ON regexp_replace(f.filename, '\\.(jpg|jpeg|png)$', '')
+           = regexp_replace(m.filename, '\\.(jpg|jpeg|png)$', '')
+    )
+    SELECT COUNT(*) AS n,
+           COUNT(source) AS n_matched,
+           (COUNT(*) - COUNT(source))::BIGINT AS n_unmatched
+    FROM joined
+    """,
+)
+def join_ext_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — filename join with extension fallback
+    (SAM/update_elasticsearch_with_segments.py:138-162): the reference
+    retries .jpg/.jpeg/.png lookups per document; here both sides
+    normalize to the stem once and it's a single equi join."""
+    docs = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("doc_id") % 3 == 0, ".jpg")
+        .when(F.col("doc_id") % 3 == 1, ".jpeg")
+        .otherwise(".png")
+    )
+    features = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), ext).alias("filename"),
+    )
+    meta = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias(
+            "filename"
+        ),
+        "source",
+    )
+    stem = lambda c: F.regexp_replace(c, r"\.(jpg|jpeg|png)$", "")  # noqa: E731
+    joined = features.withColumn("__stem", stem(F.col("filename"))).join(
+        F.broadcast(meta.withColumn("__stem", stem(F.col("filename")))).drop(
+            "filename"
+        ),
+        "__stem",
+        "left",
+    )
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.count("source").alias("n_matched"),
+        (F.count("*") - F.count("source")).alias("n_unmatched"),
+    )
+
+
+@register(
+    "segment_search_tag_filtered",
+    f"""
+    WITH {_SEG_CTE},
+    labeled AS (
+        SELECT CAST(vec_id // 10 AS BIGINT) AS image_id, vec_id, label
+        FROM embeddings
+    ),
+    allowed AS (
+        SELECT DISTINCT image_id FROM labeled WHERE label IN (1, 3, 5)
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM seg WHERE image_id = 0),
+    cand AS (
+        SELECT s.* FROM seg s JOIN allowed a ON a.image_id = s.image_id
+    ),
+    best AS (
+        SELECT c.image_id, q.qid, MAX(list_dot_product(c.v, q.qv)) AS best_sim
+        FROM cand c, q
+        GROUP BY c.image_id, q.qid
+    )
+    SELECT image_id,
+           ROUND(AVG(best_sim), 6) AS avg_similarity,
+           ROUND(MAX(best_sim), 6) AS max_segment_similarity
+    FROM best
+    GROUP BY image_id
+    ORDER BY avg_similarity DESC, image_id
+    LIMIT 10
+    """,
+)
+def segment_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 with tag pre-filter (search_with_segments.py:203-224): the
+    ES terms filter inside the candidate query becomes a semi-join on
+    the allowed image ids BEFORE any scoring — only matching images'
+    segments are ever dotted (filter-before-expensive-work, §4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        "label",
+        F.col("embedding").alias("clip_features"),
+    )
+    allowed = (
+        seg.filter(F.col("label").isin(1, 3, 5)).select("image_id").distinct()
+    )
+    cand = seg.join(F.broadcast(allowed), "image_id", "left_semi")
+    qsegs = seg.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    out = retrieval.segment_search(cand, qsegs, top_k=10)
+    return out.select(
+        "image_id",
+        F.round("avg_similarity", 6).alias("avg_similarity"),
+        F.round("max_segment_similarity", 6).alias("max_segment_similarity"),
+    )
+
+
+@register(
     "zero_shot_topk_tags",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

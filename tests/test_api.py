@@ -1,0 +1,96 @@
+"""Engine facade / mode dispatcher (api.py — SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+    ALLOWED_EXTENSIONS,
+    Engine,
+    MAX_UPLOAD_BYTES,
+    validate_upload,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine.from_sf_dir(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def qvec(spark, engine):
+    row = engine.images.filter(F.col("image_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def qsegs(engine):
+    return engine.segments.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+
+
+def test_whole_mode(engine, qvec):
+    out = engine.search("whole", query_vec=qvec, top_k=5).collect()
+    assert len(out) == 5
+    # self-match first: normalized vectors, dot(v,v)+1 = 2 is max
+    assert out[0]["image_id"] == 0
+    assert out[0]["score"] == pytest.approx(2.0, abs=1e-5)
+
+
+def test_segment_mode(engine, qsegs):
+    out = engine.search("segment", query_segments=qsegs, top_k=5).collect()
+    assert len(out) == 5
+    assert out[0]["image_id"] == 0  # self image has perfect matches
+    assert out[0]["avg_similarity"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hybrid_mode(engine, qvec, qsegs):
+    out = engine.search(
+        "hybrid", query_vec=qvec, query_segments=qsegs, top_k=5
+    ).collect()
+    assert len(out) == 5
+    top = out[0]
+    assert top["image_id"] == 0
+    # 0.4·(1+1) + 0.6·1 = 1.4 for the exact self match
+    assert top["hybrid_score"] == pytest.approx(1.4, abs=1e-5)
+
+
+def test_tags_mode_roundtrip(spark):
+    tags_df = spark.createDataFrame(
+        [(1, [("dome", 0.9)]), (2, [("tree", 0.4)])],
+        "image_id: long, tags: array<struct<tag:string,confidence:double>>",
+    )
+    eng = Engine(images=None, segment_tags=tags_df)
+    out = eng.search("tags", tags=["dome"], top_k=5).collect()
+    assert [r["image_id"] for r in out] == [1]
+
+
+def test_mode_validation(engine):
+    with pytest.raises(ValueError, match="unknown mode"):
+        engine.search("nope")
+    with pytest.raises(ValueError, match="needs query_vec"):
+        engine.search("whole")
+    with pytest.raises(ValueError, match="needs query_segments"):
+        engine.search("segment")
+
+
+def test_upload_validation():
+    validate_upload("a.jpg", 1000)
+    validate_upload("b.PNG", MAX_UPLOAD_BYTES)
+    with pytest.raises(ValueError, match="too large"):
+        validate_upload("a.jpg", MAX_UPLOAD_BYTES + 1)
+    with pytest.raises(ValueError, match="extension"):
+        validate_upload("a.exe", 10)
+    with pytest.raises(ValueError, match="extension"):
+        validate_upload("noext", 10)
+    assert set(ALLOWED_EXTENSIONS) == {"jpg", "jpeg", "png", "gif"}
+
+
+def test_health(engine):
+    h = engine.health()
+    assert h["status"] == "ok" and h["images"] and h["segments"]

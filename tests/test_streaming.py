@@ -78,6 +78,87 @@ def test_tumbling_window_stream_matches_batch(spark, events_dir, tmp_path):
         assert b[k][1] == pytest.approx(s[k][1])
 
 
+def test_incremental_ingest_appends(spark, tmp_path):
+    """incremental_ingest: new files landing in the source dir are
+    appended to the index table across restarts (checkpointed)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import load_table
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        incremental_ingest,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").limit(100).cache()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev.limit(60).write.mode("append").parquet(src)
+    q = incremental_ingest(spark, src, ev.schema, idx, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == 60
+
+    # second delivery: only the new file is processed
+    ev.limit(100).exceptAll(ev.limit(60)).write.mode("append").parquet(src)
+    q2 = incremental_ingest(spark, src, ev.schema, idx, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == 100
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Tumbling windows with a 0-second watermark: rows older than the
+    observed max event time at the previous batch are dropped, and
+    append mode only emits finalized windows."""
+    import datetime as dt
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        tumbling_window_counts,
+    )
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    out_dir = str(tmp_path / "wm_out")
+    cols = ["ts", "event_type", "value"]
+
+    batch1 = spark.createDataFrame(
+        [(ts(10, 15), "click", 1.0), (ts(10, 45), "click", 1.0), (ts(11, 20), "view", 1.0)],
+        cols,
+    )
+    batch1.write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        agg = tumbling_window_counts(stream, "1 hour", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    run()  # establishes watermark = 11:20
+
+    # batch 2: 09:30 is far below the watermark (dropped); 12:40 is new
+    batch2 = spark.createDataFrame(
+        [(ts(9, 30), "click", 1.0), (ts(12, 40), "view", 1.0)], cols
+    )
+    batch2.write.mode("append").parquet(src)
+    out2 = run()
+
+    # finalized windows emitted without any 09:00 contribution
+    assert (9, "click") not in out2
+    assert out2.get((10, "click")) == 2
+    assert out2.get((11, "view")) == 1
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
     """applyInPandasWithState sessionizer ≡ session_window batch twin
     on a one-shot drain (emit_open=True flushes trailing sessions)."""
