@@ -173,24 +173,42 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(toks) -> F.Column:
-    """64-bit SimHash of a token array, built bit-by-bit JVM-side:
-    bit_j = 1 iff Σ_tokens sign(xxhash64(token) bit j) > 0."""
-    def _vote(j: int):
-        return F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document: bit_j = 1 iff
+    Σ_tokens sign(xxhash64(token) bit j) > 0.
 
-    bit_votes = [_vote(j) for j in range(64)]
-    out = F.lit(0).cast("long")
-    for j, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(0)
-    return out
+    Plan shape: explode tokens → ONE xxhash64 per token (codegen) →
+    64 codegen'd sum aggregations of ±1 votes → assemble the signature
+    long. (The naive per-row formulation — 64 interpreted aggregate()
+    lambdas over the token array — costs ~8 s in plan+eval overhead
+    even on a few hundred docs; this shape is a plain single-shuffle
+    aggregation.) Duplicate tokens vote multiply, matching the
+    reference-style multiset semantics. Token-less documents drop out
+    (no signature), which is what dedup wants anyway.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("t")
+    )
+    hashed = tok.select(F.col(id_col), F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+        sig = sig + F.when(F.col(f"v{j}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_buckets(
@@ -203,9 +221,7 @@ def simhash_buckets(
     16-bit band of their 64-bit simhash (≥1 identical band ⇒ hamming
     distance likely small). Returns (band, key, id) for bucket-join
     downstream."""
-    sig = df.select(
-        F.col(id_col), simhash64(X.tokens(F.col(text_col))).alias("simhash")
-    )
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(

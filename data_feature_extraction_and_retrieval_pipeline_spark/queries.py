@@ -1857,6 +1857,39 @@ def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_row_range_select",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n, SUM(n_chars)::BIGINT AS sum_chars,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM ranked
+    WHERE rn BETWEEN 101 AND 300
+    GROUP BY lang
+    """,
+)
+def etl_row_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — 1-based row-range source selection
+    (SAM/sam_segment_clip_pipeline.py:140-146): window row_number +
+    between over a deterministic order; the seeded-sample variant is
+    the same operator with orderBy(rand(seed)) (documented
+    divergence from Python's random.sample)."""
+    from .sources.readers import select_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = select_rows(docs, "doc_id", row_range=(101, 300))
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
+@register(
     "join_ext_fallback",
     """
     WITH features AS (

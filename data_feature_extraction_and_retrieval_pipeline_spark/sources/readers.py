@@ -94,6 +94,39 @@ def read_json_dir(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def select_rows(
+    df: DataFrame,
+    order_col: str,
+    row_range: tuple[int, int] | None = None,
+    sample_n: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """S4 — row-range / seeded-sample source selection
+    (SAM/sam_segment_clip_pipeline.py:117-154): either a 1-based
+    inclusive slice over a deterministic order, or a seeded random
+    sample of n rows.
+
+    The slice is a window ``row_number`` + ``between`` — exact parity
+    with the reference's list slicing. The sample is
+    ``orderBy(rand(seed)) limit n`` — deterministic per (seed, data)
+    but NOT the same rows as Python's ``random.sample`` (documented
+    divergence, SURVEY.md §2.1 S4).
+    """
+    from pyspark.sql import Window
+
+    if (row_range is None) == (sample_n is None):
+        raise ValueError("exactly one of row_range / sample_n required")
+    if row_range is not None:
+        lo, hi = row_range
+        w = Window.orderBy(order_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn").between(lo, hi))
+            .drop("__rn")
+        )
+    return df.orderBy(F.rand(seed), F.col(order_col)).limit(sample_n)
+
+
 IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "gif")
 
 

@@ -61,3 +61,47 @@ def test_parquet_roundtrip_and_upsert(spark, tmp_path):
     assert rows[2]["v"] == 99 and rows[2]["name"] == "b"   # updated, kept
     assert rows[3]["v"] == 30 and rows[3]["name"] is None  # inserted
     assert rows[1]["v"] == 10                              # untouched
+
+
+def test_select_rows_range_and_sample(spark, sf_dir):
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.readers import (
+        select_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = select_rows(docs, "doc_id", row_range=(5, 14))
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    expected = sorted(r["doc_id"] for r in docs.orderBy("doc_id").limit(14).collect())[4:]
+    assert ids == expected
+
+    s1 = {r["doc_id"] for r in select_rows(docs, "doc_id", sample_n=10, seed=42).collect()}
+    s2 = {r["doc_id"] for r in select_rows(docs, "doc_id", sample_n=10, seed=42).collect()}
+    assert s1 == s2 and len(s1) == 10  # seeded → reproducible
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        select_rows(docs, "doc_id")
+    with _pytest.raises(ValueError):
+        select_rows(docs, "doc_id", row_range=(1, 2), sample_n=3)
+
+
+def test_vector_mean_reassembly(spark, sf_dir):
+    import numpy as np
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.analytics import (
+        vector_mean,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["label"]: list(r["mean_vec"])
+        for r in vector_mean(emb, "label", "embedding").collect()
+    }
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        expected = np.mean(vecs, axis=0)
+        assert np.allclose(got[label], expected, atol=1e-9), label
