@@ -4,4 +4,6 @@ from .dedup import exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, simhash_
 from .analytics import value_counts, explode_counts, histogram, group_stats  # noqa: F401
 from .similarity import brute_force_topk, ivf_topk, lsh_topk, cosine_self_join_pairs  # noqa: F401
 from .temporal import asof_join, sessionize  # noqa: F401
+from .skew import salted_aggregate, salted_join  # noqa: F401
+from .reports import dataset_report  # noqa: F401
 from .multimodal import decode_image_meta, resize_plan, sample_frames  # noqa: F401

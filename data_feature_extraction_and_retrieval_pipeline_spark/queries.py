@@ -1857,6 +1857,76 @@ def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_percentage",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(((list_dot_product(e.embedding::DOUBLE[], q.v) + 1.0) / 2.0) * 100.0, 6)
+               AS percentage
+    FROM embeddings e, q
+    ORDER BY percentage DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — the client-side percentage calibration
+    ((score/2)·100, search_test_image.py:75 /
+    search_with_segments.py:459) on top of Q1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            V.percentage_score(
+                V.calibrated_whole_score(
+                    V.dot(F.col("embedding"), F.lit(q).cast("array<double>"))
+                )
+            ),
+            6,
+        ).alias("percentage"),
+    )
+    return scored.orderBy(F.desc("percentage"), F.col("vec_id")).limit(10)
+
+
+@register(
+    "agg_salted_group",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.py):
+    groupBy (key, salt) partials then merge by key — identical result
+    to the plain groupBy the oracle runs, but no single reducer ever
+    sees a whole hot key. event_type is low-cardinality (5 keys ×
+    2000 rows each at sf0.01) — exactly the shape that melts a single
+    reducer at 100 TB."""
+    from .operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("*", "count"),
+            "sum_value_raw": ("value", "sum"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+@register(
     "etl_row_range_select",
     """
     WITH ranked AS (
