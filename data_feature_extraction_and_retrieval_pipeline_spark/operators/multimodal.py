@@ -78,16 +78,20 @@ def decode_image_meta(
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        fmts = np.asarray(_FORMATS)
         for pdf in batches:
-            n_bytes = pdf[content_col].map(len)
-            dims = n_bytes.map(_stub_dims)
+            # vectorized batch kernel — the shape a real decoder keeps
+            # (len() is the only per-row Python; the arithmetic is numpy)
+            n_bytes = pdf[content_col].map(len).to_numpy("int64")
             yield pd.DataFrame(
                 {
                     "filename": pdf[filename_col],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "format": dims.map(lambda d: d[2]),
+                    "n_bytes": n_bytes,
+                    "width": ((n_bytes * 7) % 1024 + 32).astype("int32"),
+                    "height": ((n_bytes * 13) % 1024 + 32).astype("int32"),
+                    "format": fmts[n_bytes % 3],
                 }
             )
 
