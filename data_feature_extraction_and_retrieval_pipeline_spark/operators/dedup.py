@@ -191,8 +191,9 @@ def simhash_signatures(
     (no signature), which is what dedup wants anyway.
     """
     tok = df.select(
-        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("t")
-    )
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)  # post-explode WHERE stays in codegen
     hashed = tok.select(F.col(id_col), F.xxhash64("t").alias("h"))
     votes = hashed.groupBy(id_col).agg(
         *[

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import text as X
 from . import analytics
 
 
@@ -36,12 +35,14 @@ def dataset_report(
     """
     from ..functions import vectors as V
 
-    toks = X.tokens(F.col("text"))
     return {
         "source_counts": analytics.value_counts(documents, "source"),
         "lang_counts": analytics.value_counts(documents, "lang"),
         "token_leaderboard": (
-            documents.select(F.explode(toks).alias("value"))
+            documents.select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
+            )
+            .filter(F.length("value") > 0)
             .groupBy("value")
             .agg(F.count("*").alias("count"))
             .orderBy(F.desc("count"), F.col("value"))

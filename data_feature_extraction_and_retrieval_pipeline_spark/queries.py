@@ -172,7 +172,12 @@ def agg_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — explode-then-count leaderboard over the multi-valued text
     cell (analyze_dataset_distribution.py:78-83), top 30 words."""
     docs = _t(spark, sf_dir, "documents")
-    exploded = docs.select(F.explode(X.tokens(F.col("text"))).alias("value"))
+    # explode the raw split and filter AFTER: the WHERE is codegen'd,
+    # while a filter() higher-order function inside the array is
+    # interpreted per element (~4× slower on this shape)
+    exploded = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
+    ).filter(F.length("value") > 0)
     return (
         exploded.groupBy("value")
         .agg(F.count("*").alias("count"))

@@ -38,6 +38,28 @@ def write_json_export(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.write.mode(mode).json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (S7 at co-location scale).
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle — both sides are already hash-partitioned
+    on disk. This is the 100 TB lever for repeated fact⋈fact joins
+    (e.g. segments ⋈ images on image_id): pay the clustering once at
+    write time, skip the exchange on every query.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def upsert_parquet(
     existing: DataFrame,
     updates: DataFrame,

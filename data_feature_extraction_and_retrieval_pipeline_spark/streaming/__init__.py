@@ -1,2 +1,7 @@
-from .ingest import tumbling_window_counts, streaming_tumbling_counts, incremental_ingest  # noqa: F401
+from .ingest import (  # noqa: F401
+    tumbling_window_counts,
+    streaming_tumbling_counts,
+    incremental_ingest,
+    incremental_upsert,
+)
 from .sessionize import sessionize_stream, make_sessionizer, SESSION_SCHEMA  # noqa: F401

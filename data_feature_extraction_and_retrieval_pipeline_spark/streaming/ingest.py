@@ -73,14 +73,59 @@ def incremental_ingest(
 ):
     """Incremental index maintenance: stream new rows, apply the
     (optional) feature transform, append to the parquet index table.
-    ``foreachBatch`` would enable MERGE semantics; append suffices for
-    immutable feature rows."""
+    Append suffices for immutable feature rows; mutable rows use
+    ``incremental_upsert``."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if transform is not None:
         stream = transform(stream)
     return (
         stream.writeStream.format("parquet")
         .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_upsert(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    checkpoint: str,
+    key: str,
+):
+    """Streaming MERGE: each micro-batch is upserted into the index
+    table via foreachBatch + full-outer-join merge (the reference's
+    ES ``_op_type:update`` bulk path, S8, made incremental).
+
+    Plain parquet has no transactional MERGE, so each batch writes the
+    merged table to a temp dir and swaps it in (distributed write, no
+    driver collect); a lakehouse format would replace the swap with
+    `MERGE INTO`. Re-delivery dedup across restarts comes from the
+    checkpointed source offsets.
+    """
+    import shutil
+    from pathlib import Path
+
+    from ..sources.writers import upsert_parquet
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        target = Path(index_path)
+        if not target.exists():
+            batch_df.write.mode("overwrite").parquet(index_path)
+            return
+        existing = spark_l.read.parquet(index_path)
+        merged = upsert_parquet(existing, batch_df, key)
+        tmp = f"{index_path}__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(index_path)
+        Path(tmp).rename(index_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
