@@ -125,6 +125,33 @@ class Engine:
             )
         raise ValueError(f"unknown mode {mode!r}")
 
+    def search_content(
+        self,
+        payload: bytes,
+        filename: str = "query.jpg",
+        mode: str = "whole",
+        top_k: int = 10,
+        dim: int | None = None,
+        **kwargs,
+    ) -> DataFrame:
+        """Query-side embedding + search — the reference's
+        upload → CLIP-encode → KNN flow (app.py:203-215 →
+        search_with_segments.py:123-145) with the engine's encoder
+        (stub here; real CLIP on a GPU cluster swaps in behind
+        ml/encoders.py).
+
+        The query payload is one row — encoded driver-side via the
+        same hash-projection kernel the distributed encoder uses, so
+        an item inserted through the encoder is its own top hit.
+        """
+        from .ml.encoders import _hash_projection
+
+        validate_upload(filename, len(payload))
+        if dim is None:
+            dim = len(self.images.select("embedding").first()[0])
+        qvec = _hash_projection(payload, dim).tolist()
+        return self.search(mode, query_vec=qvec, top_k=top_k, **kwargs)
+
     def health(self) -> dict:
         """GET /health analogue (app.py:72-79): table presence + lazy
         plan sanity (no data is scanned)."""

@@ -94,3 +94,24 @@ def test_upload_validation():
 def test_health(engine):
     h = engine.health()
     assert h["status"] == "ok" and h["images"] and h["segments"]
+
+
+def test_search_content_roundtrip(spark):
+    """An item indexed through the stub encoder is its own top hit
+    when queried with the same payload (the encode→index→query loop)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import (
+        stub_image_encoder_udf,
+    )
+
+    payloads = [(i, f"img_{i}.jpg", bytes([i]) * (i + 3)) for i in range(20)]
+    df = spark.createDataFrame(payloads, ["image_id", "filename", "content"])
+    enc = stub_image_encoder_udf(dim=32)
+    indexed = df.select("image_id", enc(F.col("content")).alias("embedding"))
+    eng = Engine(images=indexed)
+
+    out = eng.search_content(bytes([7]) * 10, mode="whole", top_k=3).collect()
+    assert out[0]["image_id"] == 7
+    assert out[0]["score"] == pytest.approx(2.0, abs=1e-5)
+
+    with pytest.raises(ValueError, match="extension"):
+        eng.search_content(b"x", filename="query.exe")

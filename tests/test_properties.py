@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the column-function layer —
+each property checks a Spark expression against a plain-Python
+reference implementation on generated inputs, batched into one
+DataFrame per example to keep job counts low.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.functions import text as X
+from data_feature_extraction_and_retrieval_pipeline_spark.functions import (
+    vectors as V,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+token = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+
+
+def _py_shingles(tokens: list[str], n: int = 3) -> list[str]:
+    if len(tokens) >= n:
+        out, seen = [], set()
+        for i in range(len(tokens) - n + 1):
+            s = " ".join(tokens[i : i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+    return [" ".join(tokens)]
+
+
+@given(st.lists(st.lists(token, min_size=0, max_size=12), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_word_shingles_matches_python(spark, token_lists):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_lists)], "i: long, toks: array<string>"
+    )
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", X.word_shingles(F.col("toks"), 3).alias("sh")).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        assert got[i] == _py_shingles(toks, 3), toks
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_l2_normalize_unit_norm(spark, vecs):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["i", "v"])
+    rows = df.select(
+        "i",
+        V.l2_norm(V.l2_normalize(F.col("v"))).alias("n"),
+        V.l2_norm(F.col("v")).alias("orig"),
+    ).collect()
+    for r in rows:
+        if r["orig"] > 0:
+            assert abs(r["n"] - 1.0) < 1e-9
+        else:
+            assert r["n"] == 0.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-5, 5, allow_nan=False, width=32), min_size=3, max_size=3),
+            st.lists(st.floats(-5, 5, allow_nan=False, width=32), min_size=3, max_size=3),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_dot_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+    )
+    got = {r["i"]: r["d"] for r in df.select("i", V.dot("a", "b").alias("d")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        # float32 storage, double accumulation — same as the engine
+        expected = 0.0
+        import numpy as np
+
+        for x, y in zip(np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)):
+            expected += float(x) * float(y)
+        assert math.isclose(got[i], expected, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(st.lists(st.sampled_from(["NA", "", "  ", "Konum Yok", "ok", "data x"]), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_sentinel_cleanse_semantics(spark, cells):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cells)], ["i", "c"])
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", X.sentinels_to_null("c").alias("out")).collect()
+    }
+    for i, c in enumerate(cells):
+        should_null = (
+            c.strip() == "" or any(s in c for s in ("NA", "Konum Yok", "Konum İşaretlenmedi"))
+        )
+        assert (got[i] is None) == should_null, (c, got[i])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python(spark, left_ts, right_ts):
+    """As-of join vs brute-force reference: latest right ≤ left, same key."""
+    from datetime import datetime, timedelta
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        asof_join,
+    )
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + timedelta(seconds=s), i) for i, s in enumerate(left_ts)],
+        ["key", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, base + timedelta(seconds=s), float(s)) for s in right_ts],
+        ["key", "ts", "val"],
+    ) if right_ts else spark.createDataFrame([], "key: long, ts: timestamp, val: double")
+
+    out = {r["lid"]: r["asof_val"] for r in asof_join(left, right, key="key", right_payload=["val"]).collect()}
+    for i, s in enumerate(left_ts):
+        prior = [t for t in right_ts if t <= s]
+        expected = float(max(prior)) if prior else None
+        assert out[i] == expected, (s, sorted(right_ts))
