@@ -975,6 +975,84 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_tag_filtered",
+    f"""
+    WITH {_SEG_CTE},
+    labeled AS (
+        SELECT CAST(vec_id // 10 AS BIGINT) AS image_id, vec_id, label
+        FROM embeddings
+    ),
+    allowed AS (
+        SELECT DISTINCT image_id FROM labeled WHERE label IN (0, 2, 4, 6)
+    ),
+    whole AS (
+        SELECT s.image_id, s.v FROM seg s
+        JOIN allowed a ON a.image_id = s.image_id
+        WHERE s.vec_id % 10 = 0
+    ),
+    qwhole AS (SELECT v AS qv FROM seg WHERE vec_id = 0),
+    qsegs AS (SELECT vec_id AS qid, v AS qv FROM seg WHERE image_id = 0),
+    phase1 AS (
+        SELECT w.image_id,
+               list_dot_product(w.v, q.qv) + 1.0 AS whole_score
+        FROM whole w, qwhole q
+        ORDER BY whole_score DESC, w.image_id
+        LIMIT 100
+    ),
+    best AS (
+        SELECT s.image_id, q.qid, MAX(list_dot_product(s.v, q.qv)) AS best_sim
+        FROM seg s
+        JOIN phase1 p ON p.image_id = s.image_id
+        CROSS JOIN qsegs q
+        GROUP BY s.image_id, q.qid
+    ),
+    segscore AS (
+        SELECT image_id, AVG(best_sim) AS segment_score FROM best GROUP BY image_id
+    )
+    SELECT p.image_id,
+           ROUND(p.whole_score, 6) AS whole_score,
+           ROUND(COALESCE(s.segment_score, 0.0), 6) AS segment_score,
+           ROUND(0.4 * p.whole_score + 0.6 * COALESCE(s.segment_score, 0.0), 6) AS hybrid_score
+    FROM phase1 p LEFT JOIN segscore s ON s.image_id = p.image_id
+    ORDER BY hybrid_score DESC, p.image_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with tag pre-filter (app.py:182-253 passes tags through to
+    phase 1; search_with_segments.py:349-352): the filter restricts
+    the phase-1 candidate universe BEFORE scoring; phase-2 re-rank is
+    unchanged Q3 algebra."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        "label",
+        F.col("embedding").alias("clip_features"),
+    )
+    allowed = (
+        seg.filter(F.col("label").isin(0, 2, 4, 6)).select("image_id").distinct()
+    )
+    images = (
+        seg.filter(F.col("vec_id") % 10 == 0)
+        .join(F.broadcast(allowed), "image_id", "left_semi")
+        .select("image_id", F.col("clip_features").alias("embedding"))
+    )
+    qsegs = seg.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    qvec = _query_vector(spark, sf_dir, 0)
+    out = retrieval.hybrid_search(images, seg, qvec, qsegs, top_k=10)
+    return out.select(
+        "image_id",
+        F.round("whole_score", 6).alias("whole_score"),
+        F.round("segment_score", 6).alias("segment_score"),
+        F.round("hybrid_score", 6).alias("hybrid_score"),
+    )
+
+
+@register(
     "tag_search",
     """
     WITH tagged AS (

@@ -38,6 +38,35 @@ def write_json_export(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.write.mode(mode).json(path)
 
 
+def write_binary_files(
+    df: DataFrame,
+    out_dir: str,
+    filename_col: str = "filename",
+    content_col: str = "content",
+) -> int:
+    """S6 — per-row binary file sink (the reference's segment-crop
+    PNGs, SAM/sam_segment_clip_pipeline.py:260-268,363-381).
+
+    Executor-side foreachPartition write — no driver collect. NOTE:
+    one-file-per-row is an export/compat path; the engine's canonical
+    store keeps crops as a BinaryType column in parquet (small-files
+    problem at 100 TB). Returns the number of files written.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows) -> None:
+        for row in rows:
+            name = os.path.basename(row[filename_col])
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(row[content_col] or b""))
+
+    part = df.select(filename_col, content_col)
+    part.foreachPartition(_write)
+    return part.count()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -105,3 +105,22 @@ def test_vector_mean_reassembly(spark, sf_dir):
     for label, vecs in by_label.items():
         expected = np.mean(vecs, axis=0)
         assert np.allclose(got[label], expected, atol=1e-9), label
+
+
+def test_write_binary_files(spark, tmp_path):
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+        write_binary_files,
+    )
+
+    df = spark.createDataFrame(
+        [("a_1.png", b"AA"), ("a_2.png", b"BB"), ("b_1.png", b"")],
+        ["filename", "content"],
+    )
+    out = str(tmp_path / "crops")
+    n = write_binary_files(df, out)
+    assert n == 3
+    import os
+
+    assert sorted(os.listdir(out)) == ["a_1.png", "a_2.png", "b_1.png"]
+    assert open(os.path.join(out, "a_2.png"), "rb").read() == b"BB"
+    assert open(os.path.join(out, "b_1.png"), "rb").read() == b""
