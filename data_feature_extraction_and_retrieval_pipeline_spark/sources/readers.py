@@ -22,6 +22,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision on ns-epoch magnitudes). The expected nanos columns per
     table are known from the canonical schemas.
     """
+    # TIMESTAMP(NANOS) parquet is unreadable without this legacy flag
+    # (PARQUET_TYPE_ILLEGAL) — set it here so the reader works under
+    # ANY caller-provided session, not only our get_spark() sessions.
+    # It is a runtime SQLConf, safe to set per session.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = schemas.TABLES.get(name)
     if expected is not None:
