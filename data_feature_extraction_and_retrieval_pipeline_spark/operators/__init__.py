@@ -2,7 +2,13 @@ from .retrieval import knn, knn_batch, segment_search, hybrid_search, tag_search
 from .etl import clean_metadata, prefix_split, url_basename  # noqa: F401
 from .dedup import exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, simhash_buckets  # noqa: F401
 from .analytics import value_counts, explode_counts, histogram, group_stats  # noqa: F401
-from .similarity import brute_force_topk, ivf_topk, lsh_topk, cosine_self_join_pairs  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    cosine_self_join_pairs,
+    kmeans,
+)
 from .temporal import asof_join, sessionize  # noqa: F401
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .reports import dataset_report  # noqa: F401

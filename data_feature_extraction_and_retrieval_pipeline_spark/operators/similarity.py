@@ -155,6 +155,57 @@ def lsh_topk(
     )
 
 
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_centroids: list[Sequence[float]] | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column — the engine's
+    iterative-algorithm pattern (repeated assign → re-center with the
+    k×dim centroid state collected to the driver and re-broadcast each
+    round; the data never leaves the cluster).
+
+    Deterministic: init = the first k vectors by id (seed-free,
+    mirroring the fixed-centroid convention), ties broken by lowest
+    centroid index. Empty clusters keep their previous centroid.
+    Returns (assignments DataFrame, final centroids). At 100 TB this
+    is the write-time clustering that feeds ``ivf_topk`` partitioning.
+    """
+    if init_centroids is None:
+        rows = (
+            embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+        )
+        cents = [[float(x) for x in r[0]] for r in rows]
+    else:
+        cents = [[float(x) for x in c] for c in init_centroids]
+
+    dim = len(cents[0])
+    assigned = None
+    for _ in range(max_iter):
+        assigned = assign_clusters(embeddings, cents, vec_col=vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        cents = [
+            [x / counts[c] for x in acc[c]] if c in acc else cents[c]
+            for c in range(k)
+        ]
+    return assign_clusters(embeddings, cents, vec_col=vec_col), cents
+
+
 def cosine_self_join_pairs(
     embeddings: DataFrame,
     centroids: list[Sequence[float]],

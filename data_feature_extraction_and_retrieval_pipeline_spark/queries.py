@@ -1953,6 +1953,29 @@ def ml_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_kmeans_clusters")  # iterative algorithm — rows-only
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (3 Lloyd rounds, deterministic init from the
+    first k vectors) — cluster sizes + per-cluster mean self-cosine.
+    Non-SQL-expressible (iterative); invariants are pytest-checked
+    (determinism, monotone inertia, exact copies co-clustered)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.kmeans(emb, k=8, max_iter=3)
+    cents_lit = F.lit(cents).cast("array<array<double>>")
+    return (
+        assigned.withColumn(
+            "dist2center",
+            V.dot(F.col("embedding"), F.element_at(cents_lit, F.col("cluster") + 1)),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist2center"), 4).alias("avg_center_cosine"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register("ml_frame_sample")  # binary fan-out stub — rows-only
 def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1 row → N frame rows, the UDTF fan-out

@@ -101,3 +101,43 @@ def test_embedding_cosine_blocking_recall(spark):
         for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
     }
     assert expected <= got
+
+
+def test_kmeans_invariants(spark):
+    """Iterative k-means: deterministic, inertia non-increasing over
+    rounds, exact duplicate vectors co-clustered."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F2.col("vec_id") == 3).select(
+        F2.lit(999_999).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(dup)
+
+    a1, c1 = kmeans(allv, k=4, max_iter=2)
+    a2, c2 = kmeans(allv, k=4, max_iter=2)
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2                      # deterministic
+    assert m1[3] == m1[999_999]          # identical vectors co-cluster
+    assert np.allclose(c1, c2)
+
+    # inertia (sum of squared distances) must not increase with rounds
+    def inertia(iters):
+        assigned, cents = kmeans(allv, k=4, max_iter=iters)
+        rows = assigned.collect()
+        cents = np.asarray(cents)
+        return sum(
+            float(np.sum((np.asarray(r["embedding"], dtype=np.float64) - cents[r["cluster"]]) ** 2))
+            for r in rows
+        )
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-9
