@@ -158,6 +158,11 @@ def hybrid_search(
     phase1 = knn(
         images, query_vec, k=pool, id_col=image_col, vec_col=whole_vec_col
     ).withColumnRenamed("score", "whole_score")
+    # phase1 feeds BOTH the candidate semi-join and the final score
+    # join; persist the ≤ max(20k,100)-row pool so the whole-image
+    # scan + top-k runs once (the reference re-fetches phase-1 docs
+    # from ES by id — same reuse, set-oriented)
+    phase1 = phase1.persist()
 
     cand_segments = segments.join(
         F.broadcast(phase1.select(image_col)), image_col, "left_semi"
