@@ -22,12 +22,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision on ns-epoch magnitudes). The expected nanos columns per
     table are known from the canonical schemas.
     """
-    # TIMESTAMP(NANOS) parquet is unreadable without this legacy flag
-    # (PARQUET_TYPE_ILLEGAL) — set it here so the reader works under
-    # ANY caller-provided session, not only our get_spark() sessions.
-    # It is a runtime SQLConf, safe to set per session.
+    # Defensive session confs so the reader works under ANY
+    # caller-provided session, not only our get_spark() sessions:
+    # - TIMESTAMP(NANOS) parquet is unreadable without the legacy flag
+    #   (PARQUET_TYPE_ILLEGAL);
+    # - timestamp→string formatting must be UTC to match the naive
+    #   timestamps the DuckDB oracle sees.
+    # Both are runtime SQLConfs, safe to set per session.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
