@@ -47,12 +47,103 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Driver-facing registry order. The round-1 driver evaluated only the
+# first 50 entries of queries(), so ordering is part of the contract:
+# queries that still need an official correctness row come first,
+# queries whose r01 row is already green and whose SURVEY §2 IDs are
+# also evidenced elsewhere come after position 50, and the rows-only
+# (no-oracle) stubs come last. Names absent from this list append in
+# registration order, before the rows-only tail.
+_DRIVER_ORDER: list[str] = [
+    # -- needs a first official row (unchecked in r01, or red there) --
+    "ml_multimodal_meta",
+    "ml_resize_plan",
+    "knn_percentage",
+    "agg_salted_group",
+    "etl_row_range_select",
+    "join_ext_fallback",
+    "segment_search_tag_filtered",
+    "zero_shot_topk_tags",
+    "etl_upsert_merge",
+    "agg_keyword_scan",
+    "events_tumbling_window",
+    "nested_tags_two_level",
+    # -- r01-green keepers (sole evidence for their §2 IDs) --
+    "q1_pricing_summary",
+    "agg_value_counts",
+    "agg_explode_count",
+    "agg_histogram_chars",
+    "agg_group_stats",
+    "agg_distinct_counts",
+    "agg_bool_flags",
+    "win_topn_per_group",
+    "win_global_topk",
+    "join_meta_counters",
+    "join_semi_allowlist",
+    "join_anti_customers",
+    "join_revenue_by_nation",
+    "etl_sentinel_cleanse",
+    "etl_safe_cast",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "etl_url_basename_join",
+    "knn_whole",
+    "vec_mean_per_label",
+    "segment_search",
+    "hybrid_search",
+    "tag_search",
+    "tag_search_and",
+    "join_tag_category",
+    "ann_ivf",
+    "ann_brute_force",
+    "ann_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_quality",
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+    "asof_join_clicks",
+    "events_sessionize",
+    "set_ops_users",
+    # ---- position 51+: r01-green, §2 IDs also evidenced above ----
+    "sql_api_revenue",
+    "agg_decade_orders",
+    "agg_rollup_acctbal",
+    "knn_tag_filtered",
+    "knn_batch",
+    "hybrid_search_tag_filtered",
+    "etl_regex_extract_path",
+    "nested_roundtrip",
+    "text_token_bpe",
+]
+
+_ROWS_ONLY_TAIL: list[str] = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ml_kmeans_clusters",
+    "ml_frame_sample",
+    "ml_stub_text_embeddings",
+    "ml_zero_shot_tags",
+    "ml_segment_pipeline",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _DRIVER_ORDER if n in _QUERIES]
+    seen = set(head) | set(_ROWS_ONLY_TAIL)
+    mid = [n for n in _QUERIES if n not in seen]
+    tail = [n for n in _ROWS_ONLY_TAIL if n in _QUERIES]
+    return head + mid + tail
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1885,7 +1976,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT format,
            COUNT(*) AS n,
-           SUM(n_bytes) AS total_bytes,
+           SUM(n_bytes)::BIGINT AS total_bytes,
            ROUND(AVG(width), 6) AS avg_width,
            ROUND(AVG(height), 6) AS avg_height
     FROM decoded GROUP BY format
