@@ -1,11 +1,21 @@
 """Vector column math (SURVEY.md §2.7 F11-F13).
 
-All similarity math stays JVM-side as higher-order-function
-expressions — no Python round trip, no UDF serialization — so it
-participates in whole-stage codegen and scales linearly with
-executors. Embeddings are stored L2-normalized (the reference
-normalizes at extraction, extract_clip_features.py:30), so cosine
-similarity reduces to a dot product.
+The similarity dot stays JVM-side as a higher-order-function
+expression. Spark evaluates HOF lambdas INTERPRETED (they do not
+join whole-stage codegen), but the work never leaves the JVM and
+needs no Arrow serialization of the vector column — and that trade
+was measured, not guessed: scoring one query vector against the
+embeddings table (64-dim) takes ~0.36 s for the HOF form vs ~0.75 s
+for an Arrow-batched numpy ``pandas_udf``/``arrow_udf`` twin at 64×
+the sf0.1 row count, because a linear-work dot transfers every
+vector byte to Python for O(dim) flops. The numpy path wins only
+where per-byte work is superlinear — the per-cluster block matmul in
+``operators/similarity.py::cosine_self_join_pairs`` — or for wide
+multi-query scoring (``dot_batch`` below).
+
+Embeddings are stored L2-normalized (the reference normalizes at
+extraction, extract_clip_features.py:30), so cosine similarity
+reduces to a dot product.
 
 Accumulation is forced to DOUBLE regardless of the stored FLOAT
 element type: deterministic, and matches the DuckDB oracle's
@@ -13,6 +23,9 @@ element type: deterministic, and matches the DuckDB oracle's
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, functions as F
 
@@ -33,6 +46,35 @@ def dot(a: Column | str, b: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_batch(vec_col: Column | str, query_vecs) -> Column:
+    """Arrow-batched numpy scores of a vector column against a MATRIX
+    of literal query vectors — returns ``array<double>`` of one score
+    per query, in query order.
+
+    This is the vectorized twin the HOF `dot` can't express cheaply:
+    Q queries amortize the one-time Arrow transfer of each row's
+    vector across Q·dim flops of BLAS matmul, so it pulls ahead of Q
+    separate HOF dots as Q grows (batch/multi-probe serving). For a
+    single query vector the HOF form measured faster (module
+    docstring) — prefer `dot` there.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    Q = np.asarray([[float(x) for x in q] for q in query_vecs], dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _scores(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
+        S = M @ Q.T  # (rows, n_queries)
+        return pd.Series(list(S))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _scores(c)
 
 
 def l2_norm(v: Column | str) -> Column:

@@ -28,14 +28,17 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: keep the lowest id per identical text.
 
-    Groups on (length, fingerprint) — two cheap LONGs — rather than the
+    Groups on (length, xxhash64) — two cheap LONGs — rather than the
     raw text, so the shuffle carries ~16 bytes/row regardless of
-    document size. Returns (id, group_size).
+    document size, and the fingerprint is ONE codegen'd hash call per
+    row (the interpreted per-character rolling hash lives on only in
+    the ``text_fingerprint`` oracle-parity query). Returns
+    (id, group_size).
     """
     keyed = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__len"),
-        X.rolling_hash_fingerprint(F.col(text_col)).alias("__fp"),
+        F.xxhash64(F.col(text_col)).alias("__fp"),
     )
     return (
         keyed.groupBy("__len", "__fp")

@@ -215,20 +215,61 @@ def cosine_self_join_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster:
     only vectors in the SAME cluster are compared (blocking), turning
-    the O(N²) self-join into per-cluster joins co-partitioned on the
-    cluster key."""
+    the O(N²) self-join into independent per-cluster blocks.
+
+    Each block is scored with ONE Arrow-batched numpy matmul
+    (``applyInPandas`` grouped map) instead of materializing the pair
+    rows and paying an interpreted higher-order dot per pair — the
+    round-1 formulation's dominant CPU cost. Only pairs at/above the
+    threshold ever leave the Python worker. Shuffle = one hash
+    partition of (id, vector) on the cluster key.
+
+    At 100 TB the block size is bounded by the centroid count (pick
+    k ≈ √N so blocks stay ~√N rows); the row-chunked matmul below
+    keeps peak memory at chunk × block scores regardless of block
+    size. Exactly duplicate vectors always share a cluster, so
+    blocking loses no true duplicates at high thresholds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
     assigned = assign_clusters(embeddings, centroids, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("cluster")
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.col("cluster")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vec"].iloc[order]]
+        )
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024  # bounds the score buffer at chunk×n doubles
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            scores = mat[lo:hi] @ mat.T  # (hi-lo, n)
+            for i in range(lo, hi):
+                row = scores[i - lo]
+                js = np.nonzero(row[i + 1 :] >= thr)[0] + i + 1
+                if js.size:
+                    out_a.append(np.full(js.size, ids[i]))
+                    out_b.append(ids[js])
+                    out_c.append(row[js])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _block_pairs, schema="id_a long, id_b long, cosine double"
     )
-    return pairs.filter(F.col("cosine") >= F.lit(float(threshold)))

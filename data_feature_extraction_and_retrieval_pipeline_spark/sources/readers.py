@@ -13,6 +13,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import schemas
 
 
+# Opt-in per-session cache of the canonical driver tables. The bench
+# (and any steady-state serving process) reads the same ten immutable
+# parquet tables for every query; re-building the scan + nanos
+# conversion per query is pure overhead there. Keyed by (session id,
+# normalized sf_dir, table) so distinct sessions / scale factors never
+# alias. Only canonical tables (schemas.TABLES) are ever cached —
+# ad-hoc paths (temp upsert outputs etc.) always re-read.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE_TABLES = False
+
+
+def enable_table_cache(enabled: bool = True) -> None:
+    """Turn on persist()-backed reuse of the canonical tables.
+
+    At cluster scale the analogue is a warmed Spark SQL table cache
+    (or simply the OS page cache over the parquet files); on local
+    bench runs it removes the dominant fixed cost: re-scanning and
+    re-deriving the timestamp conversion for every one of ~30 queries.
+    """
+    global _CACHE_TABLES
+    _CACHE_TABLES = enabled
+    if not enabled:
+        for df in _TABLE_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table.
 
@@ -34,6 +64,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    cache_key = None
+    if _CACHE_TABLES and name in schemas.TABLES:
+        cache_key = (id(spark), sf_dir.rstrip("/"), name)
+        cached = _TABLE_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = schemas.TABLES.get(name)
     if expected is not None:
@@ -46,6 +82,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
                 )
+    if cache_key is not None:
+        df = df.persist()
+        _TABLE_CACHE[cache_key] = df
     return df
 
 

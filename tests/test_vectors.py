@@ -35,6 +35,21 @@ def test_dot_matches_numpy(vec_df):
     assert out[3] == pytest.approx(np.dot([-1, 0.5, 2.5], [0.5, -0.5, 1.0]))
 
 
+def test_dot_batch_matches_hof_dot(vec_df):
+    """The Arrow-batched multi-query twin scores identically (within
+    float noise) to one HOF dot per query, in query order."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions.vectors import dot_batch
+
+    queries = [[4.0, 5.0, 6.0], [1.0, 0.0, 0.0], [-2.0, 0.25, 1.5]]
+    got = {
+        r["id"]: r["s"]
+        for r in vec_df.select("id", dot_batch("a", queries).alias("s")).collect()
+    }
+    for rid, a in {1: [1, 2, 3], 2: [0, 0, 0], 3: [-1, 0.5, 2.5]}.items():
+        for qi, q in enumerate(queries):
+            assert got[rid][qi] == pytest.approx(np.dot(a, q), abs=1e-12)
+
+
 def test_l2_norm_and_normalize(vec_df):
     rows = vec_df.select(
         "id", l2_norm("a").alias("n"), l2_normalize("a").alias("u")
