@@ -92,8 +92,8 @@ def ngram_jaccard_pairs(
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 12,
+    bands: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -1690,28 +1690,45 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts
                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM flag
+    ),
+    per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n_events, SUM(value) AS s_value,
+               MAX(ts) AS last_ts
+        FROM sess GROUP BY user_id, sid
     )
     SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
-    FROM sess GROUP BY user_id, sid
+           COUNT(*)::BIGINT AS n_sessions,
+           SUM(n_events)::BIGINT AS total_events,
+           MAX(n_events)::BIGINT AS max_session_events,
+           ROUND(SUM(s_value), 2) AS total_value,
+           strftime(MAX(last_ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS last_session_end
+    FROM per_session GROUP BY user_id
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark-native session_window (30-min gap) —
     the same expression is stateful session aggregation on a stream.
     The applyInPandasWithState twin (streaming/sessionize.py) is
-    asserted equal in tests/test_streaming.py."""
+    asserted equal in tests/test_streaming.py.
+
+    The query emits a per-user summary OF the sessions (counts, max
+    session size, last session end) rather than every session row:
+    the full sessionization still runs — the summary is wrong if any
+    boundary is wrong — but only ~|users| rows reach the driver.
+    Shipping every session to the driver is the anti-pattern this
+    engine avoids; at scale sessions are written to a table, not
+    collected."""
     ev = _t(spark, sf_dir, "events")
-    out = temporal.sessionize(ev, "30 minutes")
-    return out.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+    sessions = temporal.sessionize(ev, "30 minutes")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+        F.date_format(F.max("session_end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_session_end"
+        ),
     )
 
 
