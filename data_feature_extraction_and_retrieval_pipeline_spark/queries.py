@@ -1888,18 +1888,31 @@ def agg_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 set operations — intersect / except / union-distinct on
-    user sets (nothing to port from the reference; the engine exposes
-    Spark's built-ins as first-class operators)."""
+    """§2.6 set operations — INTERSECT / EXCEPT / UNION cardinalities
+    of the clicker and errorer user sets (the oracle literally runs
+    the set operators; Spark's intersect/exceptAll/union built-ins
+    remain first-class engine API).
+
+    Computed as ONE conditional aggregation: a single scan of events
+    → per-user click/error flags → one global roll-up, instead of the
+    round-1 three-aggregates + two-crossJoins plan that scanned the
+    fact table multiple times."""
     ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    errorers = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    both = clickers.intersect(errorers).agg(F.count("*").alias("n_both"))
-    click_only = clickers.exceptAll(errorers).agg(
-        F.count("*").alias("n_click_only")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("e"),
+        )
     )
-    either = clickers.union(errorers).distinct().agg(F.count("*").alias("n_either"))
-    return both.crossJoin(click_only).crossJoin(either)
+    return flags.agg(
+        F.sum(((F.col("c") == 1) & (F.col("e") == 1)).cast("long")).alias("n_both"),
+        F.sum(((F.col("c") == 1) & (F.col("e") == 0)).cast("long")).alias(
+            "n_click_only"
+        ),
+        F.count("*").alias("n_either"),
+    )
 
 
 @register(
@@ -2543,6 +2556,102 @@ def ml_segment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_segments"),
         F.max("segment_area").alias("max_area"),
         F.round(F.avg("stability_score"), 4).alias("avg_stability"),
+    )
+
+
+@register(
+    "nested_tags_two_level",
+    """
+    WITH seg AS (
+        SELECT CAST(vec_id // 10 AS BIGINT) AS image_id, vec_id, label
+        FROM embeddings
+    ),
+    tags AS (
+        SELECT image_id, vec_id,
+               't' || CAST(label % 5 AS VARCHAR) AS tag,
+               ((vec_id % 90) + 10) / 100.0 AS confidence
+        FROM seg
+        UNION ALL
+        SELECT image_id, vec_id,
+               't' || CAST((label + 2) % 5 AS VARCHAR) AS tag,
+               ((vec_id % 50) + 25) / 100.0 AS confidence
+        FROM seg
+    )
+    SELECT image_id,
+           COUNT(DISTINCT vec_id)::BIGINT AS n_segments,
+           COUNT(*)::BIGINT AS n_tags,
+           COUNT(DISTINCT tag)::BIGINT AS n_distinct_tags,
+           ROUND(MAX(confidence), 6) AS max_confidence,
+           ROUND(SUM(confidence), 6) AS sum_confidence
+    FROM tags GROUP BY image_id
+    """,
+)
+def nested_tags_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 two-level nested tag model — the reference's per-image
+    ``segment_tags: [{segment…, tags: [{tag, confidence}]}]`` document
+    layout (SAM/update_elasticsearch_with_segments.py:60-79), i.e. an
+    array<struct<…, array<struct<tag,confidence>>>> column.
+
+    Flat (image, segment, tag, confidence) rows are rolled up into the
+    double-nested form (inner tag array inline per segment, outer
+    array via collect_list), then every output aggregate is computed
+    FROM the nested column with higher-order functions — flatten /
+    transform / aggregate — while the oracle derives the same numbers
+    from the flat model. Any loss or reordering in the nesting
+    round-trip breaks the hash match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        "label",
+    )
+    # level 2: the per-segment tags array (two deterministic tags)
+    with_tags = seg.select(
+        "image_id",
+        F.struct(
+            F.col("vec_id"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("t"), (F.col("label") % 5).cast("string")).alias(
+                        "tag"
+                    ),
+                    (((F.col("vec_id") % 90) + 10) / F.lit(100.0)).alias("confidence"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("t"), ((F.col("label") + 2) % 5).cast("string")
+                    ).alias("tag"),
+                    (((F.col("vec_id") % 50) + 25) / F.lit(100.0)).alias("confidence"),
+                ),
+            ).alias("tags"),
+        ).alias("segment"),
+    )
+    # level 1: per-image array of segment structs (sorted for
+    # deterministic downstream folds)
+    nested = with_tags.groupBy("image_id").agg(
+        F.array_sort(F.collect_list("segment")).alias("segment_tags")
+    )
+    all_tags = F.flatten(
+        F.transform("segment_tags", lambda s: s["tags"])
+    )
+    return nested.select(
+        "image_id",
+        F.size("segment_tags").cast("long").alias("n_segments"),
+        F.size(all_tags).cast("long").alias("n_tags"),
+        F.size(
+            F.array_distinct(F.transform(all_tags, lambda t: t["tag"]))
+        ).cast("long").alias("n_distinct_tags"),
+        F.round(
+            F.array_max(F.transform(all_tags, lambda t: t["confidence"])), 6
+        ).alias("max_confidence"),
+        F.round(
+            F.aggregate(
+                F.transform(all_tags, lambda t: t["confidence"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum_confidence"),
     )
 
 

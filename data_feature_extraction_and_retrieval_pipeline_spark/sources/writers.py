@@ -47,7 +47,10 @@ def write_binary_files(
     """S6 — per-row binary file sink (the reference's segment-crop
     PNGs, SAM/sam_segment_clip_pipeline.py:260-268,363-381).
 
-    Executor-side foreachPartition write — no driver collect. NOTE:
+    Executor-side per-partition write — no driver collect, and ONE
+    execution: each partition yields its file count, so the returned
+    total comes from the same job that wrote the files (the round-1
+    foreachPartition + count() shape ran the frame twice). NOTE:
     one-file-per-row is an export/compat path; the engine's canonical
     store keeps crops as a BinaryType column in parquet (small-files
     problem at 100 TB). Returns the number of files written.
@@ -56,15 +59,17 @@ def write_binary_files(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def _write(rows) -> None:
+    def _write(rows):
+        n = 0
         for row in rows:
             name = os.path.basename(row[filename_col])
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(bytes(row[content_col] or b""))
+            n += 1
+        yield n
 
     part = df.select(filename_col, content_col)
-    part.foreachPartition(_write)
-    return part.count()
+    return int(part.rdd.mapPartitions(_write).sum())
 
 
 def write_bucketed_table(
