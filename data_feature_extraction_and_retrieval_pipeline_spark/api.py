@@ -140,16 +140,24 @@ class Engine:
         (stub here; real CLIP on a GPU cluster swaps in behind
         ml/encoders.py).
 
-        The query payload is one row — encoded driver-side via the
-        same hash-projection kernel the distributed encoder uses, so
+        The query payload is one row — encoded driver-side through the
+        same model seam the distributed encoder uses (``_try_real_clip``
+        → real model when installed, else the hash-projection stub), so
         an item inserted through the encoder is its own top hit.
         """
-        from .ml.encoders import _hash_projection
+        from .ml.encoders import _hash_projection, _l2_normalize_rows, _try_real_clip
 
         validate_upload(filename, len(payload))
         if dim is None:
             dim = len(self.images.select("embedding").first()[0])
-        qvec = _hash_projection(payload, dim).tolist()
+        real = _try_real_clip()
+        if real is not None:
+            import numpy as np
+
+            mat = np.asarray(real.encode_image_batch([payload]), dtype=np.float32)
+            qvec = _l2_normalize_rows(mat)[0].tolist()
+        else:
+            qvec = _hash_projection(payload, dim).tolist()
         return self.search(mode, query_vec=qvec, top_k=top_k, **kwargs)
 
     def health(self) -> dict:

@@ -28,8 +28,33 @@ from pyspark.sql import functions as F, types as T
 _MODEL_CACHE: dict[str, object] = {}
 
 
+class _TorchClipAdapter:  # pragma: no cover - exercised only on GPU clusters
+    """Wraps (model, preprocess) into the engine's encoder protocol:
+    ``encode_image_batch(list[bytes]) -> (n, dim) float array``."""
+
+    def __init__(self, model, preprocess):
+        self.model = model
+        self.preprocess = preprocess
+
+    def encode_image_batch(self, payloads):
+        import io
+
+        import torch
+        from PIL import Image
+
+        imgs = torch.stack(
+            [self.preprocess(Image.open(io.BytesIO(p))) for p in payloads]
+        )
+        with torch.no_grad():
+            return self.model.encode_image(imgs).cpu().numpy()
+
+
 def _try_real_clip():
-    """Real CLIP if available (never in this container)."""
+    """Real CLIP if available (never in this container) — returns an
+    object satisfying the encoder protocol (``encode_image_batch``),
+    or None. Tests exercise the protocol by injecting a fake model
+    through ``stub_image_encoder_udf(model_loader=...)`` /
+    ``_MODEL_CACHE`` so the real branch is not dead code."""
     if "clip" in _MODEL_CACHE:
         return _MODEL_CACHE["clip"]
     try:  # pragma: no cover - exercised only on GPU clusters
@@ -37,10 +62,16 @@ def _try_real_clip():
         import clip  # type: ignore # noqa: F401
 
         model, preprocess = clip.load("ViT-B/32")
-        _MODEL_CACHE["clip"] = (model, preprocess)
+        _MODEL_CACHE["clip"] = _TorchClipAdapter(model, preprocess)
     except Exception:
         _MODEL_CACHE["clip"] = None
     return _MODEL_CACHE["clip"]
+
+
+def _l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
 
 
 def _hash_projection(payload: bytes, dim: int) -> np.ndarray:
@@ -70,18 +101,31 @@ def stub_text_encoder_udf(dim: int = 64):
     return encode
 
 
-def stub_image_encoder_udf(dim: int = 512):
-    """U1 — CLIP image encoder (extract_clip_features.py:10-35), stub:
-    binary content → float[dim] L2-normalized. Falls back to the hash
-    projection when no real model is installed."""
+def stub_image_encoder_udf(dim: int = 512, model_loader=None):
+    """U1 — CLIP image encoder (extract_clip_features.py:10-35):
+    binary content → float[dim] L2-normalized.
+
+    ``model_loader`` is the swap-in seam: a zero-arg callable invoked
+    lazily INSIDE the UDF (once per executor Python worker — the
+    load-once pattern the reference's per-call reload misses) that
+    returns either None (→ deterministic hash-projection stub) or an
+    object with ``encode_image_batch(list[bytes]) -> (n, dim)``.
+    It defaults to ``_try_real_clip``; tests inject a fake model so
+    the real-model branch executes on workers."""
+    loader = model_loader if model_loader is not None else _try_real_clip
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def encode(contents: pd.Series) -> pd.Series:
-        real = _try_real_clip()
-        if real is not None:  # pragma: no cover - GPU cluster path
-            raise NotImplementedError(
-                "real CLIP path requires torch+clip; wire preprocess/encode here"
+        real = loader()
+        if real is not None:
+            payloads = [bytes(b or b"") for b in contents]
+            if not payloads:
+                return pd.Series([], dtype=object)
+            mat = np.asarray(
+                real.encode_image_batch(payloads), dtype=np.float32
             )
+            mat = _l2_normalize_rows(mat)
+            return pd.Series([row.tolist() for row in mat])
         return contents.map(
             lambda b: _hash_projection(bytes(b or b""), dim).tolist()
         )

@@ -115,3 +115,80 @@ def test_search_content_roundtrip(spark):
 
     with pytest.raises(ValueError, match="extension"):
         eng.search_content(b"x", filename="query.exe")
+
+
+def _make_fake_clip():
+    """Deterministic stand-in satisfying the real-model protocol
+    (``encode_image_batch(list[bytes]) -> (n, dim) array``): feature j
+    = f(payload length, first byte, j). Unnormalized on purpose — the
+    seam must L2-normalize whatever the model emits. Defined inside a
+    function so cloudpickle ships the class BY VALUE to executor
+    workers (a test-module-level class is pickled by reference, which
+    workers cannot import)."""
+
+    class FakeClip:
+        dim = 16
+
+        def encode_image_batch(self, payloads):
+            import numpy as np
+
+            out = np.zeros((len(payloads), self.dim), dtype=np.float32)
+            for i, p in enumerate(payloads):
+                first = p[0] if len(p) else 0
+                for j in range(self.dim):
+                    out[i, j] = ((len(p) * 31 + first * 7 + j * 13) % 97) - 48.0
+            return out
+
+    return FakeClip
+
+
+def test_real_model_seam_udf(spark):
+    """The real-model branch of the encoder UDF executes on workers:
+    injecting a model via ``model_loader`` must produce the model's
+    (normalized) vectors, not the hash-projection stub's."""
+    import numpy as np
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import (
+        _hash_projection,
+        stub_image_encoder_udf,
+    )
+
+    FakeClip = _make_fake_clip()
+    payloads = [(i, bytes([i + 1]) * (i + 3)) for i in range(10)]
+    df = spark.createDataFrame(payloads, ["image_id", "content"])
+    enc = stub_image_encoder_udf(dim=FakeClip.dim, model_loader=lambda: FakeClip())
+    got = {
+        r["image_id"]: np.asarray(r["e"], dtype=np.float64)
+        for r in df.select("image_id", enc(F.col("content")).alias("e")).collect()
+    }
+    fake = FakeClip()
+    for i, payload in payloads:
+        raw = fake.encode_image_batch([payload])[0].astype(np.float64)
+        expect = raw / np.linalg.norm(raw)
+        assert np.allclose(got[i], expect, atol=1e-6)
+        assert np.linalg.norm(got[i]) == pytest.approx(1.0, abs=1e-5)
+        stub = _hash_projection(payload, FakeClip.dim)
+        assert not np.allclose(got[i], stub, atol=1e-3)
+
+
+def test_real_model_seam_search_content(spark, monkeypatch):
+    """search_content routes the query-side encoding through the same
+    model seam: with a (monkeypatched) real model resident, an item
+    indexed through that model is its own top hit."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml import encoders
+
+    FakeClip = _make_fake_clip()
+    # driver-side seam: search_content consults _MODEL_CACHE
+    monkeypatch.setitem(encoders._MODEL_CACHE, "clip", FakeClip())
+    payloads = [(i, bytes([i + 1]) * (i + 3)) for i in range(12)]
+    df = spark.createDataFrame(payloads, ["image_id", "content"])
+    # worker-side seam: executors don't see the driver monkeypatch, so
+    # the index build injects the same model through the loader closure
+    enc = encoders.stub_image_encoder_udf(
+        dim=FakeClip.dim, model_loader=lambda: FakeClip()
+    )
+    indexed = df.select("image_id", enc(F.col("content")).alias("embedding"))
+    eng = Engine(images=indexed)
+
+    out = eng.search_content(bytes([6]) * 8, mode="whole", top_k=3).collect()
+    assert out[0]["image_id"] == 5  # payload of image 5 is bytes([6]) * 8
+    assert out[0]["score"] == pytest.approx(2.0, abs=1e-5)
