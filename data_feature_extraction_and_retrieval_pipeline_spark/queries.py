@@ -127,6 +127,7 @@ _ROWS_ONLY_TAIL: list[str] = [
     "ml_stub_text_embeddings",
     "ml_zero_shot_tags",
     "ml_segment_pipeline",
+    "ml_ingest_pipeline",
 ]
 
 
@@ -2556,6 +2557,74 @@ def ml_segment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_segments"),
         F.max("segment_area").alias("max_area"),
         F.round(F.avg("stability_score"), 4).alias("avg_stability"),
+    )
+
+
+@register("ml_ingest_pipeline")  # file-IO pipeline, stub models — rows-only
+def ml_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest — the reference's entry points A/B as ONE
+    distributed flow (SURVEY.md §3.1-3.2: extract_clip_features.py
+    walk→encode→store; SAM/sam_segment_clip_pipeline.py:117-381
+    segment→crop→encode→tag→store):
+
+    documents → binary files on disk → recursive binaryFile scan
+    (S1) → SAM-stub segmentation UDTF (U2, 1→N rows) → crop encoder
+    (U1) → broadcast zero-shot tagger (U5) → parquet index table
+    (S7) → summary aggregate over the re-read index.
+
+    Every model stage is the deterministic stub twin, so the output
+    is stable across runs; file IO makes this rows-only (no SQL
+    oracle). Fixed doc subset keeps the demo dir small."""
+    import os
+    import tempfile
+
+    from .sources.readers import read_image_dir
+    from .sources.writers import write_binary_files, write_parquet_table
+
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(tempfile.gettempdir(), f"dferp_ingest_{tail}")
+    img_dir = os.path.join(base, "images")
+    index_dir = os.path.join(base, "index.parquet")
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.concat(F.lit("img_"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias(
+                "filename"
+            ),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+    write_binary_files(docs, img_dir)
+
+    scanned = read_image_dir(spark, img_dir)
+    segs = encoders.segment_image(scanned, max_segments=5, min_area=500)
+    feats = segs.withColumn(
+        "features", encoders.stub_image_encoder_udf(dim=64)(F.col("crop"))
+    )
+    vocab = [
+        (t, encoders._hash_projection(t.encode("utf-8"), 64).tolist())
+        for t in ("cat", "dog", "tree", "car", "house", "person", "sky", "water")
+    ]
+    tagged = encoders.zero_shot_tags(feats, "features", vocab, top_k=3)
+    write_parquet_table(
+        tagged.select(
+            "filename", "segment_id", "segment_area", "stability_score", "tags"
+        ),
+        index_dir,
+    )
+
+    index = spark.read.parquet(index_dir)
+    return (
+        index.select("filename", "segment_id", F.explode("tags").alias("t"))
+        .groupBy(F.col("t.tag").alias("tag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("filename").alias("n_images"),
+            F.round(F.avg("t.confidence"), 6).alias("avg_confidence"),
+        )
+        .orderBy(F.desc("n"), "tag")
     )
 
 

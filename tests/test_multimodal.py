@@ -65,6 +65,38 @@ def test_sample_frames_fanout(images):
     assert all(isinstance(r["frame"], (bytes, bytearray)) for r in rows)
 
 
+def test_ingest_pipeline_end_to_end(spark):
+    """Entry-point A/B flow: files on disk → binary scan → segment
+    UDTF → crop encoder → zero-shot tags → parquet index → summary.
+    Deterministic stubs ⇒ identical output across runs; the index
+    table must exist with the nested tag schema."""
+    import os
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.queries import (
+        ml_ingest_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = ml_ingest_pipeline(spark, sf).collect()
+    assert len(first) > 0
+    assert sum(r["n"] for r in first) > 0
+    # tags come from the fixed vocabulary, confidences are probabilities
+    vocab = {"cat", "dog", "tree", "car", "house", "person", "sky", "water"}
+    assert {r["tag"] for r in first} <= vocab
+    assert all(0.0 <= r["avg_confidence"] <= 1.0 for r in first)
+
+    second = ml_ingest_pipeline(spark, sf).collect()
+    assert first == second
+
+    index_dir = "/tmp/dferp_ingest_sf0.001/index.parquet"
+    assert os.path.isdir(index_dir)
+    idx = spark.read.parquet(index_dir)
+    assert dict(idx.dtypes)["tags"] == "array<struct<tag:string,confidence:float>>"
+    # 1→N fan-out really happened: more segment rows than images
+    n_files = idx.select("filename").distinct().count()
+    assert idx.count() > n_files
+
+
 def test_real_decode_is_gated():
     """The real decoder is a clearly-marked stub boundary in this
     environment (no codec libs)."""
