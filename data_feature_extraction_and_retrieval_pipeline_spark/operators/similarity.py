@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import vectors as V
@@ -74,8 +77,6 @@ def assign_clusters_np(
     maximum). Preferred whenever the assignment itself is the hot
     loop (IVF build, cluster-blocked dedup); the expression form
     remains for composition inside pure-Catalyst plans."""
-    import numpy as np
-
     C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
 
     def _assign(batches):
@@ -155,6 +156,32 @@ def hyperplane_bucket(
     return bucket
 
 
+def hyperplane_bucket_np(vec_col, hyperplanes: list[Sequence[float]]):
+    """Numpy twin of ``hyperplane_bucket``: ONE Arrow round trip
+    computes all sign tests per row ((rows × dim) @ (dim × bits) then
+    a bit-weighted sum) instead of ``bits`` interpreted HOF dots per
+    row. Same bucket ids bit for bit (sign tests on the same doubles).
+    Preferred for bucket-build scans; the expression form remains for
+    pure-Catalyst composition (e.g. write-time partition columns in
+    SQL-only pipelines)."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.asarray([[float(x) for x in h] for h in hyperplanes], dtype=np.float64)
+    powers = (1 << np.arange(len(hyperplanes))).astype(np.int64)
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        if len(arrs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
+        bits = (M @ H.T) > 0
+        return pd.Series((bits @ powers).astype("int32"))
+
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _bucket(col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     hyperplanes: list[Sequence[float]],
@@ -178,7 +205,7 @@ def lsh_topk(
     qbucket = sum(1 << i for i, h in enumerate(hyperplanes) if _dot(q, h) > 0)
 
     bucketed = embeddings.withColumn(
-        "bucket", hyperplane_bucket(vec_col, hyperplanes)
+        "bucket", hyperplane_bucket_np(vec_col, hyperplanes)
     )
     probe = F.bit_count(
         F.col("bucket").bitwiseXOR(F.lit(qbucket))
@@ -267,9 +294,6 @@ def cosine_self_join_pairs(
     size. Exactly duplicate vectors always share a cluster, so
     blocking loses no true duplicates at high thresholds.
     """
-    import numpy as np
-    import pandas as pd
-
     thr = float(threshold)
     assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.col("cluster")
