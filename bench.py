@@ -70,7 +70,17 @@ def main() -> None:
         # pre-AQE bound sized to the local data volume; AQE coalesces
         # further at runtime and a real cluster overrides this anyway
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # At sf0.1 on one machine, AQE's per-stage replanning adds
+            # more scheduler latency than its runtime coalescing saves
+            # (measured 17.9 s vs 22.2 s A/B on the full headline set);
+            # a cluster run at real scale re-enables it (session.py
+            # default).
+            "spark.sql.adaptive.enabled": "false",
+            # single machine — no data locality to wait for
+            "spark.locality.wait": "0ms",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -102,12 +112,17 @@ def main() -> None:
         qs[name](spark, SF_DIR).collect()
     cold_total = round(time.perf_counter() - t0, 3)
 
+    # min of two timed passes per query — machine noise at these
+    # sub-second scales is the same order as the numbers themselves
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     sf = None
     tail = Path(SF_DIR.rstrip("/")).name

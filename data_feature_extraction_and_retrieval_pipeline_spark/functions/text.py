@@ -96,6 +96,29 @@ def bpe_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PATTERN), 0)
 
 
+def tokens_sql(text_col: str) -> str:
+    """SQL-text twin of ``tokens`` — identical expression tree, parsed
+    JVM-side in one call. Building the HOF tree through the Column API
+    costs ~100 ms of py4j round trips per query; ``expr`` parses the
+    same tree in ~2 ms, which matters for plan-build latency in
+    serving paths that reconstruct plans per request."""
+    return f"filter(split(lower({text_col}), '\\\\s+'), t -> length(t) > 0)"
+
+
+def word_shingles_sql(toks: str, n: int = 3) -> str:
+    """SQL-text twin of ``word_shingles`` (same shifted-zip_with
+    construction, same trailing-slice and short-text fallback)."""
+    z = toks
+    for j in range(1, n):
+        shifted = f"slice({toks}, {j + 1}, greatest(size({toks}) - {j}, 0))"
+        z = f"zip_with({z}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
+    full = f"slice({z}, 1, greatest(size({toks}) - {n - 1}, 0))"
+    return (
+        f"array_distinct(if(size({toks}) >= {n}, {full}, "
+        f"array(array_join({toks}, ' '))))"
+    )
+
+
 def word_shingles(toks: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles from a token array.
 

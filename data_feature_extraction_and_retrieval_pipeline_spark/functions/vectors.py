@@ -48,6 +48,47 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def lit_vec(values) -> Column:
+    """A literal ``array<double>`` column built from ONE JVM-parsed
+    expression string instead of per-element ``F.lit`` conversion.
+
+    ``F.lit([64 floats])`` costs ~80 ms of py4j round trips (one per
+    element); the equivalent ``expr("array(…D, …D)")`` parses in ~2 ms.
+    ``repr(float)`` is the shortest exact round-trip form and Spark's
+    ``D`` suffix pins the literal to DOUBLE, so values are bit-identical
+    to the ``F.lit`` path.
+    """
+    body = ", ".join(_double_literal(float(x)) for x in values)
+    return F.expr(f"array({body})")
+
+
+def _double_literal(x: float) -> str:
+    if x != x:  # NaN
+        return "cast('NaN' as double)"
+    if x == float("inf"):
+        return "cast('Infinity' as double)"
+    if x == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return f"{x!r}D"
+
+
+def lit_mat(rows) -> Column:
+    """Literal ``array<array<double>>`` via one parsed expression —
+    the matrix twin of ``lit_vec`` (centroid/hyperplane tables)."""
+    body = ", ".join(
+        "array(" + ", ".join(_double_literal(float(x)) for x in r) + ")"
+        for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
+# Applied-UDF memo: creating a pandas_udf column costs ~150-200 ms of
+# cloudpickle + py4j per application. The closure depends only on the
+# captured matrix and the input column name, so identical (matrix,
+# column) pairs reuse the already-built Column within a session.
+_UDF_COL_CACHE: dict[tuple, Column] = {}
+
+
 def dot_batch(vec_col: Column | str, query_vecs) -> Column:
     """Arrow-batched numpy scores of a vector column against a MATRIX
     of literal query vectors — returns ``array<double>`` of one score
@@ -63,6 +104,13 @@ def dot_batch(vec_col: Column | str, query_vecs) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     Q = np.asarray([[float(x) for x in q] for q in query_vecs], dtype=np.float64)
+    if isinstance(vec_col, str):
+        key = ("dot_batch", Q.shape, Q.tobytes(), vec_col)
+        cached = _UDF_COL_CACHE.get(key)
+        if cached is not None:
+            return cached
+    else:
+        key = None
 
     @pandas_udf("array<double>")
     def _scores(v: pd.Series) -> pd.Series:
@@ -74,7 +122,10 @@ def dot_batch(vec_col: Column | str, query_vecs) -> Column:
         return pd.Series(list(S))
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return _scores(c)
+    out = _scores(c)
+    if key is not None:
+        _UDF_COL_CACHE[key] = out
+    return out
 
 
 def l2_norm(v: Column | str) -> Column:

@@ -116,9 +116,13 @@ def minhash_lsh_pairs(
     O(N · bands) tiny rows, versus the shingle join's O(collisions).
     """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col),
-        X.word_shingles(X.tokens(F.col(text_col)), n).alias("shingles"),
+    # Built with SQL-text expressions (one JVM parse each) rather than
+    # Column-API trees: this plan's wide projections cost ~1 s of py4j
+    # round trips per construction the Column way, ~20 ms this way.
+    # The parsed trees are identical — pinned by tests/test_dedup.py.
+    sh = df.selectExpr(
+        id_col,
+        f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS shingles",
     ).filter(F.size("shingles") > 0)
     # the shingle frame feeds three consumers (signatures + both sides
     # of the verify join); persist so the higher-order shingle build
@@ -126,30 +130,21 @@ def minhash_lsh_pairs(
     # (id, shingles) table, not an in-memory cache.
     sh = sh.persist()
 
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    hashed = exploded.select(
-        F.col(id_col),
-        *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    hashed = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
+        id_col,
+        *[f"xxhash64(s, {i}) AS h{i}" for i in range(num_hashes)],
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i}) AS mh_{i}") for i in range(num_hashes)]
     )
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', hash({cols}))".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(id_col, f"inline(array({band_structs}))")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -28,7 +28,7 @@ from ..functions import vectors as V
 
 
 def _query_vec_col(query_vec: Sequence[float]):
-    return F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return V.lit_vec(query_vec)
 
 
 # Above this many query vectors the batched-literal path stops being
@@ -36,7 +36,7 @@ def _query_vec_col(query_vec: Sequence[float]):
 _MAX_BATCHED_QUERIES = 64
 
 
-def _batched_pair_scores(
+def pair_scores(
     df: DataFrame,
     query_rows,  # list of (qid, vector)
     keep_col: str,
@@ -47,17 +47,26 @@ def _batched_pair_scores(
     matmul per row batch (V.dot_batch) instead of a crossJoin with an
     interpreted per-pair dot — measured ~4× cheaper at 10 query
     vectors × 128k rows, because each row's vector crosses to Python
-    once and the Q dots are BLAS flops."""
+    once and the Q dots are BLAS flops. Query ids keep their Python
+    type's Spark mapping (int → bigint, str → string)."""
     qids = [r[0] for r in query_rows]
     qmat = [[float(x) for x in r[1]] for r in query_rows]
-    sims = V.dot_batch(F.col(vec_col), qmat)
+    sims = V.dot_batch(vec_col, qmat)
+    if all(isinstance(q, int) and not isinstance(q, bool) for q in qids):
+        qid_lit = F.expr(f"array({', '.join(f'{q}L' for q in qids)})")
+    else:
+        qid_lit = F.lit(qids)
     return df.select(
         F.col(keep_col), F.posexplode(sims).alias("__pos", "sim")
     ).select(
         F.col(keep_col),
-        F.element_at(F.lit(qids), F.col("__pos") + 1).alias(qid_col),
+        F.element_at(qid_lit, F.col("__pos") + 1).alias(qid_col),
         F.col("sim"),
     )
+
+
+def _query_rows_of(df: DataFrame, qid_col: str, qvec_col: str):
+    return [(r[0], r[1]) for r in df.select(qid_col, qvec_col).collect()]
 
 
 def knn(
@@ -96,18 +105,23 @@ def knn_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    query_rows=None,
 ) -> DataFrame:
     """Per-query top-k for a small batch of query vectors.
 
     The query side is broadcast (it is tiny); candidates are ranked
     per query with a window — per-partition partial ranking under AQE,
-    no driver loop.
+    no driver loop. ``query_rows`` (list of (qid, vector)) skips the
+    collect when the caller already holds the batch driver-side — the
+    serving path, where queries arrive as request payloads.
     """
-    qrows = [
-        (r[0], r[1]) for r in queries.select(query_id_col, query_vec_col).collect()
-    ]
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else _query_rows_of(queries, query_id_col, query_vec_col)
+    )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        joined = _batched_pair_scores(
+        joined = pair_scores(
             embeddings, qrows, id_col, vec_col, query_id_col
         ).select(query_id_col, id_col, "sim")
     else:
@@ -132,6 +146,7 @@ def segment_search(
     vec_col: str = "clip_features",
     qvec_col: str = "features",
     qid_col: str = "q_segment_id",
+    query_rows=None,
 ) -> DataFrame:
     """Q2 — segment-level search (search_with_segments.py:188-301).
 
@@ -146,6 +161,8 @@ def segment_search(
     Plan shape: segments ⋈ broadcast(query segments) → two-level
     aggregation. The only shuffle is the groupBy on (image, q-seg) —
     map-side partial max applies, and the query side never shuffles.
+    ``query_rows`` skips the query-segment collect when the caller
+    already holds them driver-side.
     """
     cand = segments
     if candidate_cap is not None:
@@ -155,11 +172,13 @@ def segment_search(
         )
         cand = segments.join(F.broadcast(cand_ids), image_col, "left_semi")
 
-    qrows = [
-        (r[0], r[1]) for r in query_segments.select(qid_col, qvec_col).collect()
-    ]
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else _query_rows_of(query_segments, qid_col, qvec_col)
+    )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        pairs = _batched_pair_scores(cand, qrows, image_col, vec_col, qid_col)
+        pairs = pair_scores(cand, qrows, image_col, vec_col, qid_col)
     else:
         pairs = cand.crossJoin(F.broadcast(query_segments)).select(
             F.col(image_col),
@@ -187,6 +206,7 @@ def hybrid_search(
     seg_vec_col: str = "clip_features",
     qvec_col: str = "features",
     qid_col: str = "q_segment_id",
+    query_rows=None,
 ) -> DataFrame:
     """Q3 — two-phase hybrid re-rank (search_with_segments.py:345-445).
 
@@ -210,11 +230,13 @@ def hybrid_search(
     cand_segments = segments.join(
         F.broadcast(phase1.select(image_col)), image_col, "left_semi"
     )
-    qrows = [
-        (r[0], r[1]) for r in query_segments.select(qid_col, qvec_col).collect()
-    ]
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else _query_rows_of(query_segments, qid_col, qvec_col)
+    )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        pairs = _batched_pair_scores(
+        pairs = pair_scores(
             cand_segments, qrows, image_col, seg_vec_col, qid_col
         )
     else:

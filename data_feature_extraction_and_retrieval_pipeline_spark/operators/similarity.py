@@ -32,7 +32,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k (vectors pre-normalized ⇒ dot)."""
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    q = V.lit_vec(query_vec)
     return (
         embeddings.select(
             F.col(id_col), V.dot(F.col(vec_col), q).alias("cosine")
@@ -54,9 +54,7 @@ def assign_clusters(
     At 100 TB this runs once at ingest and the table is written
     ``partitionBy(cluster)`` so queries prune whole clusters.
     """
-    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
-        "array<array<double>>"
-    )
+    cents = V.lit_mat(centroids)
     sims = F.transform(
         cents, lambda c: V.dot(F.col(vec_col), c)
     )
@@ -129,7 +127,7 @@ def ivf_topk(
     _ = math  # keep import local & explicit
 
     assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
-    qcol = F.lit(q).cast("array<double>")
+    qcol = V.lit_vec(q)
     return (
         assigned.filter(F.col("cluster").isin(*probe))
         .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
@@ -151,7 +149,7 @@ def hyperplane_bucket(
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("int")
     for i, h in enumerate(hyperplanes):
-        hcol = F.lit([float(x) for x in h]).cast("array<double>")
+        hcol = V.lit_vec(h)
         bucket = bucket + F.when(V.dot(col, hcol) > 0, F.lit(1 << i)).otherwise(0)
     return bucket
 
@@ -168,6 +166,13 @@ def hyperplane_bucket_np(vec_col, hyperplanes: list[Sequence[float]]):
 
     H = np.asarray([[float(x) for x in h] for h in hyperplanes], dtype=np.float64)
     powers = (1 << np.arange(len(hyperplanes))).astype(np.int64)
+    if isinstance(vec_col, str):
+        key = ("hyperplane_bucket", H.shape, H.tobytes(), vec_col)
+        cached = V._UDF_COL_CACHE.get(key)
+        if cached is not None:
+            return cached
+    else:
+        key = None
 
     @pandas_udf("int")
     def _bucket(v: pd.Series) -> pd.Series:
@@ -179,7 +184,10 @@ def hyperplane_bucket_np(vec_col, hyperplanes: list[Sequence[float]]):
         return pd.Series((bits @ powers).astype("int32"))
 
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return _bucket(col)
+    out = _bucket(col)
+    if key is not None:
+        V._UDF_COL_CACHE[key] = out
+    return out
 
 
 def lsh_topk(
@@ -210,7 +218,7 @@ def lsh_topk(
     probe = F.bit_count(
         F.col("bucket").bitwiseXOR(F.lit(qbucket))
     ) <= F.lit(hamming)
-    qcol = F.lit(q).cast("array<double>")
+    qcol = V.lit_vec(q)
     return (
         bucketed.filter(probe)
         .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))

@@ -191,6 +191,13 @@ def _leading_vectors(spark: SparkSession, sf_dir: str, k: int) -> list[list[floa
     return _CENTROID_CACHE[key]
 
 
+def _query_segment_rows(spark: SparkSession, sf_dir: str):
+    """Image 0's segments (vec_ids 0..9) as driver-side (qid, vector)
+    rows — the memoized query artifact every segment/hybrid query
+    scores against, so building a query plan never re-collects them."""
+    return list(enumerate(_leading_vectors(spark, sf_dir, 10)))
+
+
 # =====================================================================
 # Relational core (SURVEY.md §2.4/§2.5; TPC-H-ish shapes)
 # =====================================================================
@@ -947,15 +954,10 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (the Flask service's request fan-in, app.py:296-321, as
     one set-oriented plan)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    joined = emb.crossJoin(F.broadcast(queries_df)).select(
-        "query_id",
-        "vec_id",
-        F.round(V.dot(F.col("embedding"), F.col("query_vec")), 6).alias("sim"),
-    )
+    qrows = list(enumerate(_leading_vectors(spark, sf_dir, 5)))
+    joined = retrieval.pair_scores(
+        emb, qrows, "vec_id", "embedding", "query_id"
+    ).select("query_id", "vec_id", F.round(F.col("sim"), 6).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
     return joined.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
@@ -1027,7 +1029,8 @@ def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = retrieval.segment_search(
-        seg, qsegs, top_k=10, candidate_cap=30
+        seg, qsegs, top_k=10, candidate_cap=30,
+        query_rows=_query_segment_rows(spark, sf_dir),
     )
     return out.select(
         "image_id",
@@ -1088,7 +1091,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_features").alias("features"),
     )
     qvec = _query_vector(spark, sf_dir, 0)
-    out = retrieval.hybrid_search(images, seg, qvec, qsegs, top_k=10)
+    out = retrieval.hybrid_search(
+        images, seg, qvec, qsegs, top_k=10,
+        query_rows=_query_segment_rows(spark, sf_dir),
+    )
     return out.select(
         "image_id",
         F.round("whole_score", 6).alias("whole_score"),
@@ -1166,7 +1172,10 @@ def hybrid_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_features").alias("features"),
     )
     qvec = _query_vector(spark, sf_dir, 0)
-    out = retrieval.hybrid_search(images, seg, qvec, qsegs, top_k=10)
+    out = retrieval.hybrid_search(
+        images, seg, qvec, qsegs, top_k=10,
+        query_rows=_query_segment_rows(spark, sf_dir),
+    )
     return out.select(
         "image_id",
         F.round("whole_score", 6).alias("whole_score"),
@@ -2332,7 +2341,9 @@ def segment_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_segment_id"),
         F.col("clip_features").alias("features"),
     )
-    out = retrieval.segment_search(cand, qsegs, top_k=10)
+    out = retrieval.segment_search(
+        cand, qsegs, top_k=10, query_rows=_query_segment_rows(spark, sf_dir)
+    )
     return out.select(
         "image_id",
         F.round("avg_similarity", 6).alias("avg_similarity"),
