@@ -29,3 +29,4 @@ __version__ = "0.1.0"
 
 from .session import get_spark  # noqa: F401
 from .api import Engine  # noqa: F401
+from . import caching  # noqa: F401

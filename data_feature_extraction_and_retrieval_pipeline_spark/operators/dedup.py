@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .. import caching
 from ..functions import text as X
 
 
@@ -127,8 +128,9 @@ def minhash_lsh_pairs(
     # the shingle frame feeds three consumers (signatures + both sides
     # of the verify join); persist so the higher-order shingle build
     # runs once. At warehouse scale this intermediate is a written
-    # (id, shingles) table, not an in-memory cache.
-    sh = sh.persist()
+    # (id, shingles) table, not an in-memory cache. Tracked so the
+    # harness can drop it after the result materializes (caching.py).
+    sh = caching.persist(sh)
 
     hashed = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
         id_col,

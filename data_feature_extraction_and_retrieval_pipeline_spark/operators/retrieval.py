@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .. import caching
 from ..functions import vectors as V
 
 
@@ -224,8 +225,9 @@ def hybrid_search(
     # phase1 feeds BOTH the candidate semi-join and the final score
     # join; persist the ≤ max(20k,100)-row pool so the whole-image
     # scan + top-k runs once (the reference re-fetches phase-1 docs
-    # from ES by id — same reuse, set-oriented)
-    phase1 = phase1.persist()
+    # from ES by id — same reuse, set-oriented). Tracked so the
+    # harness can drop it after the result materializes (caching.py).
+    phase1 = caching.persist(phase1)
 
     cand_segments = segments.join(
         F.broadcast(phase1.select(image_col)), image_col, "left_semi"

@@ -141,3 +141,18 @@ def test_kmeans_invariants(spark):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1 + 1e-9
+
+
+def test_tracked_persists_release(spark):
+    """Intra-query persists (the MinHash shingle frame) register with
+    the caching ledger and are droppable by the harness after the
+    result materializes — a resident session must not accumulate one
+    dead cache entry per executed query."""
+    from data_feature_extraction_and_retrieval_pipeline_spark import caching
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import dedup as D
+
+    caching.release()  # clean slate
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    D.minhash_lsh_pairs(docs).collect()
+    assert caching.release() >= 1
+    assert caching.release() == 0
