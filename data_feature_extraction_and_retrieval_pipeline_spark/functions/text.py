@@ -105,18 +105,25 @@ def tokens_sql(text_col: str) -> str:
     return f"filter(split(lower({text_col}), '\\\\s+'), t -> length(t) > 0)"
 
 
-def word_shingles_sql(toks: str, n: int = 3) -> str:
+def word_shingles_sql(toks: str, n: int = 3, distinct: bool = True) -> str:
     """SQL-text twin of ``word_shingles`` (same shifted-zip_with
-    construction, same trailing-slice and short-text fallback)."""
+    construction, same trailing-slice and short-text fallback).
+
+    ``distinct=False`` skips the per-document ``array_distinct`` sort —
+    correct wherever downstream is duplicate-insensitive (a MIN over
+    shingle hashes sees the same set either way), and it saves an
+    O(s log s) sort per document on the full-corpus scan.
+    """
     z = toks
     for j in range(1, n):
         shifted = f"slice({toks}, {j + 1}, greatest(size({toks}) - {j}, 0))"
         z = f"zip_with({z}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
     full = f"slice({z}, 1, greatest(size({toks}) - {n - 1}, 0))"
-    return (
-        f"array_distinct(if(size({toks}) >= {n}, {full}, "
-        f"array(array_join({toks}, ' '))))"
+    body = (
+        f"if(size({toks}) >= {n}, {full}, "
+        f"array(array_join({toks}, ' ')))"
     )
+    return f"array_distinct({body})" if distinct else body
 
 
 def word_shingles(toks: Column | str, n: int = 3) -> Column:

