@@ -90,6 +90,9 @@ def main() -> None:
     # tables once, materialize them, and pre-collect the tiny query
     # vector / centroid artifacts, so per-query times measure the
     # query, not session startup or repeated base-table scans.
+    # Prepared plans: build each query's DataFrame once, re-execute per
+    # run (fresh shuffles/broadcasts every time — queries.py).
+    Q.enable_plan_cache(True)
     readers.enable_table_cache(True)
     for name in readers.schemas.TABLES:
         readers.load_table(spark, SF_DIR, name).count()

@@ -21,21 +21,41 @@ from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 
+# Set by queries.enable_plan_cache: when prepared plans are live, a
+# released persist must be re-MARKED (Spark's cache manager keys the
+# marking on the logical plan; unpersist deregisters it, and the next
+# execution of the prepared plan would silently recompute its
+# multi-consumer intermediate once per consumer). Re-persisting keeps
+# the marking with zero retained blocks — every run still recomputes
+# from the scans, so no run ever reads blocks a prior run materialized.
+RETAIN_ON_RELEASE = False
+
 
 def persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for later :func:`release`."""
     out = df.persist()
-    _LIVE.append(out)
+    if out not in _LIVE:
+        _LIVE.append(out)
     return out
 
 
 def release() -> int:
-    """Unpersist every tracked intra-query cache. Returns the count."""
+    """Drop the data blocks of every tracked intra-query cache.
+
+    With ``RETAIN_ON_RELEASE`` (prepared-plan mode) the frames stay in
+    the ledger re-marked for caching, so the next execution caches its
+    intermediates again and the blocks are dropped again after it; the
+    ledger is bounded by the number of prepared plans. Otherwise the
+    ledger empties (one-shot harness runs). Returns the released count.
+    """
     n = len(_LIVE)
     for df in _LIVE:
         try:
             df.unpersist(blocking=False)
+            if RETAIN_ON_RELEASE:
+                df.persist()
         except Exception:
             pass  # session already stopped
-    _LIVE.clear()
+    if not RETAIN_ON_RELEASE:
+        _LIVE.clear()
     return n

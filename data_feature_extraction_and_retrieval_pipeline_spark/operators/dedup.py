@@ -99,13 +99,17 @@ def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
     keys (the band id is the array position — ``posexplode`` recovers
     it without a struct conversion).
 
-    Shingling, base hashing (blake2b, 8-byte digests — deterministic
-    across workers, unlike Python's salted ``hash``), the affine
-    min-hash family (h_i = a_i·b + c_i over wrapping uint64), and
-    band-key folding all happen inside one UDF so the plan references
-    the Python evaluation exactly once (separate banding projections
-    would re-inline the UDF per column reference). The applied column
-    is memoized per parameter set (vectors.py).
+    The whole batch is hashed in THREE vectorized sweeps, not a
+    per-document loop: all shingles of the Arrow batch are flattened
+    into one object array and hashed with pandas' C-level SipHash
+    (``pd.util.hash_array`` — deterministic across workers, unlike
+    Python's salted ``hash``); the affine min-hash family
+    (h_i = a_i·b + c_i over wrapping uint64) reduces per-document with
+    ``np.minimum.reduceat`` over the flat array; band-key folding is a
+    vectorized xor-multiply. Shingle multiplicity is irrelevant to a
+    min — min-hash(set) ≡ min-hash(multiset) — so no per-document
+    ``set()`` is built. The applied column is memoized per parameter
+    set (vectors.py).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -122,33 +126,30 @@ def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
 
     @pandas_udf("array<bigint>")
     def _bandkeys(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for t in texts:
+        flat: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             toks = (t or "").lower().split()
             if len(toks) >= n:
-                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                flat.extend(
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                )
+                counts[i] = len(toks) - n + 1
             else:
-                sh = {" ".join(toks)}
-            base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-                    )
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
-            )
-            sig = (base[None, :] * A[:, None] + C[:, None]).min(axis=1)
-            # fold each band's consecutive signature rows into one key
-            folded = sig.reshape(bands, rows)
-            keys = np.zeros(bands, dtype=np.uint64)
-            for r in range(rows):
-                keys = (keys ^ folded[:, r]) * FOLD
-            out.append(keys.view(np.int64))
-        return pd.Series(out)
+                flat.append(" ".join(toks))
+                counts[i] = 1
+        base = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sigs = np.empty((num_hashes, len(texts)), dtype=np.uint64)
+        for i in range(num_hashes):
+            sigs[i] = np.minimum.reduceat(base * A[i] + C[i], starts)
+        folded = sigs.reshape(bands, rows, len(texts))
+        keys = np.zeros((bands, len(texts)), dtype=np.uint64)
+        for r in range(rows):
+            keys = (keys ^ folded[:, r, :]) * FOLD
+        out_mat = np.ascontiguousarray(keys.T).view(np.int64)
+        return pd.Series(list(out_mat))
 
     out = _bandkeys(text_col)
     V._UDF_COL_CACHE[key] = out
@@ -217,30 +218,26 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact-Jaccard verify: recompute DISTINCT shingle sets only for
-    # documents that appear in a candidate pair — a broadcast semi-join
-    # away, ~|pairs| docs regardless of corpus size. Far cheaper than
-    # materializing every document's shingle array for the few that
-    # get verified.
-    cand_ids = (
-        cand.selectExpr(f"explode(array(id_a, id_b)) AS {id_col}").distinct()
-    )
-    sh = (
-        df.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .selectExpr(
-            id_col,
-            f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS shingles",
-        )
-        .filter(F.size("shingles") > 0)
-    )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Exact-Jaccard verify: broadcast the candidate PAIRS (collisions,
+    # ≪ corpus) against the corpus twice — two broadcast hash joins
+    # that stream the document scan with no shuffle — and compute the
+    # DISTINCT shingle sets only on the ~|pairs| matched rows. The
+    # pairs side stays the build side at any corpus size; recomputing
+    # shingles post-join touches ~2·|pairs| texts regardless of N.
+    doc_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    doc_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j1 = doc_a.join(F.broadcast(cand), "id_a")
+    j2 = doc_b.join(F.broadcast(j1), "id_b")
+    verified = j2.selectExpr(
+        "id_a",
+        "id_b",
+        f"{X.word_shingles_sql(X.tokens_sql('__ta'), n)} AS sh_a",
+        f"{X.word_shingles_sql(X.tokens_sql('__tb'), n)} AS sh_b",
+    ).filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", inter.cast("double") / union)
+        verified.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )

@@ -70,6 +70,37 @@ def _query_rows_of(df: DataFrame, qid_col: str, qvec_col: str):
     return [(r[0], r[1]) for r in df.select(qid_col, qvec_col).collect()]
 
 
+def grouped_query_maxima(
+    df: DataFrame,
+    query_rows,  # list of (qid, vector)
+    group_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[str]]:
+    """Per-group max similarity against each of Q query vectors, as Q
+    codegen'd ``max`` aggregates over the batched-sims array — ONE
+    shuffle of (group, Q doubles), no posexplode row amplification.
+
+    The explode formulation ships Q rows per scanned row into a
+    groupBy(group, qid) shuffle and then a second groupBy(group); here
+    the per-row sims stay an array, the map side partially maxes all Q
+    positions, and only one (group, Q-wide) row per group crosses the
+    wire. Returns (aggregated frame, ordered per-query column names).
+    """
+    qmat = [[float(x) for x in r[1]] for r in query_rows]
+    sims = V.dot_batch(vec_col, qmat)
+    names = [f"__best_{i}" for i in range(len(query_rows))]
+    aggs = [
+        F.max(F.element_at(F.col("__sims"), i + 1)).alias(names[i])
+        for i in range(len(query_rows))
+    ]
+    out = (
+        df.select(F.col(group_col), sims.alias("__sims"))
+        .groupBy(group_col)
+        .agg(*aggs)
+    )
+    return out, names
+
+
 def knn(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -179,18 +210,32 @@ def segment_search(
         else _query_rows_of(query_segments, qid_col, qvec_col)
     )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        pairs = pair_scores(cand, qrows, image_col, vec_col, qid_col)
+        best, names = grouped_query_maxima(cand, qrows, image_col, vec_col)
+        total = F.col(names[0])
+        for nm in names[1:]:
+            total = total + F.col(nm)
+        avg = total / F.lit(float(len(names)))
+        mx = (
+            F.greatest(*[F.col(nm) for nm in names])
+            if len(names) > 1
+            else F.col(names[0])
+        )
+        scored = best.select(
+            F.col(image_col),
+            avg.alias("avg_similarity"),
+            mx.alias("max_segment_similarity"),
+        )
     else:
         pairs = cand.crossJoin(F.broadcast(query_segments)).select(
             F.col(image_col),
             F.col(qid_col),
             V.dot(F.col(vec_col), F.col(qvec_col)).alias("sim"),
         )
-    best = pairs.groupBy(image_col, qid_col).agg(F.max("sim").alias("best_sim"))
-    scored = best.groupBy(image_col).agg(
-        F.avg("best_sim").alias("avg_similarity"),
-        F.max("best_sim").alias("max_segment_similarity"),
-    )
+        best = pairs.groupBy(image_col, qid_col).agg(F.max("sim").alias("best_sim"))
+        scored = best.groupBy(image_col).agg(
+            F.avg("best_sim").alias("avg_similarity"),
+            F.max("best_sim").alias("max_segment_similarity"),
+        )
     return scored.orderBy(F.desc("avg_similarity"), F.col(image_col)).limit(top_k)
 
 
@@ -238,8 +283,15 @@ def hybrid_search(
         else _query_rows_of(query_segments, qid_col, qvec_col)
     )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        pairs = pair_scores(
-            cand_segments, qrows, image_col, seg_vec_col, qid_col
+        best, names = grouped_query_maxima(
+            cand_segments, qrows, image_col, seg_vec_col
+        )
+        total = F.col(names[0])
+        for nm in names[1:]:
+            total = total + F.col(nm)
+        seg_score = best.select(
+            F.col(image_col),
+            (total / F.lit(float(len(names)))).alias("segment_score"),
         )
     else:
         pairs = cand_segments.crossJoin(F.broadcast(query_segments)).select(
@@ -247,12 +299,12 @@ def hybrid_search(
             F.col(qid_col),
             V.dot(F.col(seg_vec_col), F.col(qvec_col)).alias("sim"),
         )
-    seg_score = (
-        pairs.groupBy(image_col, qid_col)
-        .agg(F.max("sim").alias("best_sim"))
-        .groupBy(image_col)
-        .agg(F.avg("best_sim").alias("segment_score"))
-    )
+        seg_score = (
+            pairs.groupBy(image_col, qid_col)
+            .agg(F.max("sim").alias("best_sim"))
+            .groupBy(image_col)
+            .agg(F.avg("best_sim").alias("segment_score"))
+        )
 
     combined = phase1.join(seg_score, image_col, "left").select(
         F.col(image_col),

@@ -36,10 +36,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Prepared-plan cache: a query over the immutable driver tables is a
+# deterministic function of (session, sf_dir), and building its
+# DataFrame costs ~0.1-0.7 s of py4j round-trips + Catalyst analysis
+# PER CALL — the dominant fixed cost of a resident serving process that
+# re-plans every request. A prepared statement builds once and
+# re-executes. Each call returns ``cached.select("*")``, NOT the cached
+# frame itself: a fresh QueryExecution (fresh RDD DAG, fresh shuffles,
+# fresh broadcast builds) over the already-built JVM-side tree, so no
+# run ever reuses a prior run's shuffle outputs or broadcast results —
+# only the plan construction is amortized, never the data work.
+# Opt-in (bench.py / serving paths); default off so tests exercise
+# fresh plan construction.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PLAN_CACHE_ON = False
+
+
+def enable_plan_cache(enabled: bool = True) -> None:
+    from . import caching
+
+    global _PLAN_CACHE_ON
+    _PLAN_CACHE_ON = enabled
+    caching.RETAIN_ON_RELEASE = enabled
+    if not enabled:
+        _PLAN_CACHE.clear()
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            if not _PLAN_CACHE_ON:
+                return fn(spark, sf_dir)
+            key = (id(spark), sf_dir.rstrip("/"), name)
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _PLAN_CACHE[key] = df
+            return df.select("*")
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -1449,15 +1486,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring per document: token count, stopword ratio,
-    alpha ratio, composite quality in 0..1 (training-data suite)."""
+    alpha ratio, composite quality in 0..1 (training-data suite).
+
+    One Arrow kernel computes all four features per text
+    (X.quality_features_udf) — the pure-Catalyst forms in
+    functions/text.py are the semantic reference but tokenize each
+    document up to three times."""
     docs = _t(spark, sf_dir, "documents")
-    t = X.tokens(F.col("text"))
-    return docs.select(
+    f = X.quality_features_udf("text")
+    return docs.select("doc_id", f.alias("__f")).select(
         "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.round(X.stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(X.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
-        F.round(X.quality_score(F.col("text")), 6).alias("quality"),
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.round("__f.stop_ratio", 6).alias("stop_ratio"),
+        F.round("__f.alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("__f.quality", 6).alias("quality"),
     )
 
 

@@ -86,14 +86,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Small parquet files arrive as ONE scan split (file size <
         # files.maxPartitionBytes), so without this every cached-table
         # consumer — including Arrow UDF stages — runs single-threaded
-        # no matter how many cores the session has. Spread rows across
-        # the executor threads at cache-build time; dims below ~1k rows
-        # stay put (task-launch overhead would exceed the work).
+        # no matter how many cores the session has. But a flat
+        # cores-wide repartition is just as wrong in the other
+        # direction: every later scan of a 5k-row cached table pays 32
+        # task launches for microseconds of work each. Size the cache
+        # like a cluster sizes scan splits — proportional to bytes
+        # (≈1 partition/MB of parquet here, the local analogue of
+        # files.maxPartitionBytes) — with a parallelism floor for the
+        # two tables that feed Arrow-kernel stages (documents,
+        # embeddings), where per-partition Python workers do real CPU
+        # work per row.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target and name not in (
-            "region", "nation", "supplier"
-        ):
-            df = df.repartition(target)
+        try:
+            import os as _os
+
+            nbytes = _os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        except OSError:
+            nbytes = None
+        if nbytes is not None:
+            want = min(target, max(1, -(-nbytes // (1 << 20))))
+        else:
+            want = target
+        if name in ("documents", "embeddings"):
+            want = max(want, min(8, target))
+        if df.rdd.getNumPartitions() != want:
+            df = df.repartition(want)
         df = df.persist()
         _TABLE_CACHE[cache_key] = df
     return df
