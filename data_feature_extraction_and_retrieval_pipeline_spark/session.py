@@ -46,6 +46,10 @@ def get_spark(
         # pandas-written parquet may carry TIMESTAMP(NANOS) which Spark
         # has no native type for; read as long and convert at the reader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pandas naive datetime64[us] is TIMESTAMP(isAdjustedToUTC=false);
+        # read it as LTZ (session is UTC, so values are identical) to keep
+        # one timestamp type engine-wide
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()

@@ -56,11 +56,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller-provided session, not only our get_spark() sessions:
     # - TIMESTAMP(NANOS) parquet is unreadable without the legacy flag
     #   (PARQUET_TYPE_ILLEGAL);
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (pandas naive
+    #   datetimes) would otherwise surface as TIMESTAMP_NTZ under Spark
+    #   4's inferTimestampNTZ default; with the session pinned to UTC,
+    #   reading it as LTZ yields identical wall-clock values and keeps
+    #   one timestamp type across the engine;
     # - timestamp→string formatting must be UTC to match the naive
     #   timestamps the DuckDB oracle sees.
-    # Both are runtime SQLConfs, safe to set per session.
+    # All are runtime SQLConfs, safe to set per session.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
@@ -75,13 +81,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if expected is not None:
         actual = {f.name: f.dataType.typeName() for f in df.schema.fields}
         for f in expected.fields:
-            if (
-                f.dataType.typeName() == "timestamp"
-                and actual.get(f.name) == "long"
-            ):
-                df = df.withColumn(
-                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
-                )
+            if f.dataType.typeName() == "timestamp":
+                if actual.get(f.name) == "long":
+                    df = df.withColumn(
+                        f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                    )
+                elif actual.get(f.name) == "timestamp_ntz":
+                    # caller session that pre-read with NTZ inference on;
+                    # session TZ is UTC so the cast is value-preserving
+                    df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if cache_key is not None:
         # Small parquet files arrive as ONE scan split (file size <
         # files.maxPartitionBytes), so without this every cached-table
