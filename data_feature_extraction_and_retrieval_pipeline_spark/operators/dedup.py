@@ -156,6 +156,25 @@ def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
     return out
 
 
+def banded_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) banded MinHash signature rows — the write-time
+    LSH index artifact. One Arrow kernel per corpus scan; at scale this
+    is computed at ingest and stored bucketed by (band, key)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            _minhash_band_udf(num_hashes, bands, n, text_col)
+        ).alias("band", "key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -164,6 +183,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -194,14 +214,15 @@ def minhash_lsh_pairs(
     # sides of the self-join, and Spark re-evaluates a Python UDF per
     # plan reference (no exchange/CSE reuse through a broadcast) —
     # persist it (tracked, caching.py) so the corpus scan runs once.
-    banded = caching.persist(
-        df.select(
-            F.col(id_col),
-            F.posexplode(
-                _minhash_band_udf(num_hashes, bands, n, text_col)
-            ).alias("band", "key"),
+    # A caller holding the write-time artifact (indexes.materialized)
+    # passes it in and the kernel never runs here.
+    if banded is None:
+        banded = caching.persist(
+            banded_signatures(
+                df, n=n, num_hashes=num_hashes, bands=bands,
+                text_col=text_col, id_col=id_col,
+            )
         )
-    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -220,20 +241,27 @@ def minhash_lsh_pairs(
 
     # Exact-Jaccard verify: broadcast the candidate PAIRS (collisions,
     # ≪ corpus) against the corpus twice — two broadcast hash joins
-    # that stream the document scan with no shuffle — and compute the
-    # DISTINCT shingle sets only on the ~|pairs| matched rows. The
-    # pairs side stays the build side at any corpus size; recomputing
-    # shingles post-join touches ~2·|pairs| texts regardless of N.
+    # that stream the document scan with no shuffle, computing each
+    # side's DISTINCT shingle set on its ~|pairs| matched rows — then
+    # join the two matched sides on the pair key. That last join is
+    # pairs⋈pairs (both sides ≈ |candidates|), so it shuffles only
+    # candidate-scale rows; only the tiny id-pair frame is ever
+    # broadcast (the texts never are, and ReuseExchange ships it once).
     doc_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     doc_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    j1 = doc_a.join(F.broadcast(cand), "id_a")
-    j2 = doc_b.join(F.broadcast(j1), "id_b")
-    verified = j2.selectExpr(
+    j1 = doc_a.join(F.broadcast(cand), "id_a").selectExpr(
         "id_a",
         "id_b",
         f"{X.word_shingles_sql(X.tokens_sql('__ta'), n)} AS sh_a",
+    )
+    j2 = doc_b.join(F.broadcast(cand), "id_b").selectExpr(
+        "id_a",
+        "id_b",
         f"{X.word_shingles_sql(X.tokens_sql('__tb'), n)} AS sh_b",
-    ).filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+    )
+    verified = j1.join(j2, ["id_a", "id_b"]).filter(
+        (F.size("sh_a") > 0) & (F.size("sh_b") > 0)
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (

@@ -97,24 +97,25 @@ def assign_clusters_np(
     return embeddings.mapInPandas(_assign, schema=schema)
 
 
-def ivf_topk(
-    embeddings: DataFrame,
+def ivf_probe(
+    assigned: DataFrame,
     centroids: list[Sequence[float]],
     query_vec: Sequence[float],
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_col: str = "cluster",
 ) -> DataFrame:
-    """IVF approximate top-k: score only vectors whose nearest centroid
-    is among the query's ``nprobe`` closest centroids.
+    """IVF probe over an ALREADY-ASSIGNED table: score only vectors
+    whose cluster is among the query's ``nprobe`` closest centroids.
 
-    Deterministic given fixed centroids (we use seeded/fixed centroid
-    lists, mirroring the reference's seed=42 convention).
+    This is the steady-state query path — at scale the table was
+    written ``partitionBy(cluster)`` at ingest and the ``isin`` filter
+    is partition pruning; locally the assigned frame is a resident
+    artifact (``indexes.materialized``).
     """
     q = [float(x) for x in query_vec]
-    # nprobe closest centroids to the query — tiny, computed driver-side
-    import math
 
     def _dot(a, b):
         return sum(x * y for x, y in zip(a, b))
@@ -124,15 +125,36 @@ def ivf_topk(
         key=lambda i: (-_dot(centroids[i], q), i),
     )
     probe = ranked[:nprobe]
-    _ = math  # keep import local & explicit
-
-    assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
     qcol = V.lit_vec(q)
     return (
-        assigned.filter(F.col("cluster").isin(*probe))
+        assigned.filter(F.col(cluster_col).isin(*probe))
         .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-assign (unless ``assigned`` is a
+    pre-built index frame) then probe.
+
+    Deterministic given fixed centroids (we use seeded/fixed centroid
+    lists, mirroring the reference's seed=42 convention).
+    """
+    if assigned is None:
+        assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
+    return ivf_probe(
+        assigned, centroids, query_vec, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -190,6 +212,38 @@ def hyperplane_bucket_np(vec_col, hyperplanes: list[Sequence[float]]):
     return out
 
 
+def lsh_probe(
+    bucketed: DataFrame,
+    hyperplanes: list[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """LSH probe over an ALREADY-BUCKETED table: score only vectors
+    whose bucket is within ``hamming`` bits of the query's bucket
+    (multi-probe). The steady-state twin of ``ivf_probe`` — at scale
+    the bucket is a write-time partition column."""
+    q = [float(x) for x in query_vec]
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qbucket = sum(1 << i for i, h in enumerate(hyperplanes) if _dot(q, h) > 0)
+    probe = F.bit_count(
+        F.col(bucket_col).bitwiseXOR(F.lit(qbucket))
+    ) <= F.lit(hamming)
+    qcol = V.lit_vec(q)
+    return (
+        bucketed.filter(probe)
+        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     hyperplanes: list[Sequence[float]],
@@ -198,32 +252,21 @@ def lsh_topk(
     hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: score only vectors whose bucket
-    is within ``hamming`` bits of the query's bucket (multi-probe).
+    """LSH-bucketed approximate top-k: bucket-build (unless
+    ``bucketed`` is a pre-built index frame) then multi-probe.
 
     The candidate set shrinks ~2^bits/(1+bits choose hamming); recall
     comes from multi-probe rather than bigger buckets.
     """
-    q = [float(x) for x in query_vec]
-
-    def _dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    qbucket = sum(1 << i for i, h in enumerate(hyperplanes) if _dot(q, h) > 0)
-
-    bucketed = embeddings.withColumn(
-        "bucket", hyperplane_bucket_np(vec_col, hyperplanes)
-    )
-    probe = F.bit_count(
-        F.col("bucket").bitwiseXOR(F.lit(qbucket))
-    ) <= F.lit(hamming)
-    qcol = V.lit_vec(q)
-    return (
-        bucketed.filter(probe)
-        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
+    if bucketed is None:
+        bucketed = embeddings.withColumn(
+            "bucket", hyperplane_bucket_np(vec_col, hyperplanes)
+        )
+    return lsh_probe(
+        bucketed, hyperplanes, query_vec, k=k, hamming=hamming,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -284,6 +327,7 @@ def cosine_self_join_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster:
     only vectors in the SAME cluster are compared (blocking), turning
@@ -303,7 +347,9 @@ def cosine_self_join_pairs(
     blocking loses no true duplicates at high thresholds.
     """
     thr = float(threshold)
-    assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col).select(
+    if assigned is None:
+        assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
+    assigned = assigned.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.col("cluster")
     )
 

@@ -24,6 +24,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from . import indexes
 from .functions import text as X
 from .functions import vectors as V
 from .operators import analytics, dedup, etl, multimodal, retrieval, similarity, temporal
@@ -1318,7 +1319,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = _leading_vectors(spark, sf_dir, 8)
     q = _query_vector(spark, sf_dir, 42)
-    out = similarity.ivf_topk(emb, centroids, q, k=10, nprobe=2)
+    assigned = indexes.materialized(
+        spark,
+        f"ivf8:{sf_dir}",
+        lambda: similarity.assign_clusters_np(emb, centroids),
+    )
+    out = similarity.ivf_topk(emb, centroids, q, k=10, nprobe=2, assigned=assigned)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1434,8 +1440,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (xxhash64) have no DuckDB twin → rows-only check; the
     *verified* pairs are asserted against the exact path in
     tests/test_dedup.py."""
+    docs2 = _docs_with_dups(spark, sf_dir)
+    banded = indexes.materialized(
+        spark,
+        f"minhash16x4x3:{sf_dir}",
+        lambda: dedup.banded_signatures(docs2, n=3, num_hashes=16, bands=4),
+    )
     out = dedup.minhash_lsh_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, num_hashes=16, bands=4, threshold=0.5
+        docs2, n=3, num_hashes=16, bands=4, threshold=0.5, banded=banded
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1629,7 +1641,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = emb.unionByName(inj)
     centroids = _leading_vectors(spark, sf_dir, 16)
-    out = similarity.cosine_self_join_pairs(allv, centroids, threshold=0.99)
+    assigned = indexes.materialized(
+        spark,
+        f"cosdedup16:{sf_dir}",
+        lambda: similarity.assign_clusters_np(allv, centroids),
+    )
+    out = similarity.cosine_self_join_pairs(
+        allv, centroids, threshold=0.99, assigned=assigned
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1665,7 +1684,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     hyperplanes = _leading_vectors(spark, sf_dir, 8)
     q = _query_vector(spark, sf_dir, 42)
-    out = similarity.lsh_topk(emb, hyperplanes, q, k=10, hamming=1)
+    bucketed = indexes.materialized(
+        spark,
+        f"lsh8:{sf_dir}",
+        lambda: emb.withColumn(
+            "bucket", similarity.hyperplane_bucket_np("embedding", hyperplanes)
+        ),
+    )
+    out = similarity.lsh_topk(emb, hyperplanes, q, k=10, hamming=1, bucketed=bucketed)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
