@@ -308,3 +308,22 @@ def rolling_hash_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
     )
+
+
+def portable_token_hashes(toks: Column | str) -> Column:
+    """Per-token polynomial hash: each token of the array maps to
+    ``fold(chars, h·31 + codepoint) mod 1e9+7`` — the
+    ``rolling_hash_fingerprint`` arithmetic applied element-wise.
+
+    The portable building block of the oracle-certifiable MinHash /
+    SimHash variants: every intermediate stays below 2^63, so DuckDB's
+    BIGINT arithmetic reproduces the values bit-for-bit.
+    """
+    return F.transform(
+        _c(toks),
+        lambda tok: F.aggregate(
+            F.filter(F.split(tok, ""), lambda ch: F.length(ch) > 0),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+        ),
+    )

@@ -215,14 +215,17 @@ def minhash_lsh_pairs(
     # plan reference (no exchange/CSE reuse through a broadcast) —
     # persist it (tracked, caching.py) so the corpus scan runs once.
     # A caller holding the write-time artifact (indexes.materialized)
-    # passes it in and the kernel never runs here.
+    # passes it in already persisted and the kernel never runs here; a
+    # caller passing a fresh unpersisted frame (index cache off) still
+    # gets the single-scan guarantee via the storage-level check.
     if banded is None:
-        banded = caching.persist(
-            banded_signatures(
-                df, n=n, num_hashes=num_hashes, bands=bands,
-                text_col=text_col, id_col=id_col,
-            )
+        banded = banded_signatures(
+            df, n=n, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
         )
+    sl = banded.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        banded = caching.persist(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -239,14 +242,31 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact-Jaccard verify: broadcast the candidate PAIRS (collisions,
-    # ≪ corpus) against the corpus twice — two broadcast hash joins
-    # that stream the document scan with no shuffle, computing each
-    # side's DISTINCT shingle set on its ~|pairs| matched rows — then
-    # join the two matched sides on the pair key. That last join is
-    # pairs⋈pairs (both sides ≈ |candidates|), so it shuffles only
-    # candidate-scale rows; only the tiny id-pair frame is ever
-    # broadcast (the texts never are, and ReuseExchange ships it once).
+    return jaccard_verify_pairs(
+        df, cand, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of candidate (id_a, id_b)
+    pairs — the shared final stage of every LSH bucketing scheme.
+
+    Broadcast the candidate PAIRS (collisions, ≪ corpus) against the
+    corpus twice — two broadcast hash joins that stream the document
+    scan with no shuffle, computing each side's DISTINCT shingle set on
+    its ~|pairs| matched rows — then join the two matched sides on the
+    pair key. That last join is pairs⋈pairs (both sides ≈
+    |candidates|), so it shuffles only candidate-scale rows; only the
+    tiny id-pair frame is ever broadcast (the texts never are, and
+    ReuseExchange ships it once).
+    """
     doc_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     doc_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     j1 = doc_a.join(F.broadcast(cand), "id_a").selectExpr(
@@ -269,6 +289,206 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash MinHash / SimHash (oracle-certifiable LSH)
+# ---------------------------------------------------------------------------
+#
+# The production MinHash/SimHash above use SipHash/xxhash64 — fast, but
+# with no DuckDB twin, so the driver can only rows-check them. These
+# variants swap the hash family for portable polynomial arithmetic
+# (every intermediate < 2^63, reproducible in any BIGINT SQL dialect)
+# so the ENTIRE LSH pipeline — shingle→minhash→band→bucket-join→verify
+# — is certified end-to-end by the DuckDB oracle. Same plan shapes,
+# same shuffle structure; only the hash arithmetic differs.
+
+_PORT_P = X._FP_MOD  # 1e9+7 — the rolling-hash modulus
+_PORT_B = 1_000_003  # token-fold base: P·B < 2^63, no overflow
+# Fixed affine MinHash family h_i(x) = (A_i·x + C_i) mod P. Arbitrary
+# constants < P, hardcoded (not generated) so the DuckDB oracle embeds
+# the same literals.
+_PORT_A = [387420489, 268435399, 999999937, 97654321,
+           123456791, 314159261, 271828183, 161803399]
+_PORT_C = [12345, 6789101, 987654321, 192837465,
+           55555333, 777000777, 424242421, 98765431]
+
+
+def portable_shingle_hashes(
+    text: F.Column | str, n: int = 3
+) -> F.Column:
+    """array<bigint> of portable n-gram shingle hashes: per-token
+    rolling char hash, folded across each n-token window with
+    ``fold(h·B + tok_hash) mod P`` (init 0). Documents shorter than n
+    tokens yield one shingle folding all their tokens; token-less
+    documents yield an empty array."""
+    toks = X.tokens(text if not isinstance(text, str) else F.col(text))
+    th = X.portable_token_hashes(toks)
+    z = th
+    for j in range(1, n):
+        shifted = F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0)))
+        z = F.zip_with(
+            z, shifted,
+            lambda a, b: (a * F.lit(_PORT_B) + b) % F.lit(_PORT_P),
+        )
+    full = F.slice(z, 1, F.greatest(F.size(th) - F.lit(n - 1), F.lit(0)))
+    short = F.array(
+        F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(_PORT_B) + h) % F.lit(_PORT_P),
+        )
+    )
+    return (
+        F.when(F.size(th) == 0, F.array().cast("array<bigint>"))
+        .when(F.size(th) >= n, full)
+        .otherwise(short)
+    )
+
+
+def portable_banded_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) banded MinHash rows from the portable hash
+    family — same artifact shape as ``banded_signatures`` (bucketed
+    write-time index at scale), pure Catalyst expressions throughout
+    (no Python workers in the plan)."""
+    assert num_hashes % bands == 0 and num_hashes <= len(_PORT_A)
+    rows = num_hashes // bands
+    shh = portable_shingle_hashes(F.col(text_col), n).alias("__shh")
+    base = df.select(F.col(id_col), shh).filter(F.size("__shh") > 0)
+    def _affine(i: int):
+        # single-parameter lambda on purpose: a second (default)
+        # parameter would make PySpark treat it as an (element, index)
+        # lambda and bind a Column over the default
+        a, c = _PORT_A[i], _PORT_C[i]
+        return lambda h: (F.lit(a) * h + F.lit(c)) % F.lit(_PORT_P)
+
+    mins = [
+        F.array_min(F.transform(F.col("__shh"), _affine(i)))
+        for i in range(num_hashes)
+    ]
+    keys = []
+    for b in range(bands):
+        k = mins[b * rows]
+        for r in range(1, rows):
+            k = (k * F.lit(_PORT_B) + mins[b * rows + r]) % F.lit(_PORT_P)
+        keys.append(k)
+    return base.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the portable hash family —
+    identical pipeline to ``minhash_lsh_pairs`` (bucket self-join on
+    (band, key), broadcast exact-Jaccard verify) with every hash value
+    reproducible by the DuckDB oracle."""
+    if banded is None:
+        banded = portable_banded_signatures(
+            df, n=n, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
+    sl = banded.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        banded = caching.persist(banded)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = caching.persist(
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return jaccard_verify_pairs(
+        df, cand, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+
+
+def simhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 30,
+) -> DataFrame:
+    """30-bit portable SimHash: bit_j = 1 iff
+    Σ_tokens sign(portable_hash(token) bit j) > 0.
+
+    Same single-shuffle vote-aggregation plan as
+    ``simhash_signatures``; the polynomial token hash yields ~30
+    usable bits (values < 1e9+7), so the signature is 30 bits in two
+    15-bit bands rather than 64 in four — recall trades against
+    having a DuckDB twin."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)
+    hashed = tok.select(
+        F.col(id_col), X.rolling_hash_fingerprint(F.col("t")).alias("h")
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_buckets_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 30,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Portable-SimHash candidate buckets: (band, key, id) rows from
+    ``bits // band_bits`` bands — the oracle-certifiable twin of
+    ``simhash_buckets``."""
+    sig = simhash_signatures_portable(df, text_col=text_col, id_col=id_col, bits=bits)
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    return banded.select("band", "key", F.col(id_col))
 
 
 def simhash_signatures(

@@ -85,52 +85,57 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Driver-facing registry order. The round-1 driver evaluated only the
-# first 50 entries of queries(), so ordering is part of the contract:
-# queries that still need an official correctness row come first,
-# queries whose r01 row is already green and whose SURVEY §2 IDs are
-# also evidenced elsewhere come after position 50, and the rows-only
-# (no-oracle) stubs come last. Names absent from this list append in
-# registration order, before the rows-only tail.
+# Driver-facing registry order. The driver evaluates only the first 50
+# entries of queries(), so ordering is part of the contract. Round-3
+# rotation: the 9 queries whose only official rows are stale r01 ones
+# come first, then the two new portable-hash dedup queries (first-ever
+# oracle certification of the LSH pipeline), then queries whose code is
+# touched this round (fresh rows must postdate the change), then
+# untouched r02-green keepers up to slot 50. Position 51+ holds
+# r02-green queries whose implementations are untouched this round —
+# their r02 rows remain current, so the union of r02+r03 certifies
+# every oracled query. Rows-only entries stay in the tail; they rotate
+# into the head in a later round once all oracled rows are current.
 _DRIVER_ORDER: list[str] = [
-    # -- needs a first official row (unchecked in r01, or red there) --
-    "ml_multimodal_meta",
-    "ml_resize_plan",
-    "knn_percentage",
-    "agg_salted_group",
-    "etl_row_range_select",
-    "join_ext_fallback",
+    # -- only official row is stale r01 (code changed since) --
+    "sql_api_revenue",
+    "agg_decade_orders",
+    "agg_rollup_acctbal",
+    "knn_tag_filtered",
+    "knn_batch",
+    "hybrid_search_tag_filtered",
+    "etl_regex_extract_path",
+    "nested_roundtrip",
+    "text_token_bpe",
+    # -- new this round: oracle-certifiable LSH dedup --
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    # -- touched this round (row must postdate the change) --
+    "join_revenue_by_nation",
+    "segment_search",
     "segment_search_tag_filtered",
-    "zero_shot_topk_tags",
-    "etl_upsert_merge",
-    "agg_keyword_scan",
-    "events_tumbling_window",
-    "nested_tags_two_level",
-    # -- r01-green keepers (sole evidence for their §2 IDs) --
+    "hybrid_search",
+    "events_sessionize",
+    "knn_whole",
+    "knn_percentage",
+    "tag_search",
+    "tag_search_and",
+    # -- untouched r02-green keepers --
     "q1_pricing_summary",
-    "agg_value_counts",
     "agg_explode_count",
-    "agg_histogram_chars",
     "agg_group_stats",
-    "agg_distinct_counts",
-    "agg_bool_flags",
+    "agg_keyword_scan",
+    "agg_salted_group",
     "win_topn_per_group",
     "win_global_topk",
     "join_meta_counters",
     "join_semi_allowlist",
     "join_anti_customers",
-    "join_revenue_by_nation",
     "etl_sentinel_cleanse",
     "etl_safe_cast",
-    "etl_multiformat_date",
-    "etl_prefix_split",
     "etl_url_basename_join",
-    "knn_whole",
+    "etl_upsert_merge",
     "vec_mean_per_label",
-    "segment_search",
-    "hybrid_search",
-    "tag_search",
-    "tag_search_and",
     "join_tag_category",
     "ann_ivf",
     "ann_brute_force",
@@ -143,18 +148,21 @@ _DRIVER_ORDER: list[str] = [
     "text_token_count",
     "text_fingerprint",
     "asof_join_clicks",
-    "events_sessionize",
+    "events_tumbling_window",
+    "ml_multimodal_meta",
+    "ml_resize_plan",
+    # ---- position 51+: r02-green, untouched this round ----
+    "agg_value_counts",
+    "agg_histogram_chars",
+    "agg_distinct_counts",
+    "agg_bool_flags",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "etl_row_range_select",
+    "join_ext_fallback",
+    "zero_shot_topk_tags",
+    "nested_tags_two_level",
     "set_ops_users",
-    # ---- position 51+: r01-green, §2 IDs also evidenced above ----
-    "sql_api_revenue",
-    "agg_decade_orders",
-    "agg_rollup_acctbal",
-    "knn_tag_filtered",
-    "knn_batch",
-    "hybrid_search_tag_filtered",
-    "etl_regex_extract_path",
-    "nested_roundtrip",
-    "text_token_bpe",
 ]
 
 _ROWS_ONLY_TAIL: list[str] = [
@@ -1457,6 +1465,169 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding: near-dup candidate buckets (band, key) with
     >1 member. Rows-only (xxhash64)."""
     buckets = dedup.simhash_buckets(_docs_with_dups(spark, sf_dir), band_bits=16)
+    return (
+        buckets.groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# Oracle SQL fragments for the portable-hash LSH pipeline. The hash
+# constants are the SAME literals the Spark operators use
+# (operators/dedup.py _PORT_*) — interpolated once at import so the
+# two engines cannot drift.
+_PORT_TOKS_CTE = """
+    ptoks AS (
+        SELECT doc_id, list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                   t -> LENGTH(t) > 0) AS t
+        FROM docs2
+    )
+"""
+
+_PORT_TH_CTE = f"""
+    pth AS (
+        SELECT doc_id, list_transform(t, tok ->
+            list_reduce(
+                list_prepend(0::BIGINT,
+                    list_transform(generate_series(1, LENGTH(tok)),
+                                   i -> ascii(tok[i])::BIGINT)),
+                (acc, c) -> (acc * 31 + c) % {dedup._PORT_P})) AS th
+        FROM ptoks WHERE len(t) > 0
+    )
+"""
+
+_PORT_MINS = ",\n               ".join(
+    f"list_min(list_transform(shh, h -> ({dedup._PORT_A[i]}::BIGINT * h "
+    f"+ {dedup._PORT_C[i]}) % {dedup._PORT_P})) AS m{i}"
+    for i in range(8)
+)
+_PORT_KEYS = ",\n               ".join(
+    f"((m{2 * b} * {dedup._PORT_B} + m{2 * b + 1}) % {dedup._PORT_P}) AS k{b}"
+    for b in range(4)
+)
+_PORT_BAND_ROWS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, k{b} AS key FROM pkeys" for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    f"""
+    WITH {_DOCS_DUPS_CTE},
+    {_PORT_TOKS_CTE},
+    {_PORT_TH_CTE},
+    pshh AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 3
+                    THEN [((th[i] * {dedup._PORT_B} + th[i+1]) % {dedup._PORT_P}
+                           * {dedup._PORT_B} + th[i+2]) % {dedup._PORT_P}
+                          FOR i IN generate_series(1, len(th) - 2)]
+                    ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                      (a, b) -> (a * {dedup._PORT_B} + b)
+                                      % {dedup._PORT_P})]
+               END AS shh
+        FROM pth
+    ),
+    pmins AS (SELECT doc_id, {_PORT_MINS} FROM pshh),
+    pkeys AS (SELECT doc_id, {_PORT_KEYS} FROM pmins),
+    pbanded AS ({_PORT_BAND_ROWS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pbanded a JOIN pbanded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(t) - 2)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM ptoks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(c.common / (sa.n_shingles + sb.n_shingles - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a PORTABLE polynomial hash
+    family — the full LSH pipeline (shingle → 8 min-hashes → 4 banded
+    keys → bucket self-join → exact-Jaccard verify) certified
+    end-to-end by the DuckDB oracle, which replays the identical
+    arithmetic (operators/dedup.py _PORT_* constants). Same plan
+    shapes and shuffle structure as the xxhash production path
+    (dedup_minhash_lsh); only the hash family differs."""
+    docs2 = _docs_with_dups(spark, sf_dir)
+    banded = indexes.materialized(
+        spark,
+        f"minhash_portable8x4x3:{sf_dir}",
+        lambda: dedup.portable_banded_signatures(docs2, n=3, num_hashes=8, bands=4),
+    )
+    out = dedup.minhash_lsh_pairs_portable(
+        docs2, n=3, num_hashes=8, bands=4, threshold=0.5, banded=banded
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash_portable",
+    f"""
+    WITH {_DOCS_DUPS_CTE},
+    tok AS (
+        SELECT doc_id, UNNEST(list_filter(
+            string_split_regex(LOWER(text), '\\s+'),
+            t -> LENGTH(t) > 0)) AS t
+        FROM docs2
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, LENGTH(t)),
+                                      i -> ascii(t[i])::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % {dedup._PORT_P}) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 29)) AS j) bits
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER)
+                        ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b AS band,
+               ((simhash >> (15 * b)::INTEGER) & 32767)::BIGINT AS key
+        FROM sig CROSS JOIN (SELECT UNNEST([0, 1]) AS b) bands
+    )
+    SELECT band, key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM banded GROUP BY band, key HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 30-bit SimHash banding (two 15-bit bands) — the
+    oracle-certifiable twin of dedup_simhash: the polynomial token
+    hash is replayed exactly by DuckDB, certifying the vote-aggregate
+    → signature → band → bucket pipeline end-to-end."""
+    buckets = dedup.simhash_buckets_portable(
+        _docs_with_dups(spark, sf_dir), bits=30, band_bits=15
+    )
     return (
         buckets.groupBy("band", "key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))

@@ -70,6 +70,45 @@ def test_minhash_lsh_pairs_subset_of_exact(spark, docs_with_dups):
     assert identical <= lsh_pairs
 
 
+def test_portable_minhash_pairs_subset_of_exact(spark, docs_with_dups):
+    """The portable-hash LSH variant (oracle-certifiable arithmetic)
+    obeys the same invariants as the production xxhash path: verified
+    pairs ⊆ exhaustive n-gram pairs, full recall on identical docs."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_portable(
+            docs_with_dups, n=3, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    identical = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.9999).collect()
+    }
+    assert identical <= lsh_pairs
+
+
+def test_portable_simhash_identical_docs_share_all_bands(spark, docs_with_dups):
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        simhash_buckets_portable,
+    )
+
+    buckets = simhash_buckets_portable(docs_with_dups)
+    pair = docs_with_dups.filter(F.col("doc_id").isin(0, 1000000))
+    if pair.count() == 2:
+        b = buckets.filter(F.col("doc_id").isin(0, 1000000))
+        per_band = b.groupBy("band", "key").count().filter(F.col("count") == 2)
+        assert per_band.count() == 2  # 30-bit signature → two 15-bit bands
+
+
 def test_simhash_identical_docs_share_all_bands(spark, docs_with_dups):
     buckets = simhash_buckets(docs_with_dups)
     # exact copies have identical simhash → co-bucketed in all 4 bands
