@@ -128,6 +128,36 @@ def dot_batch(vec_col: Column | str, query_vecs) -> Column:
     return out
 
 
+def sims_array(vec_col: Column | str, query_vecs, arrow: bool = True) -> Column:
+    """``array<double>`` of the row vector's dot against Q literal
+    query vectors, in query order — with the execution strategy chosen
+    by the caller's VOLUME policy:
+
+    - ``arrow=True`` → :func:`dot_batch` (numpy matmul). Pays a fixed
+      per-query Arrow/worker launch cost (~0.2 s locally) that
+      amortizes over large scans — the 100 TB path.
+    - ``arrow=False`` → interpreted HOF dots over a literal matrix.
+      Zero launch cost, JVM-side; wins when rows×dim is small (cached
+      sub-MB tables), where the UDF's fixed cost dominates its BLAS
+      advantage.
+
+    Both accumulate in DOUBLE; results agree within the 1e-6 rounding
+    every query applies before hashing.
+    """
+    if arrow:
+        return dot_batch(vec_col, query_vecs)
+    v = _as_double_array(vec_col)
+    qmat = lit_mat(query_vecs)
+    return F.transform(
+        qmat,
+        lambda q: F.aggregate(
+            F.zip_with(v, q, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def l2_norm(v: Column | str) -> Column:
     """Euclidean norm of an array column."""
     return F.sqrt(dot(v, v))

@@ -38,6 +38,24 @@ def enable_index_cache(enabled: bool = True) -> None:
         _INDEX_CACHE.clear()
 
 
+def _prune_dead_sessions() -> None:
+    """Drop cache entries whose SparkSession has been stopped.
+
+    A weak-keyed map can't do this: each cached DataFrame holds a
+    strong reference back to its session, so the session never becomes
+    collectable while its artifacts are cached. Liveness-pruning on
+    access releases dead-session artifacts (and their JVM-side state)
+    in long-lived multi-session processes.
+    """
+    for k, df in list(_INDEX_CACHE.items()):
+        try:
+            alive = df.sparkSession.sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if not alive:
+            _INDEX_CACHE.pop(k, None)
+
+
 def materialized(
     spark: SparkSession, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
@@ -54,6 +72,7 @@ def materialized(
     k = (id(spark), key)
     df = _INDEX_CACHE.get(k)
     if df is None:
+        _prune_dead_sessions()
         df = build().persist()
         _INDEX_CACHE[k] = df
     return df

@@ -184,6 +184,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     banded: DataFrame | None = None,
+    broadcast_buckets: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -229,6 +230,14 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # The bucket self-join: at cluster scale it SHUFFLES on
+    # (band, key) — the banded frame is O(corpus·bands) rows, and a
+    # bucketed index table gives the co-location for free. A caller
+    # whose corpus is known-small (size policy, queries.py) passes
+    # broadcast_buckets=True to replace the exchange+sort with a
+    # broadcast hash join — the local/serving fast path.
+    if broadcast_buckets:
+        b = F.broadcast(b)
     # candidate pairs are tiny (collisions, not the corpus) and feed
     # three consumers (both verify joins + the id semi-join) — persist
     # THEM, not the corpus-scale shingle frame (tracked, caching.py)
@@ -258,29 +267,32 @@ def jaccard_verify_pairs(
     """Exact n-gram-Jaccard verification of candidate (id_a, id_b)
     pairs — the shared final stage of every LSH bucketing scheme.
 
-    Broadcast the candidate PAIRS (collisions, ≪ corpus) against the
-    corpus twice — two broadcast hash joins that stream the document
-    scan with no shuffle, computing each side's DISTINCT shingle set on
-    its ~|pairs| matched rows — then join the two matched sides on the
-    pair key. That last join is pairs⋈pairs (both sides ≈
-    |candidates|), so it shuffles only candidate-scale rows; only the
-    tiny id-pair frame is ever broadcast (the texts never are, and
-    ReuseExchange ships it once).
+    ONE corpus pass: semi-join the corpus against the (broadcast)
+    distinct ids appearing in any pair — ~|pair docs| matched rows —
+    and compute each matched document's DISTINCT shingle set exactly
+    once (the two-sided formulation scanned the corpus twice and
+    shingled each doc once per side). The per-doc shingle frame is
+    persisted (it is pair-scale, not corpus-scale) and joined back to
+    the pair list twice as the build side of two broadcast hash joins,
+    so the whole verify runs without a shuffle. At cluster scale the
+    broadcasts are bounded by the collision count, exactly like the
+    candidate-pair broadcast itself; if pairs outgrow memory the same
+    plan degrades to shuffle joins by dropping the hints — the
+    asymptotics (cost ∝ collisions, never corpus²) are unchanged.
     """
-    doc_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    doc_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    j1 = doc_a.join(F.broadcast(cand), "id_a").selectExpr(
-        "id_a",
-        "id_b",
-        f"{X.word_shingles_sql(X.tokens_sql('__ta'), n)} AS sh_a",
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    doc_sh = caching.persist(
+        df.join(F.broadcast(ids), id_col, "left_semi").selectExpr(
+            id_col,
+            f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS __sh",
+        )
     )
-    j2 = doc_b.join(F.broadcast(cand), "id_b").selectExpr(
-        "id_a",
-        "id_b",
-        f"{X.word_shingles_sql(X.tokens_sql('__tb'), n)} AS sh_b",
-    )
-    verified = j1.join(j2, ["id_a", "id_b"]).filter(
-        (F.size("sh_a") > 0) & (F.size("sh_b") > 0)
+    sh_a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cand.join(F.broadcast(sh_a), "id_a")
+        .join(F.broadcast(sh_b), "id_b")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
@@ -394,6 +406,7 @@ def minhash_lsh_pairs_portable(
     text_col: str = "text",
     id_col: str = "doc_id",
     banded: DataFrame | None = None,
+    broadcast_buckets: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with the portable hash family —
     identical pipeline to ``minhash_lsh_pairs`` (bucket self-join on
@@ -409,6 +422,8 @@ def minhash_lsh_pairs_portable(
         banded = caching.persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
+    if broadcast_buckets:
+        b = F.broadcast(b)
     cand = caching.persist(
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -43,16 +43,19 @@ def pair_scores(
     keep_col: str,
     vec_col: str,
     qid_col: str,
+    arrow: bool = True,
 ) -> DataFrame:
-    """(row, query) similarity pairs via ONE Arrow-batched numpy
-    matmul per row batch (V.dot_batch) instead of a crossJoin with an
-    interpreted per-pair dot — measured ~4× cheaper at 10 query
-    vectors × 128k rows, because each row's vector crosses to Python
-    once and the Q dots are BLAS flops. Query ids keep their Python
-    type's Spark mapping (int → bigint, str → string)."""
+    """(row, query) similarity pairs via ONE batched sims array per row
+    (V.sims_array) instead of a crossJoin with an interpreted per-pair
+    dot — measured ~4× cheaper at 10 query vectors × 128k rows with
+    the Arrow matmul, because each row's vector crosses to Python once
+    and the Q dots are BLAS flops. ``arrow=False`` keeps the sims
+    JVM-side for small cached frames where the UDF launch cost
+    dominates (the caller's volume policy). Query ids keep their
+    Python type's Spark mapping (int → bigint, str → string)."""
     qids = [r[0] for r in query_rows]
     qmat = [[float(x) for x in r[1]] for r in query_rows]
-    sims = V.dot_batch(vec_col, qmat)
+    sims = V.sims_array(vec_col, qmat, arrow=arrow)
     if all(isinstance(q, int) and not isinstance(q, bool) for q in qids):
         qid_lit = F.expr(f"array({', '.join(f'{q}L' for q in qids)})")
     else:
@@ -75,6 +78,7 @@ def grouped_query_maxima(
     query_rows,  # list of (qid, vector)
     group_col: str,
     vec_col: str,
+    arrow: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """Per-group max similarity against each of Q query vectors, as Q
     codegen'd ``max`` aggregates over the batched-sims array — ONE
@@ -85,9 +89,10 @@ def grouped_query_maxima(
     the per-row sims stay an array, the map side partially maxes all Q
     positions, and only one (group, Q-wide) row per group crosses the
     wire. Returns (aggregated frame, ordered per-query column names).
+    ``arrow`` picks the sims strategy (V.sims_array volume policy).
     """
     qmat = [[float(x) for x in r[1]] for r in query_rows]
-    sims = V.dot_batch(vec_col, qmat)
+    sims = V.sims_array(vec_col, qmat, arrow=arrow)
     names = [f"__best_{i}" for i in range(len(query_rows))]
     aggs = [
         F.max(F.element_at(F.col("__sims"), i + 1)).alias(names[i])
@@ -138,6 +143,7 @@ def knn_batch(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     query_rows=None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Per-query top-k for a small batch of query vectors.
 
@@ -154,7 +160,7 @@ def knn_batch(
     )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
         joined = pair_scores(
-            embeddings, qrows, id_col, vec_col, query_id_col
+            embeddings, qrows, id_col, vec_col, query_id_col, arrow=arrow
         ).select(query_id_col, id_col, "sim")
     else:
         joined = embeddings.crossJoin(F.broadcast(queries)).select(
@@ -179,6 +185,8 @@ def segment_search(
     qvec_col: str = "features",
     qid_col: str = "q_segment_id",
     query_rows=None,
+    image_ids: DataFrame | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Q2 — segment-level search (search_with_segments.py:188-301).
 
@@ -189,6 +197,10 @@ def segment_search(
     ``candidate_cap`` reproduces the reference's ``top_k*3`` ES recall
     heuristic when set: only the first cap images (by image id) with
     segments are scored — a parity knob, not a semantic requirement.
+    ``image_ids`` optionally supplies the distinct image-id frame the
+    cap draws from — index metadata (the ids present in the segment
+    index), so a serving session hands in the write-time artifact
+    instead of re-distincting the corpus per query.
 
     Plan shape: segments ⋈ broadcast(query segments) → two-level
     aggregation. The only shuffle is the groupBy on (image, q-seg) —
@@ -198,10 +210,12 @@ def segment_search(
     """
     cand = segments
     if candidate_cap is not None:
-        cand_ids = (
-            segments.select(image_col).distinct()
-            .orderBy(image_col).limit(candidate_cap)
+        id_src = (
+            image_ids
+            if image_ids is not None
+            else segments.select(image_col).distinct()
         )
+        cand_ids = id_src.orderBy(image_col).limit(candidate_cap)
         cand = segments.join(F.broadcast(cand_ids), image_col, "left_semi")
 
     qrows = (
@@ -210,7 +224,9 @@ def segment_search(
         else _query_rows_of(query_segments, qid_col, qvec_col)
     )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
-        best, names = grouped_query_maxima(cand, qrows, image_col, vec_col)
+        best, names = grouped_query_maxima(
+            cand, qrows, image_col, vec_col, arrow=arrow
+        )
         total = F.col(names[0])
         for nm in names[1:]:
             total = total + F.col(nm)
@@ -253,6 +269,7 @@ def hybrid_search(
     qvec_col: str = "features",
     qid_col: str = "q_segment_id",
     query_rows=None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Q3 — two-phase hybrid re-rank (search_with_segments.py:345-445).
 
@@ -284,7 +301,7 @@ def hybrid_search(
     )
     if 0 < len(qrows) <= _MAX_BATCHED_QUERIES:
         best, names = grouped_query_maxima(
-            cand_segments, qrows, image_col, seg_vec_col
+            cand_segments, qrows, image_col, seg_vec_col, arrow=arrow
         )
         total = F.col(names[0])
         for nm in names[1:]:
@@ -312,6 +329,80 @@ def hybrid_search(
         F.coalesce(F.col("segment_score"), F.lit(0.0)).alias("segment_score"),
         V.hybrid_score(
             F.col("whole_score"), F.col("segment_score"), whole_weight, segment_weight
+        ).alias("hybrid_score"),
+    )
+    return combined.orderBy(F.desc("hybrid_score"), F.col(image_col)).limit(top_k)
+
+
+def hybrid_search_flat(
+    segments: DataFrame,
+    query_vec: Sequence[float],
+    query_rows,  # list of (qid, vector)
+    top_k: int = 10,
+    whole_weight: float = 0.4,
+    segment_weight: float = 0.6,
+    image_col: str = "image_id",
+    vec_col: str = "clip_features",
+    whole_marker: F.Column | None = None,
+    pool: int | None = None,
+    arrow: bool = True,
+) -> DataFrame:
+    """Q3 over the reference's FLAT segment layout — one corpus pass.
+
+    The flat index (`foto_atlas_sam`) denormalizes the whole-image
+    vector into every segment row (SAM/upload_segments_to_
+    elasticsearch.py:98-116), so both hybrid phases can be computed in
+    a single scan: each row's sims against [whole query] + [Q segment
+    queries], then ONE per-image aggregation producing the whole score
+    (from the ``whole_marker`` row) and all Q per-query-segment maxima
+    together. The phase-1 pool becomes a top-``pool`` selection over
+    the per-IMAGE frame (identical membership to the two-phase
+    formulation: ordered by whole score desc, image id asc), and no
+    candidate semi-join, second scan, or intermediate persist exists.
+
+    Exact same score algebra as :func:`hybrid_search` (whole shifted
+    to 0..2, segment raw cosine, missing whole row → image excluded
+    from phase 1 just as it is absent from the whole-image index).
+
+    Scale: scan → (group, Q+1 doubles) shuffle → two tiny top-k
+    stages. The per-image frame is |images| rows — the same frame any
+    formulation must aggregate — and the pool selection is
+    TakeOrderedAndProject, never a global sort.
+    """
+    if whole_marker is None:
+        raise ValueError("whole_marker column predicate required")
+    pool = pool if pool is not None else max(top_k * 20, 100)
+    qmat = [[float(x) for x in query_vec]] + [
+        [float(x) for x in r[1]] for r in query_rows
+    ]
+    sims = V.sims_array(vec_col, qmat, arrow=arrow)
+    base = segments.select(
+        F.col(image_col), whole_marker.alias("__w"), sims.alias("__s")
+    )
+    names = [f"__best_{i}" for i in range(len(query_rows))]
+    aggs = [
+        F.max(F.when(F.col("__w"), F.element_at(F.col("__s"), 1))).alias("__whole")
+    ] + [
+        F.max(F.element_at(F.col("__s"), i + 2)).alias(names[i])
+        for i in range(len(query_rows))
+    ]
+    per_image = (
+        base.groupBy(image_col)
+        .agg(*aggs)
+        .filter(F.col("__whole").isNotNull())
+        .withColumn("whole_score", V.calibrated_whole_score(F.col("__whole")))
+    )
+    pooled = per_image.orderBy(F.desc("whole_score"), F.col(image_col)).limit(pool)
+    total = F.col(names[0])
+    for nm in names[1:]:
+        total = total + F.col(nm)
+    seg_score = total / F.lit(float(len(names)))
+    combined = pooled.select(
+        F.col(image_col),
+        F.col("whole_score"),
+        F.coalesce(seg_score, F.lit(0.0)).alias("segment_score"),
+        V.hybrid_score(
+            F.col("whole_score"), seg_score, whole_weight, segment_weight
         ).alias("hybrid_score"),
     )
     return combined.orderBy(F.desc("hybrid_score"), F.col(image_col)).limit(top_k)

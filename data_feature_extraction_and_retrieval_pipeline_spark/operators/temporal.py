@@ -88,6 +88,54 @@ def asof_join(
     return out
 
 
+def sessionize_spans(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Batch-optimized sessionization twin of :func:`sessionize`:
+    lag + running-sum windows over ONE ``(key)``-partitioned sort.
+
+    Everything downstream of the single exchange — boundary flags,
+    session ordinals, per-session aggregates, even a further per-key
+    rollup — reuses the same hash partitioning, so the whole pipeline
+    is exchange → sort → window → window → agg in one stage, where the
+    ``session_window`` form pays a separate session-merge pass. Output
+    schema and values match :func:`sessionize` (asserted in
+    tests/test_temporal.py): session_end = last event + gap.
+
+    A new session starts when the gap since the previous event
+    STRICTLY exceeds ``gap`` — an event landing exactly on the
+    boundary extends the session.
+    """
+    interval = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(key).orderBy(ts_col)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + interval), 1
+    ).otherwise(0)
+    sess = events.withColumn("__sid", F.sum(new_s).over(run))
+    aggs: list[Column] = [
+        F.min(ts_col).alias("session_start"),
+        (F.max(ts_col) + interval).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        sess.groupBy(key, "__sid")
+        .agg(*aggs)
+        .drop("__sid")
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -20,6 +20,8 @@ so scores agree bit-for-bit before rounding.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -242,6 +244,55 @@ def _query_segment_rows(spark: SparkSession, sf_dir: str):
     rows — the memoized query artifact every segment/hybrid query
     scores against, so building a query plan never re-collects them."""
     return list(enumerate(_leading_vectors(spark, sf_dir, 10)))
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    try:
+        return os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    except OSError:
+        return None
+
+
+# Broadcast / Arrow volume thresholds, mirroring what a cluster's
+# cost-based optimizer reads from table stats (parquet footprint is
+# the cheap local stand-in). 32 MB ≈ a few× Spark's default
+# autoBroadcastJoinThreshold — safely inside executor memory, safely
+# above every local test table.
+_SIZE_THRESHOLD = 32 << 20
+
+
+def _vectors_arrow(sf_dir: str) -> bool:
+    """Sims strategy policy (V.sims_array): the Arrow numpy matmul
+    pays a fixed ~0.2 s worker/launch cost per query, amortized only
+    when the embedding corpus is large; below the threshold the
+    JVM-side HOF dots win outright."""
+    nbytes = _table_bytes(sf_dir, "embeddings")
+    return nbytes is None or nbytes >= _SIZE_THRESHOLD
+
+
+def _docs_small(sf_dir: str) -> bool:
+    """Broadcastability policy for document-corpus-derived frames
+    (LSH band signatures): broadcast only below the size threshold;
+    at cluster scale the bucket self-join shuffles on (band, key) —
+    the co-located layout a bucketed index table gives for free."""
+    nbytes = _table_bytes(sf_dir, "documents")
+    return nbytes is not None and nbytes < _SIZE_THRESHOLD
+
+
+def _doc_tag_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document ``tag_list`` index column — a WRITE-TIME
+    artifact in the reference (foto_atlas_sam's flattened ``tag_list``,
+    SAM/setup_elasticsearch_sam.py:83-84, populated at upload): tags
+    are derived once at ingest, not per query. A serving session keeps
+    it resident (indexes.py); correctness runs rebuild it inside the
+    query."""
+    docs = _t(spark, sf_dir, "documents")
+    tag_list = F.slice(F.array_sort(F.array_distinct(X.tokens(F.col("text")))), 1, 5)
+    return indexes.materialized(
+        spark,
+        f"doc_tag_list:{sf_dir}",
+        lambda: docs.select("doc_id", tag_list.alias("tag_list")),
+    )
 
 
 # =====================================================================
@@ -613,8 +664,19 @@ def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape — multi-join with broadcast dims (nation/region)
-    and a date-range filter that pushes to the orders scan."""
+    """TPC-H Q5 shape — multi-join with a date-range filter that
+    pushes to the orders scan.
+
+    The join strategy is SIZE-PARAMETERIZED (the bench-scale vs
+    cluster-scale decision the round-2 review asked for): nation and
+    region always broadcast; when the orders footprint is below
+    ``_SIZE_THRESHOLD`` the filtered orders⋈customer⋈dims side is
+    broadcast too, so lineitem — always the giant side — streams
+    through ONE broadcast hash join with no exchange before the final
+    tiny aggregation. Above the threshold (cluster scale) the orders
+    side shuffles on the join key, the correct plan when both inputs
+    are huge; AQE (enabled by session.py default off-bench) makes the
+    same call from runtime stats."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -623,12 +685,28 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    joined = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    obytes = _table_bytes(sf_dir, "orders")
+    cbytes = _table_bytes(sf_dir, "customer")
+    small = (
+        obytes is not None
+        and cbytes is not None
+        and obytes + cbytes < _SIZE_THRESHOLD
     )
+    if small:
+        dims = (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+            .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+            .select("o_orderkey", "n_name", "r_name")
+        )
+        joined = li.join(F.broadcast(dims), li["l_orderkey"] == dims["o_orderkey"])
+    else:
+        joined = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+            .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        )
     return joined.groupBy("n_name", "r_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
@@ -1002,7 +1080,8 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qrows = list(enumerate(_leading_vectors(spark, sf_dir, 5)))
     joined = retrieval.pair_scores(
-        emb, qrows, "vec_id", "embedding", "query_id"
+        emb, qrows, "vec_id", "embedding", "query_id",
+        arrow=_vectors_arrow(sf_dir),
     ).select("query_id", "vec_id", F.round(F.col("sim"), 6).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
     return joined.withColumn("rank", F.row_number().over(w)).filter(
@@ -1074,9 +1153,19 @@ def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("clip_features").alias("features"),
         )
     )
+    # The candidate cap draws from the segment index's distinct image
+    # ids — index METADATA, kept resident in a serving session
+    # (indexes.py) instead of re-distincting the corpus per query.
+    image_ids = indexes.materialized(
+        spark,
+        f"segment_image_ids:{sf_dir}",
+        lambda: seg.select("image_id").distinct(),
+    )
     out = retrieval.segment_search(
         seg, qsegs, top_k=10, candidate_cap=30,
         query_rows=_query_segment_rows(spark, sf_dir),
+        image_ids=image_ids,
+        arrow=_vectors_arrow(sf_dir),
     )
     return out.select(
         "image_id",
@@ -1129,17 +1218,16 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("clip_features"),
     )
-    images = seg.filter(F.col("vec_id") % 10 == 0).select(
-        "image_id", F.col("clip_features").alias("embedding")
-    )
-    qsegs = seg.filter(F.col("image_id") == 0).select(
-        F.col("vec_id").alias("q_segment_id"),
-        F.col("clip_features").alias("features"),
-    )
     qvec = _query_vector(spark, sf_dir, 0)
-    out = retrieval.hybrid_search(
-        images, seg, qvec, qsegs, top_k=10,
-        query_rows=_query_segment_rows(spark, sf_dir),
+    # Flat-layout fusion: the whole-image vector is a row of the same
+    # segment frame (the reference's denormalized foto_atlas_sam
+    # layout), so both phases run in ONE corpus pass — see
+    # retrieval.hybrid_search_flat. Identical pool membership and
+    # score algebra to the two-phase form.
+    out = retrieval.hybrid_search_flat(
+        seg, qvec, _query_segment_rows(spark, sf_dir), top_k=10,
+        whole_marker=F.col("vec_id") % 10 == 0,
+        arrow=_vectors_arrow(sf_dir),
     )
     return out.select(
         "image_id",
@@ -1208,19 +1296,17 @@ def hybrid_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = (
         seg.filter(F.col("label").isin(0, 2, 4, 6)).select("image_id").distinct()
     )
-    images = (
-        seg.filter(F.col("vec_id") % 10 == 0)
-        .join(F.broadcast(allowed), "image_id", "left_semi")
-        .select("image_id", F.col("clip_features").alias("embedding"))
-    )
-    qsegs = seg.filter(F.col("image_id") == 0).select(
-        F.col("vec_id").alias("q_segment_id"),
-        F.col("clip_features").alias("features"),
-    )
+    # Filter-before-expensive-work: only allowed images' rows are ever
+    # scored; the flat fusion then runs both phases in one pass (the
+    # oracle's phase-2 scores exactly the phase-1 candidates, which
+    # are all allowed images, so pre-filtering the segment side is
+    # result-identical).
+    cand = seg.join(F.broadcast(allowed), "image_id", "left_semi")
     qvec = _query_vector(spark, sf_dir, 0)
-    out = retrieval.hybrid_search(
-        images, seg, qvec, qsegs, top_k=10,
-        query_rows=_query_segment_rows(spark, sf_dir),
+    out = retrieval.hybrid_search_flat(
+        cand, qvec, _query_segment_rows(spark, sf_dir), top_k=10,
+        whole_marker=F.col("vec_id") % 10 == 0,
+        arrow=_vectors_arrow(sf_dir),
     )
     return out.select(
         "image_id",
@@ -1264,12 +1350,10 @@ def tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested (tag, confidence) structs with confidence ≥ 0.1; relevance
     proxy = (#matching tags, max confidence) per SURVEY.md §2.9. Tags
     are derived deterministically from document tokens."""
-    docs = _t(spark, sf_dir, "documents")
-    tag_list = F.slice(F.array_sort(F.array_distinct(X.tokens(F.col("text")))), 1, 5)
-    tagged = docs.select(
+    tagged = _doc_tag_list(spark, sf_dir).select(
         F.col("doc_id").alias("image_id"),
         F.transform(
-            tag_list,
+            F.col("tag_list"),
             lambda t: F.struct(
                 t.alias("tag"),
                 (((F.col("doc_id") + F.length(t)) % 100) / 100.0)
@@ -1455,7 +1539,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.banded_signatures(docs2, n=3, num_hashes=16, bands=4),
     )
     out = dedup.minhash_lsh_pairs(
-        docs2, n=3, num_hashes=16, bands=4, threshold=0.5, banded=banded
+        docs2, n=3, num_hashes=16, bands=4, threshold=0.5, banded=banded,
+        broadcast_buckets=_docs_small(sf_dir),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1575,7 +1660,8 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.portable_banded_signatures(docs2, n=3, num_hashes=8, bands=4),
     )
     out = dedup.minhash_lsh_pairs_portable(
-        docs2, n=3, num_hashes=8, bands=4, threshold=0.5, banded=banded
+        docs2, n=3, num_hashes=8, bands=4, threshold=0.5, banded=banded,
+        broadcast_buckets=_docs_small(sf_dir),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1969,7 +2055,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine avoids; at scale sessions are written to a table, not
     collected."""
     ev = _t(spark, sf_dir, "events")
-    sessions = temporal.sessionize(ev, "30 minutes")
+    # batch path: the lag/running-sum spans formulation — one exchange
+    # for the whole sessionize → per-session → per-user pipeline
+    # (sessionize_spans ≡ session_window, tests/test_temporal.py)
+    sessions = temporal.sessionize_spans(ev, "30 minutes")
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("total_events"),
@@ -2074,10 +2163,8 @@ def tag_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 — AND-tag filter (SAM/test_similarity_search.py:74-84):
     document must have ALL requested tags —
     size(array_intersect) == size(requested)."""
-    docs = _t(spark, sf_dir, "documents")
     want = ["a", "big"]
-    tag_list = F.slice(F.array_sort(F.array_distinct(X.tokens(F.col("text")))), 1, 5)
-    tagged = docs.select("doc_id", tag_list.alias("tag_list"))
+    tagged = _doc_tag_list(spark, sf_dir)
     return (
         tagged.filter(
             F.size(F.array_intersect("tag_list", F.lit(want))) == len(want)
@@ -2581,7 +2668,8 @@ def segment_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_features").alias("features"),
     )
     out = retrieval.segment_search(
-        cand, qsegs, top_k=10, query_rows=_query_segment_rows(spark, sf_dir)
+        cand, qsegs, top_k=10, query_rows=_query_segment_rows(spark, sf_dir),
+        arrow=_vectors_arrow(sf_dir),
     )
     return out.select(
         "image_id",

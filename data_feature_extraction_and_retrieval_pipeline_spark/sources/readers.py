@@ -70,6 +70,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # The NTZ→LTZ cast below is value-preserving ONLY under a UTC
+    # session; if the conf set above was rejected (locked-down caller
+    # session), the cast would silently shift wall-clock values by the
+    # host offset — verify instead of assuming.
+    try:
+        _tz_is_utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    except Exception:
+        _tz_is_utc = False
     cache_key = None
     if _CACHE_TABLES and name in schemas.TABLES:
         cache_key = (id(spark), sf_dir.rstrip("/"), name)
@@ -87,8 +95,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                         f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
                     )
                 elif actual.get(f.name) == "timestamp_ntz":
-                    # caller session that pre-read with NTZ inference on;
-                    # session TZ is UTC so the cast is value-preserving
+                    # caller session that pre-read with NTZ inference on
+                    if not _tz_is_utc:
+                        raise RuntimeError(
+                            f"cannot read {name}.{f.name}: session timezone "
+                            "is not UTC and the conf could not be set — the "
+                            "TIMESTAMP_NTZ→TIMESTAMP cast would shift values"
+                        )
                     df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if cache_key is not None:
         # Small parquet files arrive as ONE scan split (file size <

