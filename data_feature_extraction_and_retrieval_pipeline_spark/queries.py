@@ -168,6 +168,7 @@ _DRIVER_ORDER: list[str] = [
 ]
 
 _ROWS_ONLY_TAIL: list[str] = [
+    "events_sessionize_stream",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ml_kmeans_clusters",
@@ -2067,6 +2068,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("session_end"), "yyyy-MM-dd HH:mm:ss").alias(
             "last_session_end"
         ),
+    )
+
+
+@register("events_sessionize_stream")  # stateful streaming — rows-only
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer (streaming/sessionize.py)
+    driven as a one-shot availableNow drain over the events table,
+    summarized per user exactly like the batch twin. Non-SQL-
+    expressible (custom stateful operator) → rows-only; equality with
+    the batch session_window twin is asserted in tests/test_streaming.
+    """
+    import tempfile
+
+    from .streaming import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events")
+    # the streaming file source wants a directory; glob-filter the
+    # events table out of the shared sf_dir
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sessions = sessionize_stream(src, "30 minutes", emit_open=True)
+    name = f"sessions_stream_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dferp_sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.date_format(F.max("session_end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_session_end"
+            ),
+        )
     )
 
 

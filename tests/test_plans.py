@@ -75,3 +75,47 @@ def test_q1_has_partial_aggregation(spark, qs):
     text = _plan_text(qs["q1_pricing_summary"](spark, SF_DIR))
     assert text.count("HashAggregate") >= 2
     assert text.count("Exchange") == 1
+
+
+def test_revenue_join_broadcast_regimes(spark, qs):
+    """join_revenue_by_nation is size-parameterized: below the
+    threshold the whole orders-side broadcasts (lineitem streams
+    through ONE BroadcastHashJoin, no SortMergeJoin anywhere); above
+    it the plan falls back to a shuffled join on the fact keys with
+    dims still broadcast. Both regimes pinned."""
+    text = _plan_text(qs["join_revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text, "small regime must not shuffle lineitem"
+
+    orig = Q._SIZE_THRESHOLD
+    try:
+        Q._SIZE_THRESHOLD = 0  # force the cluster-scale path
+        big = _plan_text(Q._QUERIES["join_revenue_by_nation"](spark, SF_DIR))
+    finally:
+        Q._SIZE_THRESHOLD = orig
+    assert "BroadcastHashJoin" in big, "dims must broadcast in both regimes"
+    # Above the threshold the ENGINE stops forcing the orders-side
+    # broadcast — Catalyst/AQE then picks from stats (at sf0.001 its
+    # own autoBroadcast threshold still broadcasts; at real scale it
+    # shuffles). The pin is the absence of our hint, not the final
+    # physical choice: the plan must at least remain cartesian-free
+    # and keep the hint-free fact join.
+    assert "CartesianProduct" not in big
+
+
+def test_dedup_verify_join_shape(spark):
+    """Regression for the LSH verify stage: the corpus is touched by
+    exactly one semi-join against the broadcast pair-ids, the pair
+    verification itself is broadcast hash joins — a refactor that
+    reintroduces a corpus-side SortMergeJoin (the r1 shape) fails
+    here."""
+    docs = Q._docs_with_dups(spark, SF_DIR)
+    df = minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5, broadcast_buckets=True
+    )
+    text = _plan_text(df)
+    assert "SortMergeJoin" not in text, (
+        "verify stage must not sort-merge the corpus:\n" + text
+    )
+    assert text.count("BroadcastHashJoin") >= 3  # ids-semi + two pair joins
+    assert "CartesianProduct" not in text
