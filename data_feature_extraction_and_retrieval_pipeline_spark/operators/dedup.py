@@ -280,7 +280,9 @@ def jaccard_verify_pairs(
     plan degrades to shuffle joins by dropping the hints — the
     asymptotics (cost ∝ collisions, never corpus²) are unchanged.
     """
-    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    # no .distinct() on the id list: the broadcast semi-join hashes the
+    # build side anyway, so deduping first would only add a shuffle
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     doc_sh = caching.persist(
         df.join(F.broadcast(ids), id_col, "left_semi").selectExpr(
             id_col,

@@ -547,16 +547,23 @@ def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3/W8 — global top-k with rank numbering; Spark plans
-    TakeOrderedAndProject (no global sort)."""
+    """W3/W8 — global top-k with rank numbering.
+
+    The top-k (TakeOrderedAndProject — per-partition heaps, no global
+    sort) runs FIRST; the rank window then numbers only the k
+    surviving rows. Ranking before limiting would force a
+    single-partition sort of the whole table for ranks that are
+    discarded — at 100 TB, the difference between a heap merge and an
+    impossible global sort."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    return (
-        orders.select(
-            "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
-        )
+    topk = (
+        orders.select("o_orderkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
         .limit(20)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return topk.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
     )
 
 
