@@ -46,6 +46,11 @@ HEADLINE = [
     "vec_mean_per_label",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # the oracle-certified LSH pipelines (portable polynomial hashes):
+    # same plan shapes as the xxhash paths, and the DuckDB twin runs
+    # the identical arithmetic — a same-semantics two-engine number
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
     "dedup_embedding_cosine",
     "ann_lsh",
     "asof_join_clicks",

@@ -101,6 +101,41 @@ def stub_text_encoder_udf(dim: int = 64):
     return encode
 
 
+_PORT_ENC_P = 1_000_000_007
+_PORT_ENC_A = 387_420_489
+_PORT_ENC_C = 12_345
+
+
+def portable_text_encoder_udf(dim: int = 64):
+    """Oracle-certifiable stub text encoder:
+    ``e[i] = (((h + i)·A + C) mod P)/P − 0.5`` over the portable
+    rolling char hash ``h`` (functions/text.py), L2-normalized, all in
+    DOUBLE — every intermediate < 2^63, so a BIGINT SQL dialect
+    replays the exact values. Same Arrow-batched plumbing as the
+    sha256 stub (``stub_text_encoder_udf``); the difference is that
+    the DuckDB oracle can certify the UDF's OUTPUT VALUES, not just
+    shapes."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        idx = np.arange(dim, dtype=np.uint64)
+        a = np.uint64(_PORT_ENC_A)
+        c = np.uint64(_PORT_ENC_C)
+        p = np.uint64(_PORT_ENC_P)
+        out = []
+        for t in texts:
+            h = 0
+            for ch in t or "":
+                h = (h * 31 + ord(ch)) % _PORT_ENC_P
+            e = ((np.uint64(h) + idx) * a + c) % p
+            e = e.astype(np.float64) / float(_PORT_ENC_P) - 0.5
+            n = np.linalg.norm(e)
+            out.append((e / n if n > 0 else e).tolist())
+        return pd.Series(out)
+
+    return encode
+
+
 def stub_image_encoder_udf(dim: int = 512, model_loader=None):
     """U1 — CLIP image encoder (extract_clip_features.py:10-35):
     binary content → float[dim] L2-normalized.

@@ -167,14 +167,18 @@ _DRIVER_ORDER: list[str] = [
     "set_ops_users",
 ]
 
+# Genuinely non-oracle-able entries only: non-portable hashes
+# (sha256/xxhash), iterative fp-order-sensitive algorithms, stateful
+# streaming, and mapInPandas pipelines whose outputs have no SQL twin.
+# (ml_frame_sample / ml_zero_shot_tags / the portable stub encoder
+# graduated to full oracles in round 3 — they order after the head
+# for round-4 certification.)
 _ROWS_ONLY_TAIL: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ml_kmeans_clusters",
-    "ml_frame_sample",
     "ml_stub_text_embeddings",
-    "ml_zero_shot_tags",
     "ml_segment_pipeline",
     "ml_ingest_pipeline",
 ]
@@ -2487,12 +2491,28 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_frame_sample")  # binary fan-out stub — rows-only
+@register(
+    "ml_frame_sample",
+    """
+    WITH meta AS (
+        SELECT 'vid_' || CAST(doc_id AS VARCHAR) AS filename,
+               strlen(text)::BIGINT AS n_bytes
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT filename,
+           LEAST((n_bytes % 240) // 30 + 1, 8)::BIGINT AS n_frames,
+           (LEAST((n_bytes % 240) // 30 + 1, 8)::INT - 1) * 30 AS max_idx
+    FROM meta
+    """,
+)
 def ml_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1 row → N frame rows, the UDTF fan-out
     shape of U2): deterministic stub decode, real mapInPandas
-    batch-iteration and schema."""
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    batch-iteration and schema. The stub's frame count/index
+    arithmetic is integer-pure, so the oracle certifies the whole
+    mapInPandas fan-out path (stride 30, cap 8), not just row
+    counts."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     videos = docs.select(
         F.concat(F.lit("vid_"), F.col("doc_id").cast("string")).alias("filename"),
         F.encode(F.col("text"), "utf-8").alias("content"),
@@ -2913,13 +2933,89 @@ def ml_stub_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_zero_shot_tags")  # stub embeddings — rows-only
+@register(
+    "ml_stub_text_embeddings_portable",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, LENGTH(text)),
+                                      i -> ascii(text[i])::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        FROM documents
+    ),
+    raw AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   i -> (((h + i) * 387420489 + 12345) % 1000000007)
+                        / 1000000007.0 - 0.5) AS e
+        FROM h
+    ),
+    nrm AS (SELECT doc_id, e, SQRT(list_dot_product(e, e)) AS n FROM raw)
+    SELECT doc_id, 64 AS dim,
+           ROUND(e[1] / n, 6) AS e0,
+           ROUND(e[2] / n, 6) AS e1
+    FROM nrm
+    """,
+)
+def ml_stub_text_embeddings_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-analog with the PORTABLE stub encoder
+    (ml/encoders.py::portable_text_encoder_udf): the DuckDB oracle
+    replays the hash-affine arithmetic and L2 normalization, so the
+    Arrow-batched embedding-UDF plumbing is certified on VALUES —
+    the certification the sha256 stub (ml_stub_text_embeddings,
+    rows-only) cannot get."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = encoders.portable_text_encoder_udf(dim=64)
+    emb = docs.select("doc_id", enc(F.col("text")).alias("embedding"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1), 6).alias("e0"),
+        F.round(F.element_at("embedding", 2), 6).alias("e1"),
+    )
+
+
+@register(
+    "ml_zero_shot_tags",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    body AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+    vocab AS (
+        SELECT vec_id AS tid, 'tag_' || CAST(vec_id AS VARCHAR) AS tag, v AS tv
+        FROM e WHERE vec_id < 8
+    ),
+    logit AS (
+        SELECT b.vec_id, vo.tid, vo.tag,
+               100.0 * list_dot_product(b.v, vo.tv) AS l
+        FROM body b, vocab vo
+    ),
+    mx AS (SELECT vec_id, MAX(l) AS lmax FROM logit GROUP BY vec_id),
+    p AS (
+        SELECT l.vec_id, l.tid, l.tag, EXP(l.l - m.lmax) AS ex
+        FROM logit l JOIN mx m USING (vec_id)
+    ),
+    s AS (SELECT vec_id, SUM(ex) AS se FROM p GROUP BY vec_id),
+    top AS (
+        SELECT p.vec_id, p.tag, p.ex / s.se AS prob,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id ORDER BY p.ex DESC, p.tid) AS rn
+        FROM p JOIN s USING (vec_id)
+    )
+    SELECT vec_id, 5 AS n_tags, tag AS top_tag,
+           ROUND(prob, 4) AS top_conf
+    FROM top WHERE rn = 1
+    """,
+)
 def ml_zero_shot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 — zero-shot tagger: logits = 100·(img @ textᵀ), softmax over
     the full vocabulary, top-5 — against a precomputed broadcast
     vocab matrix (fixes the reference's recompute-per-segment,
-    SAM/sam_segment_clip_pipeline.py:229-241)."""
-    emb = _t(spark, sf_dir, "embeddings").limit(50)
+    SAM/sam_segment_clip_pipeline.py:229-241). The oracle replays the
+    max-stabilized softmax arithmetic, certifying the pandas-UDF
+    tagger end-to-end (top tag + rounded confidence)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     vocab = [
         (f"tag_{i}", v)
         for i, v in enumerate(_leading_vectors(spark, sf_dir, 8))
