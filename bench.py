@@ -211,6 +211,7 @@ def main() -> None:
                 "cold_total": cold_total,
                 "oracle_total": round(sum(oracle_timings.values()), 3),
                 "oracle_n": len(oracle_timings),
+                "oracle_queries": oracle_timings,
                 "spark_oracled_total": spark_oracled,
                 "resident_index_artifacts": resident,
                 "sf": sf,
