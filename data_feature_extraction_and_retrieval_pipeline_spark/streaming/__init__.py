@@ -5,3 +5,4 @@ from .ingest import (  # noqa: F401
     incremental_upsert,
 )
 from .sessionize import sessionize_stream, make_sessionizer, SESSION_SCHEMA  # noqa: F401
+from .dedup import dedup_stream, fingerprint_columns  # noqa: F401

@@ -185,3 +185,38 @@ def test_stateful_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
 
     b, s = key(batch.collect()), key(got.collect())
     assert b == s
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dedup_stream drops within-horizon exact duplicates: the drained
+    stream keeps exactly one row per distinct text, agreeing with the
+    batch exact_dedup grouping on the same fingerprint."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        exact_dedup,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        dedup_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    alld = docs.unionByName(dup).withColumn(
+        # synthetic arrival times inside one watermark horizon
+        "ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600),
+    )
+    src = str(tmp_path / "docs_stream")
+    alld.write.parquet(src)
+
+    stream = spark.readStream.schema(alld.schema).parquet(src)
+    deduped = dedup_stream(stream, ts_col="ts", watermark="1 hour")
+    got = _run_stream(spark, deduped, str(tmp_path / "ckpt_dedup"), "dedup_stream_t")
+
+    n_batch_groups = exact_dedup(alld).count()
+    assert got.count() == n_batch_groups
+    # every surviving text is distinct
+    assert got.select("text").distinct().count() == got.count()
