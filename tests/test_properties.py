@@ -146,3 +146,92 @@ def test_asof_join_matches_python(spark, left_ts, right_ts):
         prior = [t for t in right_ts if t <= s]
         expected = float(max(prior)) if prior else None
         assert out[i] == expected, (s, sorted(right_ts))
+
+
+def _py_portable_token_hash(tok: str, base: int = 31, mod: int = 1_000_000_007) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def _py_portable_shingles(tokens: list[str], n: int = 3,
+                          b: int = 1_000_003, mod: int = 1_000_000_007) -> list[int]:
+    th = [_py_portable_token_hash(t) for t in tokens]
+    if not th:
+        return []
+    if len(th) >= n:
+        out = []
+        for i in range(len(th) - n + 1):
+            h = 0
+            for x in th[i : i + n]:
+                h = (h * b + x) % mod
+            out.append(h)
+        return out
+    h = 0
+    for x in th:
+        h = (h * b + x) % mod
+    return [h]
+
+
+@given(st.lists(st.text(alphabet="abc xyz0", min_size=0, max_size=24),
+                min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_portable_shingle_hashes_match_python(spark, texts):
+    """The oracle-certifiable hash arithmetic (operators/dedup.py) is
+    checked against a plain-Python model on arbitrary inputs — the
+    same arithmetic the DuckDB oracle replays, so this property covers
+    what the fixed-corpus driver check cannot: adversarial whitespace,
+    short docs, empty docs."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        portable_shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, text: string"
+    )
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select(
+            "i", portable_shingle_hashes(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        assert got[i] == _py_portable_shingles(toks, 3), t
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_sims_array_strategies_agree(spark, rows):
+    """The two sims_array execution strategies (Arrow numpy matmul vs
+    JVM HOF dots) must agree within float tolerance — the volume
+    policy may pick either for the same query."""
+    queries = [[1.0, 0.0, -1.0, 0.5], [0.25, 0.25, 0.25, 0.25]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "i: long, v: array<double>",
+    )
+    a = {
+        r["i"]: list(r["s"])
+        for r in df.select(
+            "i", V.sims_array("v", queries, arrow=True).alias("s")
+        ).collect()
+    }
+    b = {
+        r["i"]: list(r["s"])
+        for r in df.select(
+            "i", V.sims_array("v", queries, arrow=False).alias("s")
+        ).collect()
+    }
+    for i in a:
+        for x, y in zip(a[i], b[i]):
+            assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
