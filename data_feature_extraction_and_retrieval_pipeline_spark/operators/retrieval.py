@@ -371,6 +371,8 @@ def hybrid_search_flat(
     """
     if whole_marker is None:
         raise ValueError("whole_marker column predicate required")
+    if not query_rows:
+        raise ValueError("hybrid_search_flat needs ≥1 query segment")
     pool = pool if pool is not None else max(top_k * 20, 100)
     qmat = [[float(x) for x in query_vec]] + [
         [float(x) for x in r[1]] for r in query_rows

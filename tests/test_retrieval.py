@@ -127,3 +127,45 @@ def test_tag_search_confidence_floor(spark):
     assert set(out) == {1, 2}
     assert out[1]["matched_tags"] == 1            # tree filtered by confidence
     assert out[2]["matched_tags"] == 2
+
+
+def test_hybrid_flat_equals_two_phase(spark, emb, emb_np):
+    """hybrid_search_flat (one corpus pass over the denormalized flat
+    layout) must reproduce the two-phase hybrid_search exactly: same
+    pool membership, same score algebra, same top-k."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.retrieval import (
+        hybrid_search_flat,
+    )
+
+    ids, mat = emb_np
+    seg = emb.select(
+        F.floor(F.col("vec_id") / 10).cast("long").alias("image_id"),
+        "vec_id",
+        F.col("embedding").alias("clip_features"),
+    )
+    images = seg.filter(F.col("vec_id") % 10 == 0).select(
+        "image_id", F.col("clip_features").alias("embedding")
+    )
+    qsegs = seg.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    qvec = list(mat[0])
+    qrows = [(i, list(mat[i])) for i in range(10)]
+
+    two = hybrid_search(
+        images, seg, qvec, qsegs, top_k=10, query_rows=qrows, arrow=False
+    ).collect()
+    flat = hybrid_search_flat(
+        seg, qvec, qrows, top_k=10,
+        whole_marker=F.col("vec_id") % 10 == 0, arrow=False,
+    ).collect()
+
+    def norm(rows):
+        return [
+            (r["image_id"], round(r["whole_score"], 9),
+             round(r["segment_score"], 9), round(r["hybrid_score"], 9))
+            for r in rows
+        ]
+
+    assert norm(flat) == norm(two)
