@@ -287,6 +287,42 @@ def lang_id(toks: Column | str, markers=None) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (training-data pipeline suite)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple POSIX-class patterns with identical semantics in
+# Spark (Java regex) and DuckDB (RE2): no lookaround, no \b-vs-RE2
+# quirks, no unicode classes.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace e-mail / phone / IPv4 literals with typed placeholders —
+    the standard pre-training scrub pass. One regexp_replace per
+    pattern class, all JVM-side; order matters (e-mails first, so the
+    IPv4 pattern cannot eat a dotted hostname that an e-mail already
+    consumed)."""
+    c = _c(col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One count column per PII class (regexp_count), aliased
+    n_<class> — the audit counters a scrub job reports."""
+    c = _c(col)
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
 

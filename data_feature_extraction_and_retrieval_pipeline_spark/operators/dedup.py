@@ -305,6 +305,38 @@ def jaccard_verify_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share ANY
+    distinct n-gram with a held-out benchmark set — the standard
+    train/eval contamination check for pre-training corpora.
+
+    The benchmark side is broadcast (eval suites are KB-MB even when
+    the corpus is 100 TB), so the plan is one corpus shingle explode
+    streaming through a broadcast hash join plus a per-document count
+    — no corpus self-join, no shuffle of document text. Returns
+    (id, n_shared) for flagged documents only; n_shared counts the
+    DISTINCT shared n-grams (both shingle sides are de-duplicated).
+    """
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+    b_sh = benchmark.select(
+        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle")
+    ).distinct()
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable-hash MinHash / SimHash (oracle-certifiable LSH)
 # ---------------------------------------------------------------------------

@@ -1739,6 +1739,144 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    """
+    WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@mail.example.com now'
+                    WHEN doc_id % 4 = 1
+                    THEN text || ' call +90 555 0199 today'
+                    WHEN doc_id % 4 = 2
+                    THEN text || ' from 192.168.1.50 addr'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    redacted AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))::INT
+                   AS n_email,
+               len(regexp_extract_all(text,
+                   '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}'))::INT AS n_phone,
+               len(regexp_extract_all(text,
+                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))::INT
+                   AS n_ipv4,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+                   '<IP>', 'g') AS clean
+        FROM inj
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(clean)),
+                                  i -> ascii(clean[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS clean_fp
+    FROM redacted
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (training-data suite): e-mail / phone / IPv4 →
+    typed placeholders (functions/text.py::redact_pii), with per-class
+    audit counters and a portable fingerprint of the REDACTED text so
+    the oracle certifies the scrubbed content, not just the counts.
+    PII literals are injected deterministically (the synthetic corpus
+    has none)."""
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(" call +90 555 0199 today")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(" from 192.168.1.50 addr")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = X.pii_counts(F.col("text"))
+    return inj.select(
+        "doc_id",
+        *counts,
+        X.rolling_hash_fingerprint(X.redact_pii(F.col("text"))).alias("clean_fp"),
+    )
+
+
+@register(
+    "text_contamination",
+    """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, 'intro words ' || text AS text
+        FROM bench
+    ),
+    c_sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 8
+                 THEN [array_to_string(t[i:i+7], ' ')
+                       FOR i IN generate_series(1, len(t) - 7)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               x -> LENGTH(x) > 0) AS t
+            FROM corpus
+        )
+    ),
+    b_sh AS (
+        SELECT DISTINCT UNNEST(list_distinct(
+            CASE WHEN len(t) >= 8
+                 THEN [array_to_string(t[i:i+7], ' ')
+                       FOR i IN generate_series(1, len(t) - 7)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM (
+            SELECT list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               x -> LENGTH(x) > 0) AS t
+            FROM bench
+        )
+    )
+    SELECT c.doc_id, COUNT(*) AS n_shared
+    FROM c_sh c JOIN b_sh b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data suite): corpus docs
+    sharing any distinct 8-gram with the held-out benchmark subset
+    (doc_id % 97 == 0) are flagged with their shared-shingle count
+    (operators/dedup.py::contamination_flags — broadcast benchmark
+    shingles, one corpus pass). Contaminated twins of each benchmark
+    doc are injected so the check has guaranteed positives."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.lit("intro words "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return dedup.contamination_flags(corpus, bench, n=8)
+
+
+@register(
     "text_quality",
     """
     WITH toks AS (
