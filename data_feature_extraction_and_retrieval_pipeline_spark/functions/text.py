@@ -346,6 +346,21 @@ def rolling_hash_fingerprint(col: Column | str) -> Column:
     )
 
 
+def hash_split(
+    col: Column | str, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """Deterministic content-hash train/val/test split — the standard
+    leakage-safe corpus split (identical text always lands in the same
+    split, across runs AND across engines, because the bucket comes
+    from the portable rolling hash rather than a seeded shuffle)."""
+    b = rolling_hash_fingerprint(col) % 100
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def portable_token_hashes(toks: Column | str) -> Column:
     """Per-token polynomial hash: each token of the array maps to
     ``fold(chars, h·31 + codepoint) mod 1e9+7`` — the

@@ -1877,6 +1877,103 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_hash_split",
+    """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, LENGTH(text)),
+                                      i -> ascii(text[i])::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars
+    FROM s GROUP BY split
+    """,
+)
+def etl_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (90/5/5) —
+    leakage-safe (identical text → identical split) and portable (the
+    bucket is the rolling-hash fingerprint mod 100, replayed by the
+    oracle). A seeded random split would neither survive re-ingest
+    nor be verifiable across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(X.hash_split(F.col("text")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best_per_source",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               (LEAST(LENGTH(text) / 200.0, 1.0)
+                + CASE WHEN LENGTH(text) > 0
+                       THEN LENGTH(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                            / CAST(LENGTH(text) AS DOUBLE)
+                       ELSE 0.0 END
+                + LEAST(CASE WHEN len(t) > 0
+                             THEN len(list_filter(t, x -> list_contains(
+                                 ['the','a','an','and','of','to','in','is','it','that'], x)))
+                                  / CAST(len(t) AS DOUBLE)
+                             ELSE 0.0 END * 10.0, 1.0)) / 3.0 AS q
+        FROM toks
+    ),
+    ranked AS (
+        SELECT source, doc_id, q,
+               COUNT(*) OVER (PARTITION BY source) AS n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+        FROM feats
+    )
+    SELECT source, doc_id AS best_doc_id, ROUND(q, 6) AS quality,
+           n_docs::BIGINT AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-source dedup policy (training-data suite): one
+    document per source, chosen by the composite quality score
+    (functions/text.py::quality_score, identical arithmetic both
+    engines so the unrounded ORDER BY agrees bit-for-bit), doc_id
+    tie-break. One window over one (source)-partitioned exchange
+    carries both the ranking and the group count."""
+    docs = _t(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    w = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.desc("__q"), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", q.alias("__q"))
+        .withColumn("n_docs", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("best_doc_id"),
+            F.round("__q", 6).alias("quality"),
+            "n_docs",
+        )
+    )
+
+
+@register(
     "text_quality",
     """
     WITH toks AS (
