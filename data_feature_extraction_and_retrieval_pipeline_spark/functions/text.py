@@ -255,6 +255,29 @@ def quality_features_udf(text_col: str):
     return out
 
 
+def mean_word_length(toks: Column | str) -> Column:
+    """Mean characters per token (0.0 for token-less docs) — one of
+    the classic corpus-quality heuristics (very low/high values mark
+    boilerplate or binary junk)."""
+    t = _c(toks)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(
+        F.size(t) > 0, total.cast("double") / F.size(t)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_word_fraction(toks: Column | str) -> Column:
+    """1 − distinct/total tokens: intra-document repetition signal
+    (high values mark keyword-stuffed or looping text)."""
+    t = _c(toks)
+    return F.when(
+        F.size(t) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "is"),
     "de": ("der", "die", "das", "und", "ist"),

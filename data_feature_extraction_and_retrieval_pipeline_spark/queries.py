@@ -1877,6 +1877,107 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_rules",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(t)::BIGINT AS n_words,
+               CASE WHEN len(t) > 0
+                    THEN list_reduce(
+                             list_prepend(0::BIGINT,
+                                 list_transform(t, x -> LENGTH(x)::BIGINT)),
+                             (a, b) -> a + b) / CAST(len(t) AS DOUBLE)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(t) > 0
+                    THEN 1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                    ELSE 0.0 END AS dup_word_frac
+        FROM toks
+    ),
+    bigrams AS (
+        SELECT doc_id, UNNEST(
+            [array_to_string(t[i:i+1], ' ')
+             FOR i IN generate_series(1, len(t) - 1)]) AS bg
+        FROM toks
+    ),
+    bg_counts AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    bg_frac AS (
+        SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+        FROM bg_counts GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.n_words,
+           ROUND(f.mean_word_len, 6) AS mean_word_len,
+           ROUND(f.dup_word_frac, 6) AS dup_word_frac,
+           ROUND(COALESCE(b.top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+           (f.n_words >= 50 AND f.n_words <= 100000
+            AND f.mean_word_len >= 3.0 AND f.mean_word_len <= 10.0
+            AND f.dup_word_frac < 0.5
+            AND COALESCE(b.top_bigram_frac, 0.0) < 0.2) AS keep
+    FROM feats f LEFT JOIN bg_frac b ON b.doc_id = f.doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (the published corpus
+    filters: word-count bounds, mean-word-length window, duplicate-
+    word fraction, top-bigram fraction) with a composite keep flag.
+    The thresholds are the published shapes; the arithmetic is
+    bit-identical in both engines so even the unrounded comparisons
+    agree. Per-doc features are one scan; the bigram mode is one
+    explode + two aggregations on the same doc_id partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        X.mean_word_length(toks).alias("__mwl"),
+        X.dup_word_fraction(toks).alias("__dwf"),
+    )
+    bigrams_arr = F.expr(X.word_shingles_sql(X.tokens_sql("text"), 2, distinct=False))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 2, bigrams_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("bg"),
+    )
+    bg_frac = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c").cast("double")).alias("__tbf")
+        )
+    )
+    joined = feats.join(bg_frac, "doc_id", "left").withColumn(
+        "__tbf0", F.coalesce(F.col("__tbf"), F.lit(0.0))
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("__mwl") >= 3.0)
+        & (F.col("__mwl") <= 10.0)
+        & (F.col("__dwf") < 0.5)
+        & (F.col("__tbf0") < 0.2)
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        F.round("__mwl", 6).alias("mean_word_len"),
+        F.round("__dwf", 6).alias("dup_word_frac"),
+        F.round("__tbf0", 6).alias("top_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
+@register(
     "etl_hash_split",
     """
     WITH s AS (
