@@ -109,9 +109,18 @@ _DRIVER_ORDER: list[str] = [
     "etl_regex_extract_path",
     "nested_roundtrip",
     "text_token_bpe",
-    # -- new this round: oracle-certifiable LSH dedup --
+    # -- new this round: oracle-certifiable LSH dedup + the newly
+    #    certified UDF-surface and corpus-curation queries --
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
+    "ml_frame_sample",
+    "ml_zero_shot_tags",
+    "ml_stub_text_embeddings_portable",
+    "text_redact_pii",
+    "text_contamination",
+    "text_gopher_rules",
+    "etl_hash_split",
+    "dedup_keep_best_per_source",
     # -- touched this round (row must postdate the change) --
     "join_revenue_by_nation",
     "segment_search",
@@ -124,18 +133,10 @@ _DRIVER_ORDER: list[str] = [
     "tag_search_and",
     # -- untouched r02-green keepers --
     "q1_pricing_summary",
-    "agg_explode_count",
-    "agg_group_stats",
-    "agg_keyword_scan",
     "agg_salted_group",
-    "win_topn_per_group",
     "win_global_topk",
-    "join_meta_counters",
     "join_semi_allowlist",
-    "join_anti_customers",
     "etl_sentinel_cleanse",
-    "etl_safe_cast",
-    "etl_url_basename_join",
     "etl_upsert_merge",
     "vec_mean_per_label",
     "join_tag_category",
@@ -153,7 +154,17 @@ _DRIVER_ORDER: list[str] = [
     "events_tumbling_window",
     "ml_multimodal_meta",
     "ml_resize_plan",
-    # ---- position 51+: r02-green, untouched this round ----
+    # ---- position 51+: r02-green, untouched this round (their r02
+    # rows stay current, so union(r02, r03) covers every oracled
+    # query with zero gaps) ----
+    "agg_explode_count",
+    "agg_group_stats",
+    "agg_keyword_scan",
+    "win_topn_per_group",
+    "join_meta_counters",
+    "join_anti_customers",
+    "etl_safe_cast",
+    "etl_url_basename_join",
     "agg_value_counts",
     "agg_histogram_chars",
     "agg_distinct_counts",
