@@ -59,6 +59,13 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "text_token_bpe",
+    # corpus-curation passes (round 3): PII scrub, decontamination,
+    # Gopher rules, hash split, keep-best-per-source
+    "text_redact_pii",
+    "text_contamination",
+    "text_gopher_rules",
+    "etl_hash_split",
+    "dedup_keep_best_per_source",
     "ml_multimodal_meta",
     "events_tumbling_window",
 ]
