@@ -169,3 +169,31 @@ def test_hybrid_flat_equals_two_phase(spark, emb, emb_np):
         ]
 
     assert norm(flat) == norm(two)
+
+
+def test_knn_batch_crossjoin_fallback_equals_batched(spark, emb, emb_np):
+    """Above _MAX_BATCHED_QUERIES the batched-literal path hands off to
+    the crossJoin formulation — both must produce identical rankings."""
+    import data_feature_extraction_and_retrieval_pipeline_spark.operators.retrieval as R
+
+    ids, mat = emb_np
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(3)],
+        "query_id: long, query_vec: array<double>",
+    )
+
+    batched = knn_batch(emb, qdf, k=5).collect()
+    orig = R._MAX_BATCHED_QUERIES
+    try:
+        R._MAX_BATCHED_QUERIES = 0  # force the crossJoin fallback
+        fallback = knn_batch(emb, qdf, k=5).collect()
+    finally:
+        R._MAX_BATCHED_QUERIES = orig
+
+    def norm(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["sim"], 9))
+            for r in rows
+        )
+
+    assert norm(batched) == norm(fallback)
