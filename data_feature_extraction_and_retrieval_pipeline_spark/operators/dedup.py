@@ -305,6 +305,56 @@ def jaccard_verify_pairs(
     )
 
 
+def label_propagation_canonical(
+    pairs: DataFrame,
+    rounds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → canonical id per connected component, by
+    ``rounds`` of min-label propagation — the step that turns pairwise
+    dedup output into an actionable keep-list (keep the canonical,
+    drop the rest).
+
+    label⁰(x) = x; labelᵗ⁺¹(x) = min(labelᵗ(x), min over neighbors
+    labelᵗ(nbr)). A FIXED round count keeps the plan static (no driver
+    convergence loop) and is exact whenever rounds ≥ component
+    diameter — true by construction for LSH dedup output, where
+    components are tiny near-dup clusters. At web scale with long
+    chains, swap in the alternating large-star/small-star contraction;
+    the per-round dataflow (edge join + min-aggregate, both sides
+    partitioned by node) is the same.
+
+    Returns (node, canonical) for every node appearing in a pair.
+    Deterministic integer mins — identical in any engine, which is
+    what makes the DuckDB oracle replay possible.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev)
+    lab = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(F.col("src").alias("node"), F.least("src", "__m").alias("label"))
+    )
+    for _ in range(rounds - 1):
+        nbr = (
+            edges.join(lab, edges["dst"] == lab["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        lab = (
+            lab.join(nbr, lab["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return lab.select("node", F.col("label").alias("canonical"))
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

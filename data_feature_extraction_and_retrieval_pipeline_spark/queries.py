@@ -1619,6 +1619,81 @@ _PORT_BAND_ROWS = "\n        UNION ALL ".join(
 
 
 @register(
+    "dedup_cluster_canonical",
+    f"""
+    WITH {_DOCS_DUPS_CTE},
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM docs2
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(t) - 2)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b FROM common c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l1 AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS label
+        FROM edges GROUP BY src
+    ),
+    l2 AS (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+        FROM l1 l
+        LEFT JOIN edges e ON e.src = l.node
+        LEFT JOIN l1 n ON n.node = e.dst
+        GROUP BY l.node, l.label
+    ),
+    l3 AS (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+        FROM l2 l
+        LEFT JOIN edges e ON e.src = l.node
+        LEFT JOIN l2 n ON n.node = e.dst
+        GROUP BY l.node, l.label
+    )
+    SELECT label AS canonical_id, COUNT(*) AS n_members,
+           MAX(node) AS max_member_id
+    FROM l3 GROUP BY label
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one canonical id per
+    cluster (operators/dedup.py::label_propagation_canonical, 3 fixed
+    min-label rounds): the keep-list step that makes pairwise dedup
+    actionable. Edges are the exact n-gram-Jaccard pairs; the oracle
+    unrolls the identical propagation rounds, so cluster membership is
+    value-certified end-to-end."""
+    docs2 = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs2, n=3, threshold=0.5)
+    lab = dedup.label_propagation_canonical(pairs, rounds=3)
+    return lab.groupBy(F.col("canonical").alias("canonical_id")).agg(
+        F.count("*").alias("n_members"),
+        F.max("node").alias("max_member_id"),
+    )
+
+
+@register(
     "dedup_minhash_lsh_portable",
     f"""
     WITH {_DOCS_DUPS_CTE},

@@ -195,3 +195,39 @@ def test_tracked_persists_release(spark):
     D.minhash_lsh_pairs(docs).collect()
     assert caching.release() >= 1
     assert caching.release() == 0
+
+
+def test_label_propagation_matches_union_find(spark, docs_with_dups):
+    """The fixed-round min-label propagation must assign every node the
+    true connected-component minimum (ground truth via union-find) —
+    valid because near-dup clusters here have diameter < rounds."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        label_propagation_canonical,
+    )
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {x: find(x) for x in parent}
+
+    got = {
+        r["node"]: r["canonical"]
+        for r in label_propagation_canonical(pairs, rounds=3).collect()
+    }
+    assert got == truth
