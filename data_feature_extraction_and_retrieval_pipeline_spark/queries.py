@@ -121,6 +121,7 @@ _DRIVER_ORDER: list[str] = [
     "text_gopher_rules",
     "etl_hash_split",
     "dedup_keep_best_per_source",
+    "dedup_cluster_canonical",
     # -- touched this round (row must postdate the change) --
     "join_revenue_by_nation",
     "segment_search",
@@ -135,7 +136,6 @@ _DRIVER_ORDER: list[str] = [
     "q1_pricing_summary",
     "agg_salted_group",
     "win_global_topk",
-    "join_semi_allowlist",
     "etl_sentinel_cleanse",
     "etl_upsert_merge",
     "vec_mean_per_label",
@@ -163,6 +163,7 @@ _DRIVER_ORDER: list[str] = [
     "win_topn_per_group",
     "join_meta_counters",
     "join_anti_customers",
+    "join_semi_allowlist",
     "etl_safe_cast",
     "etl_url_basename_join",
     "agg_value_counts",
