@@ -331,8 +331,14 @@ def label_propagation_canonical(
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev)
-    lab = (
+    # edges feed every round (and each round references the label
+    # frame twice), so an unpersisted lineage doubles per round —
+    # plan-size 2^rounds with the whole pair-mining pipeline
+    # replicated into each copy. Persisting the edge list and each
+    # round's (tiny, node-count-sized) label frame keeps the plan
+    # linear in rounds; both are tracked for post-query release.
+    edges = caching.persist(fwd.unionByName(rev))
+    lab = caching.persist(
         edges.groupBy("src")
         .agg(F.min("dst").alias("__m"))
         .select(F.col("src").alias("node"), F.least("src", "__m").alias("label"))
@@ -343,7 +349,7 @@ def label_propagation_canonical(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        lab = (
+        lab = caching.persist(
             lab.join(nbr, lab["node"] == nbr["src"], "left")
             .select(
                 "node",
