@@ -212,8 +212,15 @@ def oracle_sql() -> dict[str, str]:
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # wide=True → the cores-wide cached variant (readers.load_table):
+    # for queries whose cost is a deep JVM expression per row (shingle
+    # chains, regex stacks), where the byte-proportional cache width
+    # under-parallelizes a 32-core session. No-op when the table cache
+    # is off, so correctness-gate plans are untouched.
+    return load_table(spark, sf_dir, name, wide=wide)
 
 
 # Driver-side memo for tiny collected artifacts (query vectors,
@@ -1468,11 +1475,13 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_dups(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
     """documents ∪ exact copies (doc_id%5=0) ∪ near copies (doc_id%11=0,
     one token appended) — deterministic dup injection shared with the
     oracles."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", wide=wide).select("doc_id", "text")
     exact = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -1545,7 +1554,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard ≥ 0.5 — the SQL-exact near-dup
     path (shingle equi-join; scales with colliding pairs, not N²)."""
-    out = dedup.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+    out = dedup.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir, wide=True), n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1752,7 +1761,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (operators/dedup.py _PORT_* constants). Same plan
     shapes and shuffle structure as the xxhash production path
     (dedup_minhash_lsh); only the hash family differs."""
-    docs2 = _docs_with_dups(spark, sf_dir)
+    docs2 = _docs_with_dups(spark, sf_dir, wide=True)
     banded = indexes.materialized(
         spark,
         f"minhash_portable8x4x3:{sf_dir}",
@@ -1876,7 +1885,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle certifies the scrubbed content, not just the counts.
     PII literals are injected deterministically (the synthetic corpus
     has none)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     inj = docs.select(
         "doc_id",
         F.when(
@@ -1948,7 +1957,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::contamination_flags — broadcast benchmark
     shingles, one corpus pass). Contaminated twins of each benchmark
     doc are injected so the check has guaranteed positives."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     corpus = (
         docs.filter(F.col("doc_id") % 97 != 0)
@@ -2018,7 +2027,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines so even the unrounded comparisons
     agree. Per-doc features are one scan; the bigram mode is one
     explode + two aggregations on the same doc_id partitioning."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     toks = X.tokens(F.col("text"))
     feats = docs.select(
         "doc_id",
@@ -2143,7 +2152,7 @@ def dedup_keep_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the unrounded ORDER BY agrees bit-for-bit), doc_id
     tie-break. One window over one (source)-partitioned exchange
     carries both the ranking and the group count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     q = X.quality_score(F.col("text"))
     w = Window.partitionBy("source")
     wr = Window.partitionBy("source").orderBy(F.desc("__q"), F.col("doc_id"))
@@ -2291,7 +2300,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash fingerprint (h = h·31 + cp mod 1e9+7) —
     portable across engines, unlike murmur/xxhash."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     return docs.select(
         "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -2801,7 +2810,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex pre-tokenization (letter/digit/punct runs — the
     GPT-2 pre-tokenizer shape) for token budgeting; pure
     regexp_extract_all, identical RE semantics in the oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=True)
     t = X.bpe_tokens(F.col("text"))
     return docs.select(
         "doc_id",

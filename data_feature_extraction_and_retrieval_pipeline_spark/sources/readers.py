@@ -43,7 +43,9 @@ def enable_table_cache(enabled: bool = True) -> None:
         _TABLE_CACHE.clear()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
     """Read one driver-provided parquet table.
 
     TIMESTAMP(NANOS) columns (pandas datetime64[ns]) surface as LONG
@@ -78,9 +80,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _tz_is_utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
     except Exception:
         _tz_is_utc = False
+    # ``wide=True`` requests the cores-wide cached variant for scans
+    # that do heavy JVM-side CPU work per row (deep shingle/regex
+    # expressions): the byte-proportional partitioning below is right
+    # for cheap scans and Arrow-UDF stages (fewer Python workers, fat
+    # batches) but caps an expensive whole-stage-codegen projection at
+    # ~8 threads on a 32-core session. Measured at sf0.1: contamination
+    # 0.53→0.35 s, gopher rules 0.35→0.25 s wide, while the Arrow
+    # kernels (quality, cosine dedup) LOSE 30-50% at 32 partitions —
+    # hence two cached variants instead of one compromise width. Only
+    # meaningful with the table cache on; otherwise it's a no-op so
+    # correctness-gate plans keep their natural scan partitioning.
     cache_key = None
     if _CACHE_TABLES and name in schemas.TABLES:
-        cache_key = (id(spark), sf_dir.rstrip("/"), name)
+        variant = "wide" if wide else "base"
+        cache_key = (id(spark), sf_dir.rstrip("/"), name, variant)
         cached = _TABLE_CACHE.get(cache_key)
         if cached is not None:
             return cached
@@ -130,6 +144,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             want = target
         if name in ("documents", "embeddings"):
             want = max(want, min(8, target))
+        if wide:
+            want = target
         if df.rdd.getNumPartitions() != want:
             df = df.repartition(want)
         df = df.persist()
