@@ -2549,7 +2549,12 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # NoTimeout drain (sessionize_stream emit_open=True) terminates on
+    # its own once the source is exhausted; the bounded wait is a
+    # backstop, and a stream that somehow outlives it is stopped here
+    # rather than left to abort mid-batch at session teardown.
+    if not q.awaitTermination(120):
+        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -141,10 +141,24 @@ def sessionize_stream(
     n, unit = gap.split()
     per = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1, "hour": 3600, "hours": 3600}[unit]
     gap_us = int(n) * per * 1_000_000
+    # Timeout mode follows the drain mode. A one-shot availableNow
+    # drain (emit_open=True) never leaves state behind, so it needs no
+    # timeouts — and declaring ProcessingTimeTimeout anyway makes the
+    # runtime keep scheduling empty micro-batches to check for expired
+    # state, so the "drain" never terminates (observed: ~2 empty
+    # epochs/sec forever; awaitTermination only returns by timeout and
+    # session teardown then aborts a batch mid-flight). A long-running
+    # stream (emit_open=False) holds open sessions in state and relies
+    # on the processing-time timeout to flush them.
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if emit_open
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events_stream.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
         make_sessionizer(gap_us, emit_open=emit_open),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
