@@ -1,0 +1,164 @@
+"""Corpus-curation operators for training-data pipelines (round-3
+extensions of the LLM-data suite: SURVEY.md §6 scope, alongside
+operators/dedup.py's near-dup/contamination passes).
+
+Three map-heavy passes every large-scale pre-training pipeline runs
+between raw ingest and tokenization:
+
+- ``chunk_windows``     — overlapping token-window chunking (context-
+                          length packing prep). Narrow, map-only: no
+                          shuffle at any scale; output is linear in
+                          token count.
+- ``mixture_sample``    — deterministic stratified mixture sampling
+                          (per-source rates, the "data mixture" knob).
+                          A pure hash predicate: reproducible across
+                          runs/engines, no RNG state, map-only.
+- ``unigram_logprob``   — corpus-unigram negative-log-likelihood
+                          scoring (the CCNet-style LM quality proxy,
+                          one order below a real KenLM): one vocab
+                          aggregation + one token-level join.
+
+All three are pure Catalyst expression pipelines (no Python workers),
+and every hash/score is portable arithmetic the DuckDB oracle replays
+exactly (functions/text.py::portable_token_hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as X
+from .dedup import _PORT_B, _PORT_P
+
+# Mixture-sample hash family: first affine pair of the portable MinHash
+# family (dedup._PORT_A/_C), hardcoded so oracle SQL embeds the same
+# literals.
+_MIX_A = 387420489
+_MIX_C = 12345
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks: (id, chunk_idx, n_tokens,
+    chunk_fp) with chunk k covering tokens [k·stride, k·stride+window).
+
+    The standard context-window packing prep: documents longer than
+    ``window`` tokens split into ``1 + ceil((n-window)/stride)`` chunks
+    (the last may be short); shorter documents yield one chunk; empty
+    documents none. ``chunk_fp`` folds the chunk's portable per-token
+    hashes (``fold(acc·B + tok_hash) mod P``) — a content fingerprint
+    for downstream chunk-level dedup that any BIGINT SQL engine
+    reproduces.
+
+    Scale: map-only (tokenize → posexplode over a computed chunk
+    count → slice). No shuffle, no state; output rows ≈ corpus tokens
+    / stride, each carrying a fingerprint instead of text, so the
+    chunk index is a fraction of corpus bytes.
+    """
+    assert window >= 1 and 1 <= stride <= window
+    toks = X.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n = F.size("__toks")
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.ceil((n - F.lit(window)) / F.lit(float(stride))), F.lit(0)
+        )
+    ).cast("int")
+    chunked = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, window
+    )
+    fp = F.aggregate(
+        X.portable_token_hashes(chunk),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_PORT_B) + h) % F.lit(_PORT_P),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        fp.alias("chunk_fp"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified mixture sampling: keep a row iff
+    ``(id·A + C) mod P mod 1000 < rate(stratum)·1000``.
+
+    The training-mixture knob (sample web text at 10%, books at 100%,
+    …) as a pure hash predicate: no RNG state, identical selection on
+    every run and engine, and membership is decidable per-row — a
+    map-only filter that composes with any downstream pass. Rates
+    quantize to 1/1000.
+
+    Scale: the predicate is one multiply-mod per row; the stratum
+    lookup is a CASE over a handful of literals (broadcast-free).
+    """
+    sel = (F.col(id_col) * _MIX_A + _MIX_C) % _PORT_P % 1000
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        thr = F.lit(int(round(v * 1000)))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    thr_col = (
+        rate.otherwise(F.lit(int(round(default_rate * 1000))))
+        if rate is not None
+        else F.lit(int(round(default_rate * 1000)))
+    )
+    return df.filter(sel < thr_col)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-unigram NLL quality score: (id, n_tokens, avg_nll) where
+    ``avg_nll = mean(-ln(count(tok)/total_tokens))`` over the
+    document's tokens — the CCNet-style "perplexity proxy" quality
+    filter (low = in-distribution text, high = gibberish/rare-token
+    soup).
+
+    Scale: pass 1 aggregates the vocabulary (one shuffle on token,
+    map-side combine collapses to vocab cardinality — Heaps-law
+    sublinear in corpus size); pass 2 joins tokens back to their
+    frequencies. ``broadcast_vocab=True`` broadcasts the frequency
+    table (right for natural-language vocabularies, ~millions of rows
+    even at 100 TB); set False to shuffle-join when the token domain
+    is unbounded (code, URLs).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    vocab = freq.crossJoin(F.broadcast(total))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.col("total"))).alias("avg_nll"),
+        )
+    )

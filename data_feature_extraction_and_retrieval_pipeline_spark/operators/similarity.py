@@ -42,6 +42,33 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Radius query: every vector with cosine ≥ threshold of the query
+    (the candidate-pull sibling of ``brute_force_topk`` — "everything
+    closer than τ", unbounded cardinality).
+
+    ``round_to`` compares on the rounded score so the boundary set is
+    stable across engines/accumulation orders. One scan, the predicate
+    runs inside whole-stage codegen; at scale the IVF/LSH layouts
+    prune the same way as for top-k (probe only partitions whose
+    centroid/bucket admits τ).
+    """
+    q = V.lit_vec(query_vec)
+    score = V.dot(F.col(vec_col), q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return embeddings.select(
+        F.col(id_col), score.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def assign_clusters(
     embeddings: DataFrame,
     centroids: list[Sequence[float]],

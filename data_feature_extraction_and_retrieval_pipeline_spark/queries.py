@@ -29,7 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from . import indexes
 from .functions import text as X
 from .functions import vectors as V
-from .operators import analytics, dedup, etl, multimodal, retrieval, similarity, temporal
+from .operators import (
+    analytics,
+    curation,
+    dedup,
+    etl,
+    multimodal,
+    retrieval,
+    similarity,
+    temporal,
+)
 from .ml import encoders
 from .sources import load_table
 from .streaming import tumbling_window_counts
@@ -3652,6 +3661,153 @@ def nested_tags_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_confidence"),
     )
+
+
+# =====================================================================
+# Corpus curation II: chunking, mixture sampling, LM quality scoring,
+# range similarity search (round-3 additions; driver slots in round 4)
+# =====================================================================
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                   t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(
+                   0, (1 + GREATEST(CEIL((n - 16) / 12.0), 0))::BIGINT - 1
+               ))::INT AS chunk_idx
+        FROM nz
+    ),
+    sliced AS (
+        SELECT doc_id, chunk_idx,
+               t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16] AS chunk
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+           list_reduce(
+               list_prepend(0::BIGINT, list_transform(chunk, tok ->
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(generate_series(1, LENGTH(tok)),
+                                          i -> ascii(tok[i])::BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % {dedup._PORT_P}))),
+               (a, h) -> (a * {dedup._PORT_B} + h) % {dedup._PORT_P}
+           ) AS chunk_fp
+    FROM sliced
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing prep: overlapping 16-token chunks with
+    stride 12 (operators/curation.py::chunk_windows), each carrying a
+    portable content fingerprint for chunk-level dedup. Map-only — no
+    shuffle at any scale; the oracle replays the chunking rule and the
+    fingerprint arithmetic exactly."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    out = curation.chunk_windows(docs, window=16, stride=12)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_fp",
+    )
+
+
+@register(
+    "etl_mixture_sample",
+    f"""
+    WITH kept AS (
+        SELECT * FROM documents
+        WHERE (doc_id * {curation._MIX_A} + {curation._MIX_C})
+              % {dedup._PORT_P} % 1000
+              < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                            WHEN 'src2' THEN 250 ELSE 100 END
+    )
+    SELECT source, lang, COUNT(*) AS n_kept,
+           SUM(doc_id)::BIGINT AS id_checksum,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM kept GROUP BY source, lang
+    """,
+)
+def etl_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: deterministic per-source rates
+    (src0 100%, src1 50%, src2 25%, rest 10%) via a portable hash
+    predicate (operators/curation.py::mixture_sample) — the data-
+    mixture knob as a reproducible map-only filter, no RNG state.
+    The id checksum certifies the exact selected SET, not just
+    counts."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(
+            string_split_regex(LOWER(text), '\\s+'),
+            t -> LENGTH(t) > 0)) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM freq)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           ROUND(AVG(-LN(c / total)), 6) AS avg_nll
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-document mean unigram
+    negative log-likelihood under the corpus's own unigram model
+    (operators/curation.py::unigram_logprob) — the standard
+    "perplexity filter" one rung below a real KenLM. Vocab aggregation
+    + broadcast frequency join; sublinear state (Heaps' law) at
+    scale."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    out = curation.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
+@register(
+    "ann_range_search",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS cosine
+    FROM embeddings e, q
+    WHERE ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 6) >= 0.2
+      AND e.vec_id <> 42
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: ALL vectors within cosine ≥ τ of the
+    query (not top-k) — the radius-query sibling of ann_brute_force,
+    the primitive behind near-dup candidate pulls ("everything closer
+    than τ"). One scan, predicate evaluated inside whole-stage
+    codegen; at scale the same IVF/LSH partition pruning as the top-k
+    paths applies (probe only clusters whose centroid distance admits
+    τ). Threshold compares on the ROUNDED score so the boundary set is
+    engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 42)
+    out = similarity.range_search(emb, q, threshold=0.2)
+    return out.filter(F.col("vec_id") != 42)
 
 
 # =====================================================================

@@ -1,0 +1,128 @@
+"""Corpus-curation operators: chunking, mixture sampling, unigram LM
+scoring, range similarity search (operators/curation.py,
+operators/similarity.py::range_search)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import curation, similarity
+from data_feature_extraction_and_retrieval_pipeline_spark.sources import load_table
+
+from conftest import SF_DIR
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestChunkWindows:
+    def test_short_doc_single_chunk(self, spark):
+        df = _docs(spark, ["a b c"])
+        rows = curation.chunk_windows(df, window=4, stride=2).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_idx == 0 and rows[0].n_tokens == 3
+
+    def test_empty_doc_no_chunks(self, spark):
+        df = _docs(spark, ["", "   ", "x"])
+        rows = curation.chunk_windows(df, window=4, stride=2).collect()
+        assert {r.doc_id for r in rows} == {2}
+
+    def test_every_token_covered_and_overlap(self, spark):
+        # 10 tokens, window 4, stride 3 -> chunks at 0,3,6 and wait:
+        # 1 + ceil((10-4)/3) = 3 chunks -> starts 0,3,6 cover 0..9
+        toks = [f"t{i}" for i in range(10)]
+        df = _docs(spark, [" ".join(toks)])
+        rows = sorted(
+            curation.chunk_windows(df, window=4, stride=3).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.chunk_idx for r in rows] == [0, 1, 2]
+        assert [r.n_tokens for r in rows] == [4, 4, 4]
+        # last chunk starts at 6, ends at 9 -> full coverage
+        covered = set()
+        for r in rows:
+            covered |= set(range(r.chunk_idx * 3, r.chunk_idx * 3 + r.n_tokens))
+        assert covered == set(range(10))
+
+    def test_fingerprint_matches_content_not_position(self, spark):
+        # identical chunk content -> identical fingerprint, across docs
+        df = _docs(spark, ["a b c d", "a b c d"])
+        rows = curation.chunk_windows(df, window=4, stride=4).collect()
+        fps = {r.doc_id: r.chunk_fp for r in rows}
+        assert fps[0] == fps[1]
+        df2 = _docs(spark, ["a b c d", "a b c e"])
+        rows2 = curation.chunk_windows(df2, window=4, stride=4).collect()
+        fps2 = {r.doc_id: r.chunk_fp for r in rows2}
+        assert fps2[0] != fps2[1]
+
+
+class TestMixtureSample:
+    def test_deterministic_and_rate_ordered(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        rates = {"src0": 1.0, "src1": 0.5}
+        a = {r.doc_id for r in curation.mixture_sample(docs, rates, 0.1).collect()}
+        b = {r.doc_id for r in curation.mixture_sample(docs, rates, 0.1).collect()}
+        assert a == b  # no RNG state
+        full = docs.filter(F.col("source") == "src0").count()
+        kept = curation.mixture_sample(docs, rates, 0.1).filter(
+            F.col("source") == "src0"
+        ).count()
+        assert kept == full  # rate 1.0 keeps everything
+
+    def test_subset_monotone_in_rate(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        lo = {r.doc_id for r in curation.mixture_sample(docs, {}, 0.2).collect()}
+        hi = {r.doc_id for r in curation.mixture_sample(docs, {}, 0.6).collect()}
+        assert lo <= hi  # same hash, higher threshold -> superset
+
+
+class TestUnigramLogprob:
+    def test_rare_tokens_score_higher(self, spark):
+        common = " ".join(["the"] * 8)
+        rare = "zxqv wvut qqzz pppw xyzy abcd efgh ijkl"
+        df = _docs(spark, [common] * 5 + [rare])
+        out = {r.doc_id: r.avg_nll for r in curation.unigram_logprob(df).collect()}
+        assert out[5] > out[0]
+
+    def test_uniform_corpus_exact_value(self, spark):
+        # 4 docs x 1 distinct token each, all distinct -> p = 2/8 per
+        # token (each token appears twice)
+        df = _docs(spark, ["aa aa", "bb bb", "cc cc", "dd dd"])
+        out = curation.unigram_logprob(df).collect()
+        for r in out:
+            assert r.n_tokens == 2
+            assert r.avg_nll == pytest.approx(-math.log(2 / 8), rel=1e-12)
+
+    def test_shuffle_join_variant_matches_broadcast(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        a = {
+            (r.doc_id, r.n_tokens, round(r.avg_nll, 9))
+            for r in curation.unigram_logprob(docs, broadcast_vocab=True).collect()
+        }
+        b = {
+            (r.doc_id, r.n_tokens, round(r.avg_nll, 9))
+            for r in curation.unigram_logprob(docs, broadcast_vocab=False).collect()
+        }
+        assert a == b
+
+
+class TestRangeSearch:
+    def test_contains_topk_above_threshold(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+        topk = similarity.brute_force_topk(emb, q, k=5).collect()
+        tau = round(min(r.cosine for r in topk), 6)
+        within = {r.vec_id for r in similarity.range_search(emb, q, tau).collect()}
+        assert {r.vec_id for r in topk} <= within
+
+    def test_threshold_filters(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+        rows = similarity.range_search(emb, q, threshold=0.3).collect()
+        assert all(r.cosine >= 0.3 for r in rows)
