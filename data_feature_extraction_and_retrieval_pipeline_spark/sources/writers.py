@@ -38,6 +38,32 @@ def write_json_export(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.write.mode(mode).json(path)
 
 
+def write_sharded_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    shard_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export sink: JSONL shards with a bounded record
+    count per file — the layout data-loader fleets consume (each
+    worker streams a shard; bounded shards bound worker skew).
+
+    Spark-first: ``maxRecordsPerFile`` makes the executors split
+    output files at the bound with NO extra shuffle — don't
+    repartition to force file counts. ``shard_by`` optionally
+    partitions the directory layout by a coarse column (e.g. split or
+    source) so loaders can subset by prefix; the column value moves
+    into the directory name, Hive-style.
+    """
+    writer = df.write.mode(mode).option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if shard_by:
+        writer = writer.partitionBy(shard_by)
+    writer.json(path)
+
+
 def write_binary_files(
     df: DataFrame,
     out_dir: str,

@@ -124,3 +124,32 @@ def test_write_binary_files(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["a_1.png", "a_2.png", "b_1.png"]
     assert open(os.path.join(out, "a_2.png"), "rb").read() == b"BB"
     assert open(os.path.join(out, "b_1.png"), "rb").read() == b""
+
+
+def test_write_sharded_jsonl(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+        write_sharded_jsonl,
+    )
+
+    df = spark.range(0, 100, 1, 2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).cast("string").alias("split"),
+    )
+    out = str(tmp_path / "export")
+    write_sharded_jsonl(df, out, max_records_per_file=10, shard_by="split")
+    # Hive-style split directories
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=false", "split=true"]
+    files = glob.glob(f"{out}/split=*/*.json")
+    ids = set()
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(line) for line in fh if line.strip()]
+        assert len(lines) <= 10  # the per-file bound
+        ids |= {r["doc_id"] for r in lines}
+    assert ids == set(range(100))
