@@ -188,12 +188,17 @@ _DRIVER_ORDER: list[str] = [
     "set_ops_users",
 ]
 
+# Round-4 rotation plan (assuming r03 certifies the current head):
+# promote into the head (a) the curation-II queries registered after
+# the head this round (text_chunk_windows, etl_mixture_sample,
+# text_unigram_logprob, ann_range_search) and (b) any position-51+
+# r02-green query whose code changes in round 4. Keep the union
+# invariant: every oracled query has a green row from the latest
+# round that touched it.
+#
 # Genuinely non-oracle-able entries only: non-portable hashes
 # (sha256/xxhash), iterative fp-order-sensitive algorithms, stateful
 # streaming, and mapInPandas pipelines whose outputs have no SQL twin.
-# (ml_frame_sample / ml_zero_shot_tags / the portable stub encoder
-# graduated to full oracles in round 3 — they order after the head
-# for round-4 certification.)
 _ROWS_ONLY_TAIL: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_lsh",

@@ -119,3 +119,37 @@ def test_dedup_verify_join_shape(spark):
     )
     assert text.count("BroadcastHashJoin") >= 3  # ids-semi + two pair joins
     assert "CartesianProduct" not in text
+
+
+def test_chunk_windows_is_map_only(spark, qs):
+    """Chunking must not shuffle: tokenize -> explode -> slice is one
+    narrow pipeline at any scale."""
+    df = qs["text_chunk_windows"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert "Exchange" not in text, f"chunking must stay map-only:\n{text}"
+
+
+def test_mixture_sample_is_map_side_filter(spark, qs):
+    """The mixture predicate is a per-row hash compare; the only
+    exchange in the query is the final per-stratum aggregation."""
+    df = qs["etl_mixture_sample"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert text.count("Exchange") <= 1, f"one agg exchange expected:\n{text}"
+    assert "CartesianProduct" not in text
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, qs):
+    """The token->frequency join must broadcast the vocab (bounded by
+    Heaps' law), never sort-merge the exploded token stream."""
+    df = qs["text_unigram_logprob"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text, f"token join must not SMJ:\n{text}"
+
+
+def test_range_search_scan_only(spark, qs):
+    """Radius search is one scan + codegen'd predicate — no join, no
+    exchange before the collect."""
+    df = qs["ann_range_search"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert "Exchange" not in text and "Join" not in text, text
