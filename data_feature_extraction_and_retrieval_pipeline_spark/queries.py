@@ -131,6 +131,10 @@ _DRIVER_ORDER: list[str] = [
     "etl_hash_split",
     "dedup_keep_best_per_source",
     "dedup_cluster_canonical",
+    "text_chunk_windows",
+    "etl_mixture_sample",
+    "text_unigram_logprob",
+    "ann_range_search",
     # -- touched this round (row must postdate the change) --
     "join_revenue_by_nation",
     "segment_search",
@@ -142,15 +146,11 @@ _DRIVER_ORDER: list[str] = [
     "tag_search",
     "tag_search_and",
     # -- untouched r02-green keepers --
-    "q1_pricing_summary",
     "agg_salted_group",
-    "win_global_topk",
     "etl_sentinel_cleanse",
-    "etl_upsert_merge",
     "vec_mean_per_label",
     "join_tag_category",
     "ann_ivf",
-    "ann_brute_force",
     "ann_lsh",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -165,7 +165,14 @@ _DRIVER_ORDER: list[str] = [
     "ml_resize_plan",
     # ---- position 51+: r02-green, untouched this round (their r02
     # rows stay current, so union(r02, r03) covers every oracled
-    # query with zero gaps) ----
+    # query with zero gaps). The first four were displaced from the
+    # head to certify the curation-II queries in the round that
+    # introduced them; all four are multiply-evidenced (r1+r2 green,
+    # code untouched since r2). ----
+    "q1_pricing_summary",
+    "win_global_topk",
+    "etl_upsert_merge",
+    "ann_brute_force",
     "agg_explode_count",
     "agg_group_stats",
     "agg_keyword_scan",
@@ -189,12 +196,10 @@ _DRIVER_ORDER: list[str] = [
 ]
 
 # Round-4 rotation plan (assuming r03 certifies the current head):
-# promote into the head (a) the curation-II queries registered after
-# the head this round (text_chunk_windows, etl_mixture_sample,
-# text_unigram_logprob, ann_range_search) and (b) any position-51+
-# r02-green query whose code changes in round 4. Keep the union
-# invariant: every oracled query has a green row from the latest
-# round that touched it.
+# promote into the head any position-51+ query whose code changes in
+# round 4, plus — if slots allow — position-51+ queries whose newest
+# row is oldest. Keep the union invariant: every oracled query has a
+# green row from the latest round that touched it.
 #
 # Genuinely non-oracle-able entries only: non-portable hashes
 # (sha256/xxhash), iterative fp-order-sensitive algorithms, stateful
