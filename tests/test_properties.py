@@ -235,3 +235,71 @@ def test_sims_array_strategies_agree(spark, rows):
     for i in a:
         for x, y in zip(a[i], b[i]):
             assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Curation operators (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def _py_chunks(tokens: list[str], window: int, stride: int):
+    """Reference chunking rule: starts at k*stride, k in 0..n_chunks-1,
+    n_chunks = 1 + ceil(max(n - window, 0) / stride)."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    n_chunks = 1 + max(0, -((n - window) // -stride))
+    return [tokens[k * stride : k * stride + window] for k in range(n_chunks)]
+
+
+@given(
+    st.lists(st.lists(token, min_size=0, max_size=20), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_chunk_windows_matches_python(spark, token_lists, window, extra):
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import curation
+
+    stride = min(window, extra)
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(token_lists)],
+        "doc_id: long, text: string",
+    )
+    rows = curation.chunk_windows(df, window=window, stride=stride).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r.n_tokens
+    for i, toks in enumerate(token_lists):
+        expected = _py_chunks(toks, window, stride)
+        chunks = got.get(i, {})
+        assert len(chunks) == len(expected), (toks, window, stride)
+        for k, ch in enumerate(expected):
+            assert chunks[k] == len(ch), (toks, window, stride, k)
+        # every token position covered by at least one chunk
+        covered = set()
+        for k, ch in enumerate(expected):
+            covered |= set(range(k * stride, k * stride + len(ch)))
+        assert covered == set(range(len(toks))) or not toks
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50, unique=True),
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(**SETTINGS)
+def test_mixture_sample_threshold_semantics(spark, ids, thr_a, thr_b):
+    """Selection is exactly {id : hash(id) mod 1000 < rate*1000}, so a
+    higher rate is a superset and the Spark selection matches the
+    arithmetic computed in plain Python."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import curation
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import _PORT_P
+
+    lo, hi = sorted((thr_a, thr_b))
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id: long, source: string")
+    got_lo = {r.doc_id for r in curation.mixture_sample(df, {}, lo / 1000).collect()}
+    got_hi = {r.doc_id for r in curation.mixture_sample(df, {}, hi / 1000).collect()}
+    expect_lo = {i for i in ids if (i * curation._MIX_A + curation._MIX_C) % _PORT_P % 1000 < lo}
+    expect_hi = {i for i in ids if (i * curation._MIX_A + curation._MIX_C) % _PORT_P % 1000 < hi}
+    assert got_lo == expect_lo and got_hi == expect_hi
+    assert got_lo <= got_hi
