@@ -135,6 +135,9 @@ _DRIVER_ORDER: list[str] = [
     "etl_mixture_sample",
     "text_unigram_logprob",
     "ann_range_search",
+    "etl_csv_roundtrip",
+    "etl_json_feature_roundtrip",
+    "ml_image_dir_scan",
     # -- touched this round (row must postdate the change) --
     "join_revenue_by_nation",
     "segment_search",
@@ -152,12 +155,9 @@ _DRIVER_ORDER: list[str] = [
     "join_tag_category",
     "ann_ivf",
     "ann_lsh",
-    "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "text_quality",
     "text_lang_id",
-    "text_token_count",
     "text_fingerprint",
     "asof_join_clicks",
     "events_tumbling_window",
@@ -165,11 +165,16 @@ _DRIVER_ORDER: list[str] = [
     "ml_resize_plan",
     # ---- position 51+: r02-green, untouched this round (their r02
     # rows stay current, so union(r02, r03) covers every oracled
-    # query with zero gaps). The first four were displaced from the
-    # head to certify the curation-II queries in the round that
-    # introduced them; all four are multiply-evidenced (r1+r2 green,
-    # code untouched since r2). ----
+    # query with zero gaps). The first seven were displaced from the
+    # head to certify the round-3 additions (curation II, format
+    # round-trips) in the round that introduced them; each displaced
+    # query is family-redundant (its §2 ID also evidenced by other
+    # certified queries) and its code is untouched since its r02
+    # row. ----
     "q1_pricing_summary",
+    "dedup_exact",
+    "text_token_count",
+    "dedup_embedding_cosine",
     "win_global_topk",
     "etl_upsert_merge",
     "ann_brute_force",
@@ -3823,6 +3828,139 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 42)
     out = similarity.range_search(emb, q, threshold=0.2)
     return out.filter(F.col("vec_id") != 42)
+
+
+# =====================================================================
+# Source/sink round-trips: the file-format layer driver-certified
+# against oracles computed directly on the canonical tables (the
+# etl_upsert_merge / nested_roundtrip pattern extended to CSV, the
+# per-file JSON feature layout, and the recursive binary image scan)
+# =====================================================================
+
+
+@register(
+    "etl_csv_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           SUM(list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> ascii(text[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007))::BIGINT AS fp_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 certified end-to-end: documents → header'd CSV → read_csv_bom
+    → per-language counters PLUS the sum of portable content
+    fingerprints, checked against the same aggregate computed straight
+    off the parquet — any quoting/encoding corruption in the CSV layer
+    breaks the fingerprint sum. The write is executor-side (one file
+    per partition); the oracle never sees the CSV."""
+    import tempfile
+
+    from .sources.readers import read_csv_bom
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="dferp_csv_rt_")
+    docs.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(tmp)
+    back = read_csv_bom(
+        spark, tmp, schema="doc_id long, text string, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_json_feature_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           SUM(doc_id)::BIGINT AS id_checksum
+    FROM documents WHERE doc_id % 4 = 0 GROUP BY lang
+    """,
+)
+def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + S5 certified end-to-end: a per-document JSON feature file
+    layout (the reference's one-pretty-JSON-per-image,
+    upload_features_to_elasticsearch.py:142-158) written row-per-file,
+    scanned back with the multiLine JSON dir reader under an explicit
+    schema, re-aggregated, and checked against the parquet-side
+    oracle. Subset (doc_id % 4 == 0) keeps the file count bounded."""
+    import tempfile
+
+    from .sources.readers import read_json_dir
+    from .sources.writers import write_binary_files
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    payload = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".json")).alias(
+            "filename"
+        ),
+        F.encode(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")), "utf-8"
+        ).alias("content"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dferp_json_rt_")
+    write_binary_files(payload, tmp)
+    back = read_json_dir(
+        spark, tmp, schema="doc_id long, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "ml_image_dir_scan",
+    """
+    SELECT COUNT(*) AS n_images,
+           SUM(strlen(text))::BIGINT AS total_bytes,
+           SUM(doc_id)::BIGINT AS id_checksum
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + P9 certified end-to-end: binary content written one file
+    per row with MIXED extensions (.png for even ids, .txt for odd),
+    re-scanned with the recursive binaryFile reader whose extension
+    predicate must select exactly the images — count, byte total, and
+    the id checksum parsed back out of the filenames all match the
+    parquet-side oracle over the even ids."""
+    import tempfile
+
+    from .sources.readers import read_image_dir
+    from .sources.writers import write_binary_files
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("img_"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".png")).otherwise(
+                F.lit(".txt")
+            ),
+        ).alias("filename"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dferp_imgdir_")
+    write_binary_files(files, tmp)
+    back = read_image_dir(spark, tmp)
+    return back.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.sum(
+            F.regexp_extract("filename", r"img_(\d+)\.png", 1).cast("long")
+        ).alias("id_checksum"),
+    )
 
 
 # =====================================================================
