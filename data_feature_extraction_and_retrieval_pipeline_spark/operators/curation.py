@@ -43,6 +43,7 @@ def chunk_windows(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping token-window chunks: (id, chunk_idx, n_tokens,
     chunk_fp) with chunk k covering tokens [k·stride, k·stride+window).
@@ -58,11 +59,14 @@ def chunk_windows(
     Scale: map-only (tokenize → posexplode over a computed chunk
     count → slice). No shuffle, no state; output rows ≈ corpus tokens
     / stride, each carrying a fingerprint instead of text, so the
-    chunk index is a fraction of corpus bytes.
+    chunk index is a fraction of corpus bytes. ``carry_cols`` projects
+    row metadata (shard keys, split labels) through the explode so
+    downstream passes never join back to the corpus.
     """
     assert window >= 1 and 1 <= stride <= window
+    carry = [F.col(c) for c in carry_cols]
     toks = X.tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+    base = df.select(F.col(id_col), *carry, toks.alias("__toks")).filter(
         F.size("__toks") > 0
     )
     n = F.size("__toks")
@@ -74,6 +78,7 @@ def chunk_windows(
     ).cast("int")
     chunked = base.select(
         F.col(id_col),
+        *carry,
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
         F.col("__toks"),
     )
@@ -87,6 +92,7 @@ def chunk_windows(
     )
     return chunked.select(
         F.col(id_col),
+        *carry,
         "chunk_idx",
         F.size(chunk).alias("n_tokens"),
         fp.alias("chunk_fp"),
@@ -124,6 +130,49 @@ def mixture_sample(
         else F.lit(int(round(default_rate * 1000)))
     )
     return df.filter(sel < thr_col)
+
+
+def pack_bins(
+    chunks: DataFrame,
+    capacity: int,
+    shard_col: str,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Shard-local sequence packing plan: assign chunks to fixed-
+    capacity context bins by running token offset — chunk c lands in
+    ``bin = floor(offset(c) / capacity)`` where offset is the
+    cumulative token count of earlier chunks in the shard's
+    deterministic order.
+
+    The loader-side "sequence packing" step made declarative: bins are
+    decided by arithmetic on a running sum, not a sequential first-fit
+    loop, so the same layout is reproducible on any engine and any
+    worker can compute its own shard's plan independently.
+
+    Scale: ONE shuffle partitioning by shard; the window sort is
+    shard-local (shards are loader units, bounded by construction —
+    the analogue of one output file). Returns one row per (shard,
+    bin): chunk and token totals.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        chunks.withColumn(
+            "bin_id", F.floor(offset / F.lit(float(capacity)))
+        )
+        .groupBy(shard_col, "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(tokens_col).alias("token_total"),
+        )
+    )
 
 
 def unigram_logprob(

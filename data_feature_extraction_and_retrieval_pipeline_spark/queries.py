@@ -135,6 +135,7 @@ _DRIVER_ORDER: list[str] = [
     "etl_mixture_sample",
     "text_unigram_logprob",
     "ann_range_search",
+    "text_pack_bins",
     "etl_csv_roundtrip",
     "etl_json_feature_roundtrip",
     "ml_image_dir_scan",
@@ -157,7 +158,6 @@ _DRIVER_ORDER: list[str] = [
     "ann_lsh",
     "dedup_ngram_jaccard",
     "text_quality",
-    "text_lang_id",
     "text_fingerprint",
     "asof_join_clicks",
     "events_tumbling_window",
@@ -172,6 +172,7 @@ _DRIVER_ORDER: list[str] = [
     # certified queries) and its code is untouched since its r02
     # row. ----
     "q1_pricing_summary",
+    "text_lang_id",
     "dedup_exact",
     "text_token_count",
     "dedup_embedding_cosine",
@@ -3828,6 +3829,55 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 42)
     out = similarity.range_search(emb, q, threshold=0.2)
     return out.filter(F.col("vec_id") != 42)
+
+
+@register(
+    "text_pack_bins",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, source, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+        SELECT doc_id, source,
+               UNNEST(generate_series(
+                   0, (1 + GREATEST(CEIL((n - 16) / 12.0), 0))::BIGINT - 1
+               ))::INT AS chunk_idx,
+               t
+        FROM nz
+    ),
+    sized AS (
+        SELECT doc_id, source, chunk_idx,
+               len(t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16])::BIGINT AS n_tokens
+        FROM chunks
+    ),
+    offsets AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY doc_id, chunk_idx
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+        FROM sized
+    )
+    SELECT source, FLOOR(off / 256.0)::BIGINT AS bin_id,
+           COUNT(*) AS n_chunks, SUM(n_tokens)::BIGINT AS token_total
+    FROM offsets GROUP BY source, bin_id
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: the 16/12 token chunks assigned to
+    256-token context bins by running offset within each source shard
+    (operators/curation.py::pack_bins) — loader-side packing made
+    declarative and engine-reproducible. One shuffle on the shard key;
+    the bin aggregate reuses that partitioning (subset clustering), so
+    the whole plan is a single exchange."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    chunks = curation.chunk_windows(
+        docs, window=16, stride=12, carry_cols=("source",)
+    )
+    return curation.pack_bins(chunks, capacity=256, shard_col="source")
 
 
 # =====================================================================

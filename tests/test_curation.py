@@ -34,7 +34,7 @@ class TestChunkWindows:
         assert {r.doc_id for r in rows} == {2}
 
     def test_every_token_covered_and_overlap(self, spark):
-        # 10 tokens, window 4, stride 3 -> chunks at 0,3,6 and wait:
+        # 10 tokens, window 4, stride 3:
         # 1 + ceil((10-4)/3) = 3 chunks -> starts 0,3,6 cover 0..9
         toks = [f"t{i}" for i in range(10)]
         df = _docs(spark, [" ".join(toks)])
@@ -126,3 +126,44 @@ class TestRangeSearch:
         q = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
         rows = similarity.range_search(emb, q, threshold=0.3).collect()
         assert all(r.cosine >= 0.3 for r in rows)
+
+
+class TestPackBins:
+    def test_bins_match_python_reference(self, spark):
+        # two shards; per-shard running-offset packing at capacity 5
+        rows = [
+            # (doc_id, shard, chunk_idx, n_tokens)
+            (1, "a", 0, 3), (1, "a", 1, 3), (2, "a", 0, 2), (3, "a", 0, 4),
+            (1, "b", 0, 5), (2, "b", 0, 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, chunk_idx int, n_tokens long"
+        )
+        got = {
+            (r.source, r.bin_id): (r.n_chunks, r.token_total)
+            for r in curation.pack_bins(df, capacity=5, shard_col="source").collect()
+        }
+        expected = {}
+        for shard in ("a", "b"):
+            off = 0
+            for doc_id, s, idx, n in sorted(rows):
+                if s != shard:
+                    continue
+                b = off // 5
+                c, t = expected.get((shard, b), (0, 0))
+                expected[(shard, b)] = (c + 1, t + n)
+                off += n
+        assert got == expected
+
+    def test_token_totals_conserved(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        chunks = curation.chunk_windows(
+            docs, window=16, stride=12, carry_cols=("source",)
+        )
+        packed = curation.pack_bins(chunks, capacity=256, shard_col="source")
+        total_chunks = chunks.count()
+        agg = packed.agg(
+            F.sum("n_chunks").alias("c"), F.sum("token_total").alias("t")
+        ).collect()[0]
+        assert agg.c == total_chunks
+        assert agg.t == chunks.agg(F.sum("n_tokens")).collect()[0][0]

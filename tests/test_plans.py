@@ -153,3 +153,12 @@ def test_range_search_scan_only(spark, qs):
     df = qs["ann_range_search"](spark, SF_DIR)
     text = _plan_text(df)
     assert "Exchange" not in text and "Join" not in text, text
+
+
+def test_pack_bins_single_exchange(spark, qs):
+    """Packing partitions once on the shard key; the bin aggregate's
+    (shard, bin) grouping is satisfied by the same partitioning
+    (subset clustering), so no second exchange appears."""
+    df = qs["text_pack_bins"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert text.count("Exchange") == 1, f"one shard exchange expected:\n{text}"
