@@ -135,6 +135,7 @@ _DRIVER_ORDER: list[str] = [
     "etl_mixture_sample",
     "text_unigram_logprob",
     "ann_range_search",
+    "ml_segment_portable",
     "text_pack_bins",
     "etl_csv_roundtrip",
     "etl_json_feature_roundtrip",
@@ -150,7 +151,6 @@ _DRIVER_ORDER: list[str] = [
     "tag_search",
     "tag_search_and",
     # -- untouched r02-green keepers --
-    "agg_salted_group",
     "etl_sentinel_cleanse",
     "vec_mean_per_label",
     "join_tag_category",
@@ -172,6 +172,7 @@ _DRIVER_ORDER: list[str] = [
     # certified queries) and its code is untouched since its r02
     # row. ----
     "q1_pricing_summary",
+    "agg_salted_group",
     "text_lang_id",
     "dedup_exact",
     "text_token_count",
@@ -3517,6 +3518,63 @@ def ml_segment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_segments"),
         F.max("segment_area").alias("max_area"),
         F.round(F.avg("stability_score"), 4).alias("avg_stability"),
+    )
+
+
+@register(
+    "ml_segment_portable",
+    """
+    WITH imgs AS (
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) || '.jpg' AS filename,
+               sha256(text) AS h,
+               LEAST(64, strlen(text))::INT AS crop_bytes
+        FROM documents
+    ),
+    n AS (
+        SELECT filename, h, crop_bytes,
+               (('0x' || substr(h, 1, 2))::BIGINT % 10 + 1)::INT AS n_seg
+        FROM imgs
+    ),
+    areas AS (
+        -- the stub reads digest bytes [4i, 4i+2); past the 32-byte
+        -- digest Python slices to b'' and int.from_bytes(b'') == 0
+        SELECT filename, crop_bytes,
+               (500 + CASE WHEN 8 * i + 4 <= 64
+                           THEN ('0x' || substr(h, 8 * i + 1, 4))::BIGINT
+                           ELSE 0 END)::INT AS segment_area
+        FROM (SELECT filename, h, crop_bytes,
+                     UNNEST(generate_series(0, n_seg - 1)) AS i
+              FROM n)
+    )
+    SELECT filename,
+           ROW_NUMBER() OVER (PARTITION BY filename
+                              ORDER BY segment_area DESC)::INT AS segment_id,
+           segment_area, crop_bytes
+    FROM areas
+    """,
+)
+def ml_segment_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAM-stub segmentation UDTF value-certified: the oracle
+    replays the stub's sha256-derived segment count, big-endian area
+    bytes, area-desc ordering, and crop byte-slice length (DuckDB's
+    sha256 matches the UDF's hashlib digest on the same utf-8
+    payload), so the mapInPandas 1→N fan-out is hash-checked row by
+    row — integer-exact columns only; the float32 stability score
+    stays on the rows-only twin (ml_segment_pipeline). Equal areas
+    may swap ranks between engines, but tied rows are identical, so
+    the value-hash is stable."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias(
+            "filename"
+        ),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    segs = encoders.segment_image(docs, max_segments=10, min_area=500)
+    return segs.select(
+        "filename",
+        "segment_id",
+        "segment_area",
+        F.length("crop").alias("crop_bytes"),
     )
 
 
