@@ -226,6 +226,12 @@ def main() -> None:
                 "oracle_queries": oracle_timings,
                 "spark_oracled_total": spark_oracled,
                 "resident_index_artifacts": resident,
+                # one-time from-scratch build cost of each resident
+                # artifact (indexes.py materializes + times them); the
+                # DuckDB denominator recomputes these inside every
+                # query, so the warm numbers' steady-state assumption
+                # is priced here explicitly
+                "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
                 "sf": sf,
             }
         )

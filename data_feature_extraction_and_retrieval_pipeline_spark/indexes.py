@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 _INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
 _ENABLED = False
 
+# Wall seconds to materialize each resident artifact from scratch,
+# keyed like _INDEX_CACHE values' keys. Emitted by bench.py so the
+# steady-state serving numbers carry their own one-time build cost —
+# the DuckDB oracle recomputes these artifacts inside every query, so
+# the bench JSON must show what keeping them resident is worth.
+BUILD_SECONDS: dict[str, float] = {}
+
 
 def enable_index_cache(enabled: bool = True) -> None:
     """Toggle artifact reuse. Disabling drops all cached artifacts."""
@@ -72,7 +79,16 @@ def materialized(
     k = (id(spark), key)
     df = _INDEX_CACHE.get(k)
     if df is None:
+        import time
+
         _prune_dead_sessions()
+        t0 = time.perf_counter()
         df = build().persist()
+        # materialize eagerly: every consumer would otherwise race to
+        # compute the same persisted blocks, and the build cost must
+        # be attributable (BUILD_SECONDS) rather than smeared into
+        # whichever query happens to touch the artifact first
+        df.count()
+        BUILD_SECONDS[key] = round(time.perf_counter() - t0, 4)
         _INDEX_CACHE[k] = df
     return df
