@@ -213,6 +213,7 @@ _DRIVER_ORDER: list[str] = [
 # streaming, and mapInPandas pipelines whose outputs have no SQL twin.
 _ROWS_ONLY_TAIL: list[str] = [
     "events_sessionize_stream",
+    "dedup_minhash_stream",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ml_kmeans_clusters",
@@ -2542,6 +2543,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("session_end"), "yyyy-MM-dd HH:mm:ss").alias(
             "last_session_end"
         ),
+    )
+
+
+@register("dedup_minhash_stream")  # stateful streaming — rows-only
+def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup candidate detection
+    (streaming/dedup.py::minhash_collision_stream): the documents
+    table drained availableNow through the band-bucket state operator;
+    flagged docs summarized as (doc_id, n_bucket_hits, min anchor).
+    Stateful streaming → rows-only; equality with the batch banded
+    formulation is asserted in test_streaming."""
+    import tempfile
+
+    from .streaming import minhash_collision_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    flagged = minhash_collision_stream(src.select("doc_id", "text"))
+    name = f"mh_stream_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dferp_mh_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bucket_hits"),
+            F.min("anchor_id").alias("min_anchor"),
+        )
     )
 
 

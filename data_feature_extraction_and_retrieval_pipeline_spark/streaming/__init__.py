@@ -5,4 +5,8 @@ from .ingest import (  # noqa: F401
     incremental_upsert,
 )
 from .sessionize import sessionize_stream, make_sessionizer, SESSION_SCHEMA  # noqa: F401
-from .dedup import dedup_stream, fingerprint_columns  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_stream,
+    fingerprint_columns,
+    minhash_collision_stream,
+)

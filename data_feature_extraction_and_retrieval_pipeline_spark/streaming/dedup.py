@@ -53,3 +53,107 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__len", "__fp"])
         .drop("__len", "__fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup: MinHash band-bucket state
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..operators.dedup import portable_banded_signatures
+
+COLLISION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("key", LongType()),
+        StructField("anchor_id", LongType()),
+    ]
+)
+
+# per-bucket state: the first-seen (anchor) document id
+_BUCKET_STATE = StructType([StructField("anchor", LongType())])
+
+
+def _bucket_collision_fn(ttl_ms: int | None):
+    def fn(key, batches, state: GroupState):
+        import pandas as pd
+
+        band, bkey = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+            dups = ids
+        else:
+            anchor, dups = ids[0], ids[1:]
+            state.update((anchor,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if dups:
+            yield pd.DataFrame(
+                {
+                    "doc_id": dups,
+                    "band": [band] * len(dups),
+                    "key": [bkey] * len(dups),
+                    "anchor_id": [anchor] * len(dups),
+                }
+            )
+
+    return fn
+
+
+def minhash_collision_stream(
+    stream,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_ms: int | None = None,
+):
+    """Streaming MinHash near-dup candidate detection: every arriving
+    document's banded signature keys are checked against the bucket
+    anchors seen so far; collisions emit (doc, band, key, anchor)
+    rows — the streaming half of the LSH pipeline, so near-dup
+    flagging happens ON ingest instead of re-running the batch
+    self-join per delivery (the exact-Jaccard verify stays a batch
+    pass over the flagged pairs, as in the batch pipeline).
+
+    The banded signatures reuse the batch operator's Catalyst
+    expressions verbatim (operators/dedup.py::
+    portable_banded_signatures — map-only, so legal on a streaming
+    frame): stream and batch agree on every hash by construction, and
+    a one-shot availableNow drain emits exactly the batch twin's
+    (doc → bucket-min anchor) pairs (asserted in test_streaming).
+
+    State: ONE long per occupied (band, key) bucket, partitioned by
+    bucket across executors — O(buckets), not O(documents), and
+    ``ttl_ms`` evicts idle buckets on a long-running stream (the
+    processing-time analogue of the exact-dedup watermark horizon).
+    """
+    banded = portable_banded_signatures(
+        stream, n=n, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _bucket_collision_fn(ttl_ms),
+        outputStructType=COLLISION_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -220,3 +220,53 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert got.count() == n_batch_groups
     # every surviving text is distinct
     assert got.select("text").distinct().count() == got.count()
+
+
+def test_minhash_collision_stream_matches_batch(spark, tmp_path):
+    """Streaming band-bucket collision detection ≡ the batch banded
+    formulation on a one-shot drain: every non-anchor document in an
+    occupied bucket is flagged against the bucket's min doc_id."""
+    from pyspark.sql import functions as F
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        portable_banded_signatures,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        minhash_collision_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # inject exact + near duplicates so buckets collide
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    src_dir = str(tmp_path / "docs_src")
+    corpus.write.mode("overwrite").parquet(src_dir)
+    on_disk = spark.read.parquet(src_dir)
+
+    # batch twin: per occupied bucket, every doc above the min flags
+    banded = portable_banded_signatures(on_disk)
+    anchors = banded.groupBy("band", "key").agg(
+        F.min("doc_id").alias("anchor_id"), F.count("*").alias("n")
+    )
+    batch = (
+        banded.join(anchors, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select("doc_id", "band", "key", "anchor_id")
+    )
+
+    stream_src = spark.readStream.schema(on_disk.schema).parquet(src_dir)
+    flagged = minhash_collision_stream(stream_src)
+    got = _run_stream(
+        spark, flagged, str(tmp_path / "ckpt_mh"), "mh_collisions"
+    )
+
+    def key(rows):
+        return sorted((r.doc_id, r.band, r.key, r.anchor_id) for r in rows)
+
+    b, s = key(batch.collect()), key(got.collect())
+    assert len(b) > 0  # dup injection must produce collisions
+    assert b == s
