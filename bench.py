@@ -66,6 +66,13 @@ HEADLINE = [
     "text_gopher_rules",
     "etl_hash_split",
     "dedup_keep_best_per_source",
+    # curation II + UDTF certification (round 3): chunking, packing,
+    # unigram LM scoring, radius search, sha-replayed segment fan-out
+    "text_chunk_windows",
+    "text_pack_bins",
+    "text_unigram_logprob",
+    "ann_range_search",
+    "ml_segment_portable",
     "ml_multimodal_meta",
     "events_tumbling_window",
 ]

@@ -304,6 +304,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_centroids: list[Sequence[float]] | None = None,
+    fit_sample: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means over an embedding column — the engine's
     iterative-algorithm pattern (repeated assign → re-center with the
@@ -315,6 +316,12 @@ def kmeans(
     centroid index. Empty clusters keep their previous centroid.
     Returns (assignments DataFrame, final centroids). At 100 TB this
     is the write-time clustering that feeds ``ivf_topk`` partitioning.
+
+    ``fit_sample`` fits the centroids on a deterministic hash sample
+    of the corpus (the standard billion-vector recipe: centroid
+    quality converges long before the full corpus is seen) while the
+    returned assignment still covers EVERY row — only the iterative
+    re-center loop shrinks, the one linear pass at ingest doesn't.
     """
     if init_centroids is None:
         rows = (
@@ -325,9 +332,17 @@ def kmeans(
         cents = [[float(x) for x in c] for c in init_centroids]
 
     dim = len(cents[0])
+    fit_df = embeddings
+    if fit_sample is not None and 0 < fit_sample < 1:
+        # deterministic hash sample (no RNG state — same selection on
+        # every run), mirroring operators/curation.py::mixture_sample
+        fit_df = embeddings.filter(
+            F.xxhash64(F.col(id_col)) % 1000
+            < F.lit(int(round(fit_sample * 1000)))
+        )
     assigned = None
     for _ in range(max_iter):
-        assigned = assign_clusters(embeddings, cents, vec_col=vec_col)
+        assigned = assign_clusters(fit_df, cents, vec_col=vec_col)
         sums = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))

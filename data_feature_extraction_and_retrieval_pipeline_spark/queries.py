@@ -3604,7 +3604,9 @@ def ml_segment_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays on the rows-only twin (ml_segment_pipeline). Equal areas
     may swap ranks between engines, but tied rows are identical, so
     the value-hash is stable."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # stub kernel ≈ free per row → fewer, fatter Arrow batches (see
+    # ml_multimodal_meta); a real SAM pass wants the full scan width
+    docs = _t(spark, sf_dir, "documents").coalesce(4).select(
         F.concat(F.lit("img_"), F.col("doc_id").cast("string"), F.lit(".jpg")).alias(
             "filename"
         ),

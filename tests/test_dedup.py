@@ -182,6 +182,28 @@ def test_kmeans_invariants(spark):
     assert i3 <= i1 + 1e-9
 
 
+def test_kmeans_sampled_fit(spark):
+    """fit_sample fits centroids on a hash sample but still assigns
+    every row; determinism holds and the centroid count is unchanged."""
+    from pyspark.sql import functions as F2
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a1, c1 = kmeans(emb, k=4, max_iter=2, fit_sample=0.5)
+    a2, c2 = kmeans(emb, k=4, max_iter=2, fit_sample=0.5)
+    assert a1.count() == emb.count()      # full-corpus assignment
+    assert len(c1) == 4
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2                       # hash sample, no RNG state
+    assert set(m1.values()) <= set(range(4))
+
+
 def test_tracked_persists_release(spark):
     """Intra-query persists (the MinHash shingle frame) register with
     the caching ledger and are droppable by the harness after the
