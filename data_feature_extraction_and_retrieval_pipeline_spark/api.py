@@ -169,3 +169,125 @@ class Engine:
             "segments": self.segments is not None,
             "segment_tags": self.segment_tags is not None,
         }
+
+
+class CurationPipeline:
+    """Composable facade over the training-data suite: the standard
+    raw-corpus → training-shards flow (redact → quality filter →
+    decontaminate → dedup → mixture sample → split → chunk → export)
+    as a chain of lazy DataFrame transforms — ONE Catalyst plan until
+    a terminal step executes it, so filters fuse and nothing
+    materializes between stages.
+
+    Each step returns a new pipeline over the transformed frame;
+    ``df`` exposes the current frame for ad-hoc composition. The
+    operators are the same oracle-certified ones the query registry
+    exercises (operators/curation.py, operators/dedup.py,
+    functions/text.py, sources/writers.py).
+    """
+
+    def __init__(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ):
+        self.df = docs
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _with(self, df: DataFrame) -> "CurationPipeline":
+        return CurationPipeline(df, self.text_col, self.id_col)
+
+    def redact(self) -> "CurationPipeline":
+        """PII scrub in place (functions/text.py::redact_pii)."""
+        from .functions.text import redact_pii
+
+        return self._with(
+            self.df.withColumn(self.text_col, redact_pii(F.col(self.text_col)))
+        )
+
+    def filter_quality(self, min_score: float = 0.5) -> "CurationPipeline":
+        """Drop rows below the composite quality score (map-only)."""
+        from .functions.text import quality_score
+
+        return self._with(
+            self.df.filter(quality_score(F.col(self.text_col)) >= min_score)
+        )
+
+    def decontaminate(
+        self, benchmark: DataFrame, n: int = 8
+    ) -> "CurationPipeline":
+        """Remove rows sharing any n-gram with a held-out benchmark
+        (anti-join on the broadcast-flagged ids)."""
+        from .operators.dedup import contamination_flags
+
+        flagged = contamination_flags(
+            self.df, benchmark, n=n, text_col=self.text_col, id_col=self.id_col
+        )
+        return self._with(
+            self.df.join(
+                F.broadcast(flagged.select(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+        )
+
+    def dedup_exact(self) -> "CurationPipeline":
+        """Keep the lowest id per identical text (16-byte shuffle key)."""
+        from .operators.dedup import exact_dedup
+
+        keep = exact_dedup(self.df, text_col=self.text_col, id_col=self.id_col)
+        return self._with(
+            self.df.join(keep.select(self.id_col), self.id_col, "left_semi")
+        )
+
+    def sample_mixture(
+        self, rates: dict[str, float], default_rate: float = 1.0,
+        stratum_col: str = "source",
+    ) -> "CurationPipeline":
+        """Deterministic per-stratum mixture rates (hash predicate)."""
+        from .operators.curation import mixture_sample
+
+        return self._with(
+            mixture_sample(
+                self.df, rates, default_rate=default_rate,
+                stratum_col=stratum_col, id_col=self.id_col,
+            )
+        )
+
+    def split(
+        self, train_pct: int = 90, val_pct: int = 5
+    ) -> "CurationPipeline":
+        """Attach the leakage-safe content-hash split column."""
+        from .functions.text import hash_split
+
+        return self._with(
+            self.df.withColumn(
+                "split", hash_split(F.col(self.text_col), train_pct, val_pct)
+            )
+        )
+
+    def chunks(
+        self, window: int = 32, stride: int = 24,
+        carry_cols: tuple[str, ...] = ("split",),
+    ) -> DataFrame:
+        """Terminal: overlapping token-window chunks (map-only); carries
+        the split/shard columns through the explode."""
+        from .operators.curation import chunk_windows
+
+        carry = tuple(c for c in carry_cols if c in self.df.columns)
+        return chunk_windows(
+            self.df, window=window, stride=stride,
+            text_col=self.text_col, id_col=self.id_col, carry_cols=carry,
+        )
+
+    def export(
+        self, path: str, max_records_per_file: int = 100_000,
+        shard_by: str | None = "split",
+    ) -> None:
+        """Terminal: bounded-shard JSONL export (executor-side split)."""
+        from .sources.writers import write_sharded_jsonl
+
+        shard = shard_by if shard_by and shard_by in self.df.columns else None
+        write_sharded_jsonl(
+            self.df, path, max_records_per_file=max_records_per_file,
+            shard_by=shard,
+        )

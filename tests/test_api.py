@@ -192,3 +192,44 @@ def test_real_model_seam_search_content(spark, monkeypatch):
     out = eng.search_content(bytes([6]) * 8, mode="whole", top_k=3).collect()
     assert out[0]["image_id"] == 5  # payload of image 5 is bytes([6]) * 8
     assert out[0]["score"] == pytest.approx(2.0, abs=1e-5)
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """Raw docs -> redact -> quality filter -> decontaminate -> dedup
+    -> mixture -> split -> chunk/export; each stage monotonically
+    shrinks (or preserves) the corpus and the export round-trips."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+
+    p = CurationPipeline(docs).redact().filter_quality(0.0)
+    p = p.decontaminate(bench, n=8).dedup_exact()
+    p = p.sample_mixture({"src0": 1.0}, default_rate=0.5).split()
+    n1 = p.df.count()
+    assert 0 < n1 <= n0
+    # benchmark docs must be gone (every bench doc shares its own 8-grams)
+    bench_ids = {r.doc_id for r in bench.collect()}
+    survived = {r.doc_id for r in p.df.select("doc_id").collect()}
+    assert not (bench_ids & survived)
+    assert set(r.split for r in p.df.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+    chunks = p.chunks(window=16, stride=12)
+    assert chunks.filter(F.col("n_tokens") > 16).count() == 0
+    assert "split" in chunks.columns
+
+    out = str(tmp_path / "shards")
+    p.export(out, max_records_per_file=50)
+    rows = []
+    for f in glob.glob(f"{out}/split=*/*.json"):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == n1
