@@ -218,7 +218,8 @@ SEGMENT_SCHEMA = T.StructType(
 
 
 def segment_image(df, content_col: str = "content", filename_col: str = "filename",
-                  max_segments: int = 10, min_area: int = 500):
+                  max_segments: int = 10, min_area: int = 500,
+                  columns: tuple[str, ...] | None = None):
     """U2/U3/U4 — SAM mask generation as a mapInPandas UDTF: one image
     row → N segment rows, sorted by area desc and capped at
     ``max_segments`` (SAM/sam_segment_clip_pipeline.py:157-200).
@@ -227,14 +228,23 @@ def segment_image(df, content_col: str = "content", filename_col: str = "filenam
     (count, areas, bboxes); the crop is a byte-slice of the source.
     The real path (SAM + white-background crop + ≤800px downscale)
     plugs into the same iterator without touching the plan.
+
+    ``columns`` prunes the UDTF's OUTPUT: Catalyst can't push a
+    projection through a Python stage, so a downstream select still
+    pays to build and Arrow-transfer every column — callers that only
+    need ids/areas pass the subset and the kernel skips the bbox/crop
+    work entirely (the UDTF analogue of scan-level column pruning).
     """
+    out_fields = [f.name for f in SEGMENT_SCHEMA.fields]
+    keep = list(columns) if columns is not None else out_fields
+    assert set(keep) <= set(out_fields), keep
+    schema = T.StructType([f for f in SEGMENT_SCHEMA.fields if f.name in keep])
     in_cols = [filename_col, content_col]
+    want = set(keep)
 
     def gen(batches):
         for pdf in batches:
-            rows = {k: [] for k in
-                    ("filename", "segment_id", "segment_area", "segment_bbox",
-                     "stability_score", "crop")}
+            rows: dict[str, list] = {k: [] for k in keep}
             for fname, content in zip(pdf[filename_col], pdf[content_col]):
                 payload = bytes(content or b"")
                 h = hashlib.sha256(payload).digest()
@@ -244,19 +254,30 @@ def segment_image(df, content_col: str = "content", filename_col: str = "filenam
                      for i in range(n_seg)),
                     reverse=True,
                 )
+                crop = (
+                    payload[: min(64, len(payload))] if "crop" in want else None
+                )
                 for sid, area in enumerate(areas, 1):
-                    rows["filename"].append(fname)
-                    rows["segment_id"].append(sid)
-                    rows["segment_area"].append(int(area))
-                    side = float(int(area) ** 0.5)
-                    rows["segment_bbox"].append(
-                        [float(sid), float(sid), side, side]
-                    )
-                    rows["stability_score"].append(0.95 + (area % 50) / 1000.0)
-                    rows["crop"].append(payload[: min(64, len(payload))])
+                    if "filename" in want:
+                        rows["filename"].append(fname)
+                    if "segment_id" in want:
+                        rows["segment_id"].append(sid)
+                    if "segment_area" in want:
+                        rows["segment_area"].append(int(area))
+                    if "segment_bbox" in want:
+                        side = float(int(area) ** 0.5)
+                        rows["segment_bbox"].append(
+                            [float(sid), float(sid), side, side]
+                        )
+                    if "stability_score" in want:
+                        rows["stability_score"].append(
+                            0.95 + (area % 50) / 1000.0
+                        )
+                    if "crop" in want:
+                        rows["crop"].append(crop)
             yield pd.DataFrame(rows)
 
-    return df.select(*in_cols).mapInPandas(gen, SEGMENT_SCHEMA)
+    return df.select(*in_cols).mapInPandas(gen, schema)
 
 
 def decode_image_stub(df, content_col: str = "content"):

@@ -3612,7 +3612,12 @@ def ml_segment_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    segs = encoders.segment_image(docs, max_segments=10, min_area=500)
+    segs = encoders.segment_image(
+        docs, max_segments=10, min_area=500,
+        # projection pushed INTO the UDTF: bbox/stability are never
+        # built or Arrow-transferred (encoders.segment_image columns=)
+        columns=("filename", "segment_id", "segment_area", "crop"),
+    )
     return segs.select(
         "filename",
         "segment_id",

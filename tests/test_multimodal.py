@@ -108,3 +108,24 @@ def test_real_decode_is_gated():
         pass
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\xff\xd8\xff")
+
+
+def test_segment_image_output_pruning(spark):
+    """columns= pushes projection into the UDTF: pruned schema, same
+    values on the surviving columns."""
+    from pyspark.sql import functions as F
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import segment_image
+
+    imgs = spark.createDataFrame(
+        [("a.jpg", b"payload-one"), ("b.jpg", b"payload-two")],
+        ["filename", "content"],
+    )
+    full = segment_image(imgs).select("filename", "segment_id", "segment_area")
+    pruned = segment_image(
+        imgs, columns=("filename", "segment_id", "segment_area")
+    )
+    assert pruned.columns == ["filename", "segment_id", "segment_area"]
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
