@@ -214,6 +214,7 @@ _DRIVER_ORDER: list[str] = [
 _ROWS_ONLY_TAIL: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_stream",
+    "ann_pq",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ml_kmeans_clusters",
@@ -1476,6 +1477,39 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.ivf_topk(emb, centroids, q, k=10, nprobe=2, assigned=assigned)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_PQ_CACHE: dict[tuple[str, int, int], list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str, m: int, k: int) -> list:
+    key = (sf_dir.rstrip("/"), m, k)
+    if key not in _PQ_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_CACHE[key] = similarity.pq_train(emb, m=m, k=k, max_iter=5)
+    return _PQ_CACHE[key]
+
+
+@register("ann_pq")  # iterative codebook training — rows-only
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 32×16 codebooks trained on a bounded
+    driver sample (similarity.pq_train), vectors encoded to 8-byte
+    codes (8× smaller than the float32 vectors) as a write-time
+    artifact, and the query served by a pure
+    whole-stage-codegen ADC scan over the codes (literal lookup
+    table, no Python, no join — similarity.pq_topk). Iterative
+    training → rows-only; recall/compression invariants in
+    tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir, 32, 16)
+    codes = indexes.materialized(
+        spark,
+        f"pq32x16:{sf_dir}",
+        lambda: similarity.pq_encode(emb, books),
+    )
+    q = _query_vector(spark, sf_dir, 42)
+    out = similarity.pq_topk(codes, books, q, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 @register(

@@ -204,6 +204,42 @@ def test_kmeans_sampled_fit(spark):
     assert set(m1.values()) <= set(range(4))
 
 
+def test_pq_ann_invariants(spark):
+    """PQ: deterministic codebooks/codes, 32-byte codes (8x smaller
+    than float32 vectors), and ADC top-10 recalls a solid fraction of
+    the exact top-10 (quantization, not garbage)."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = pq_train(emb, m=32, k=16, max_iter=5)
+    b2 = pq_train(emb, m=32, k=16, max_iter=5)
+    assert np.allclose(b1, b2)                    # deterministic
+    assert len(b1) == 32 and all(len(b) == 16 for b in b1)
+
+    codes = pq_encode(emb, b1)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.pq_code) == 32 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+
+    q = [r.embedding for r in emb.filter(F2.col("vec_id") == 0).collect()][0]
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in pq_topk(codes, b1, q, k=10).collect()}
+    assert len(exact & approx) >= 4               # recall@10 >= 0.4
+    # the query vector itself must be its own (reconstructed) top hit
+    assert 0 in {r.vec_id for r in pq_topk(codes, b1, q, k=3).collect()}
+
+
 def test_tracked_persists_release(spark):
     """Intra-query persists (the MinHash shingle frame) register with
     the caching ledger and are droppable by the harness after the
