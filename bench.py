@@ -72,6 +72,7 @@ HEADLINE = [
     "text_pack_bins",
     "text_unigram_logprob",
     "ann_range_search",
+    "ann_pq",
     "ml_segment_portable",
     "ml_multimodal_meta",
     "events_tumbling_window",
