@@ -565,3 +565,45 @@ def pq_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: list[Sequence[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-vector serving layout — coarse
+    cluster pruning (scan nprobe/nlist of the table) composed with the
+    compressed ADC scan (read 8×-smaller codes instead of vectors).
+
+    ``coded`` carries BOTH write-time columns (cluster id + PQ code);
+    at scale it is written ``partitionBy(cluster)`` so the ``isin``
+    probe is partition pruning, and the pruned partitions are read
+    code-only (the float vectors never leave the ingest path). The
+    scoring expression is the same literal-LUT aggregate as
+    ``pq_topk`` — whole-stage codegen, no Python, no join.
+    """
+    q = [float(x) for x in query_vec]
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-_dot(centroids[i], q), i),
+    )
+    probe = ranked[:nprobe]
+    return pq_topk(
+        coded.filter(F.col(cluster_col).isin(*probe)),
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+    )

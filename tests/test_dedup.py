@@ -240,6 +240,47 @@ def test_pq_ann_invariants(spark):
     assert 0 in {r.vec_id for r in pq_topk(codes, b1, q, k=3).collect()}
 
 
+def test_ivfpq_composition(spark):
+    """IVF-PQ = cluster pruning + ADC: results are pq_topk restricted
+    to the probed clusters, and the probed scan reads fewer rows."""
+    from pyspark.sql import functions as F2
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        assign_clusters_np,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    books = pq_train(emb, m=32, k=16, max_iter=3)
+    coded = pq_encode(emb, books).join(
+        assign_clusters_np(emb, cents).select("vec_id", "cluster"), "vec_id"
+    )
+    q = [r.embedding for r in emb.filter(F2.col("vec_id") == 0).collect()][0]
+
+    got = ivfpq_topk(coded, cents, books, q, k=5, nprobe=3)
+    rows = got.collect()
+    assert len(rows) == 5
+    # equivalence: ADC over the manually-pruned subset gives the same ids
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    probe = sorted(range(8), key=lambda i: (-_dot(cents[i], q), i))[:3]
+    manual = pq_topk(
+        coded.filter(F2.col("cluster").isin(*probe)), books, q, k=5
+    ).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in manual]
+    # the probe actually pruned
+    assert coded.filter(F2.col("cluster").isin(*probe)).count() < coded.count()
+
+
 def test_tracked_persists_release(spark):
     """Intra-query persists (the MinHash shingle frame) register with
     the caching ledger and are droppable by the harness after the
