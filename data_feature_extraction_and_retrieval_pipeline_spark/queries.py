@@ -41,7 +41,7 @@ from .operators import (
 )
 from .ml import encoders
 from .sources import load_table
-from .streaming import tumbling_window_counts
+from .streaming import hopping_window_counts, tumbling_window_counts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -135,6 +135,7 @@ _DRIVER_ORDER: list[str] = [
     "etl_mixture_sample",
     "text_unigram_logprob",
     "ann_range_search",
+    "events_hopping_window",
     "ml_segment_portable",
     "text_pack_bins",
     "etl_csv_roundtrip",
@@ -151,7 +152,6 @@ _DRIVER_ORDER: list[str] = [
     "tag_search",
     "tag_search_and",
     # -- untouched r02-green keepers --
-    "etl_sentinel_cleanse",
     "vec_mean_per_label",
     "join_tag_category",
     "ann_ivf",
@@ -172,6 +172,7 @@ _DRIVER_ORDER: list[str] = [
     # certified queries) and its code is untouched since its r02
     # row. ----
     "q1_pricing_summary",
+    "etl_sentinel_cleanse",
     "agg_salted_group",
     "text_lang_id",
     "dedup_exact",
@@ -3435,6 +3436,40 @@ def agg_keyword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # Streaming-equivalent batch window aggregation (M6)
 # =====================================================================
+
+
+@register(
+    "events_hopping_window",
+    """
+    WITH w AS (
+        SELECT make_timestamp(
+                   ((FLOOR(epoch(ts) / 1800))::BIGINT * 1800 - j * 1800)
+                   * 1000000) AS window_start,
+               event_type, value, ts
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS j)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour/30-minute sliding windows — each event counted
+    in two overlapping windows (streaming/ingest.py::
+    hopping_window_counts; identical transformation is streamable
+    with a watermark). The oracle replays Spark's epoch-aligned
+    window grid: starts at the 30-minute grid point and the one
+    before it."""
+    ev = _t(spark, sf_dir, "events")
+    out = hopping_window_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
 
 
 @register(

@@ -1,5 +1,6 @@
 from .ingest import (  # noqa: F401
     tumbling_window_counts,
+    hopping_window_counts,
     streaming_tumbling_counts,
     incremental_ingest,
     incremental_upsert,

@@ -47,6 +47,42 @@ def tumbling_window_counts(
     )
 
 
+def hopping_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sum per event_type:
+    each event lands in duration/slide overlapping windows — the
+    moving-average/trend primitive tumbling windows can't express.
+
+    Same state contract as the tumbling form on a stream: the
+    watermark finalizes and evicts windows, state is O(types ×
+    duration/slide × active horizon). Batch and stream share this
+    exact transformation (Structured Streaming's unified-API
+    contract), and the epoch-grid window alignment is replayed by the
+    DuckDB oracle (events_hopping_window).
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
 def streaming_tumbling_counts(
     spark,
     source_dir: str,

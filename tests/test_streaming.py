@@ -270,3 +270,42 @@ def test_minhash_collision_stream_matches_batch(spark, tmp_path):
     b, s = key(batch.collect()), key(got.collect())
     assert len(b) > 0  # dup injection must produce collisions
     assert b == s
+
+
+def test_hopping_window_stream_matches_batch(spark, events_dir, tmp_path):
+    """Hopping windows: identical batch/stream results, and every
+    event lands in exactly duration/slide = 2 windows."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        hopping_window_counts,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    batch = hopping_window_counts(ev, "1 hour", "30 minutes")
+    assert (
+        batch.agg({"n_events": "sum"}).collect()[0][0] == 2 * ev.count()
+    )
+
+    stream_src = spark.readStream.schema(ev.schema).parquet(events_dir)
+    stream_agg = hopping_window_counts(
+        stream_src, "1 hour", "30 minutes", watermark="2 hours"
+    )
+    # complete mode (like the tumbling twin test): append mode would
+    # withhold the trailing windows still above the final watermark
+    q = (
+        stream_agg.writeStream.format("memory")
+        .queryName("hopping_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hopping_stream")
+
+    def key(df):
+        return sorted(
+            (r.window_start, r.event_type, r.n_events, round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    assert key(batch) == key(got)
