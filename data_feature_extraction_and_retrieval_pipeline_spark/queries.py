@@ -136,6 +136,7 @@ _DRIVER_ORDER: list[str] = [
     "text_unigram_logprob",
     "ann_range_search",
     "events_hopping_window",
+    "etl_html_scrub",
     "ml_segment_portable",
     "text_pack_bins",
     "etl_csv_roundtrip",
@@ -160,7 +161,6 @@ _DRIVER_ORDER: list[str] = [
     "text_quality",
     "text_fingerprint",
     "asof_join_clicks",
-    "events_tumbling_window",
     "ml_multimodal_meta",
     "ml_resize_plan",
     # ---- position 51+: r02-green, untouched this round (their r02
@@ -172,6 +172,7 @@ _DRIVER_ORDER: list[str] = [
     # certified queries) and its code is untouched since its r02
     # row. ----
     "q1_pricing_summary",
+    "events_tumbling_window",
     "etl_sentinel_cleanse",
     "agg_salted_group",
     "text_lang_id",
@@ -4004,6 +4005,55 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 42)
     out = similarity.range_search(emb, q, threshold=0.2)
     return out.filter(F.col("vec_id") != 42)
+
+
+@register(
+    "etl_html_scrub",
+    """
+    WITH noisy AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN '<span aria-hidden="true">\u2014</span><span class="screen-reader-text">' || text
+                    ELSE text END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               CASE WHEN contains(text, '<span aria-hidden="true">\u2014</span><span class="screen-reader-text">')
+                    THEN '' ELSE text END AS text
+        FROM noisy
+    )
+    SELECT doc_id, text = '' AS scrubbed,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> ascii(text[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+    FROM scrubbed
+    """.replace("\u2014", chr(0x2014)),
+)
+def etl_html_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — the screen-reader-span scrub (functions/text.py::
+    strip_html_noise, clean_label_etiketler.py:5-16) oracle-certified:
+    the noise literal is injected deterministically (doc_id %% 7), the
+    scrub must blank exactly those cells, and the fingerprint of the
+    surviving text certifies untouched cells byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(X.HTML_NOISE), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = noisy.select(
+        "doc_id", X.strip_html_noise(F.col("text")).alias("text")
+    )
+    return scrubbed.select(
+        "doc_id",
+        (F.col("text") == "").alias("scrubbed"),
+        X.rolling_hash_fingerprint(F.col("text")).alias("fp"),
+    )
 
 
 @register(
