@@ -17,6 +17,8 @@ pytest) build every artifact from scratch inside the query under test.
 
 from __future__ import annotations
 
+import threading
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +33,13 @@ _ENABLED = False
 # the bench JSON must show what keeping them resident is worth.
 BUILD_SECONDS: dict[str, float] = {}
 
+# One build per key even under concurrent callers (the bench's cold
+# pass runs queries through a thread pool, and tag_search /
+# tag_search_and share an artifact): without the lock both threads
+# pass the cache miss, both pay the multi-second build, and the
+# loser's persisted blocks stay pinned for the session.
+_BUILD_LOCK = threading.Lock()
+
 
 def enable_index_cache(enabled: bool = True) -> None:
     """Toggle artifact reuse. Disabling drops all cached artifacts."""
@@ -43,6 +52,9 @@ def enable_index_cache(enabled: bool = True) -> None:
             except Exception:
                 pass
         _INDEX_CACHE.clear()
+        # timings describe the dropped artifacts — keep the two
+        # transparency fields (resident list / build seconds) in sync
+        BUILD_SECONDS.clear()
 
 
 def _prune_dead_sessions() -> None:
@@ -81,14 +93,18 @@ def materialized(
     if df is None:
         import time
 
-        _prune_dead_sessions()
-        t0 = time.perf_counter()
-        df = build().persist()
-        # materialize eagerly: every consumer would otherwise race to
-        # compute the same persisted blocks, and the build cost must
-        # be attributable (BUILD_SECONDS) rather than smeared into
-        # whichever query happens to touch the artifact first
-        df.count()
-        BUILD_SECONDS[key] = round(time.perf_counter() - t0, 4)
-        _INDEX_CACHE[k] = df
+        with _BUILD_LOCK:
+            df = _INDEX_CACHE.get(k)  # double-checked under the lock
+            if df is None:
+                _prune_dead_sessions()
+                t0 = time.perf_counter()
+                df = build().persist()
+                # materialize eagerly: every consumer would otherwise
+                # race to compute the same persisted blocks, and the
+                # build cost must be attributable (BUILD_SECONDS)
+                # rather than smeared into whichever query happens to
+                # touch the artifact first
+                df.count()
+                BUILD_SECONDS[key] = round(time.perf_counter() - t0, 4)
+                _INDEX_CACHE[k] = df
     return df

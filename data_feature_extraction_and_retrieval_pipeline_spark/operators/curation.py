@@ -118,7 +118,15 @@ def mixture_sample(
     Scale: the predicate is one multiply-mod per row; the stratum
     lookup is a CASE over a handful of literals (broadcast-free).
     """
-    sel = (F.col(id_col) * _MIX_A + _MIX_C) % _PORT_P % 1000
+    # fold the id into [0, P) BEFORE the affine step: (id mod P)·A + C
+    # stays < 2^59, so the arithmetic never wraps int64 for ANY id
+    # (snowflake-scale or negative), and equals (id·A + C) mod P for
+    # the common nonnegative-id case. pmod keeps the residue
+    # nonnegative where % would keep the dividend's sign.
+    sel = (
+        F.pmod(F.pmod(F.col(id_col), _PORT_P) * _MIX_A + _MIX_C, _PORT_P)
+        % 1000
+    )
     rate = None
     for k, v in sorted(rates.items()):
         cond = F.col(stratum_col) == k

@@ -124,6 +124,20 @@ def assign_clusters_np(
     return embeddings.mapInPandas(_assign, schema=schema)
 
 
+def probe_clusters(
+    centroids: list[Sequence[float]], query_vec: Sequence[float], nprobe: int
+) -> list[int]:
+    """The query's ``nprobe`` closest coarse centroids (max dot, ties
+    to the lowest index) — the single probe-selection rule shared by
+    IVF and IVF-PQ so the two layouts can never drift apart."""
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-sum(x * y for x, y in zip(centroids[i], q)), i),
+    )
+    return ranked[:nprobe]
+
+
 def ivf_probe(
     assigned: DataFrame,
     centroids: list[Sequence[float]],
@@ -143,15 +157,7 @@ def ivf_probe(
     artifact (``indexes.materialized``).
     """
     q = [float(x) for x in query_vec]
-
-    def _dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (-_dot(centroids[i], q), i),
-    )
-    probe = ranked[:nprobe]
+    probe = probe_clusters(centroids, q, nprobe)
     qcol = V.lit_vec(q)
     return (
         assigned.filter(F.col(cluster_col).isin(*probe))
@@ -337,7 +343,7 @@ def kmeans(
         # deterministic hash sample (no RNG state — same selection on
         # every run), mirroring operators/curation.py::mixture_sample
         fit_df = embeddings.filter(
-            F.xxhash64(F.col(id_col)) % 1000
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000))
             < F.lit(int(round(fit_sample * 1000)))
         )
     assigned = None
@@ -461,6 +467,8 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
+    if not sample:
+        raise ValueError("pq_train: no vectors to train on")
     X = np.asarray([[float(x) for x in r[1]] for r in sample], dtype=np.float64)
     dim = X.shape[1]
     assert dim % m == 0, (dim, m)
@@ -589,16 +597,7 @@ def ivfpq_topk(
     scoring expression is the same literal-LUT aggregate as
     ``pq_topk`` — whole-stage codegen, no Python, no join.
     """
-    q = [float(x) for x in query_vec]
-
-    def _dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (-_dot(centroids[i], q), i),
-    )
-    probe = ranked[:nprobe]
+    probe = probe_clusters(centroids, query_vec, nprobe)
     return pq_topk(
         coded.filter(F.col(cluster_col).isin(*probe)),
         codebooks,

@@ -3921,7 +3921,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH kept AS (
         SELECT * FROM documents
-        WHERE (doc_id * {curation._MIX_A} + {curation._MIX_C})
+        WHERE (((doc_id % {dedup._PORT_P} + {dedup._PORT_P})
+                % {dedup._PORT_P}) * {curation._MIX_A} + {curation._MIX_C})
               % {dedup._PORT_P} % 1000
               < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
                             WHEN 'src2' THEN 250 ELSE 100 END
@@ -4030,7 +4031,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   i -> ascii(text[i])::BIGINT)),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
     FROM scrubbed
-    """.replace("\u2014", chr(0x2014)),
+    """,
 )
 def etl_html_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — the screen-reader-span scrub (functions/text.py::

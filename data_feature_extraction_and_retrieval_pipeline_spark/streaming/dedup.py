@@ -93,10 +93,13 @@ def _bucket_collision_fn(ttl_ms: int | None):
         ids.sort()
         if state.exists:
             (anchor,) = state.get
-            dups = ids
         else:
-            anchor, dups = ids[0], ids[1:]
+            anchor = ids[0]
             state.update((anchor,))
+        # never flag the anchor against itself: at-least-once sources
+        # can re-deliver the anchor row (or one batch can carry a
+        # duplicated id), and the batch twin filters doc_id != anchor
+        dups = [i for i in ids if i != anchor]
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         if dups:

@@ -283,7 +283,13 @@ def test_chunk_windows_matches_python(spark, token_lists, window, extra):
 
 
 @given(
-    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50, unique=True),
+    # full int64 range incl. negatives and snowflake-scale ids: the
+    # folded affine arithmetic must never wrap (regression for the
+    # signed-% / overflow bug)
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1, max_size=50, unique=True,
+    ),
     st.integers(min_value=0, max_value=1000),
     st.integers(min_value=0, max_value=1000),
 )

@@ -309,3 +309,42 @@ def test_hopping_window_stream_matches_batch(spark, events_dir, tmp_path):
         )
 
     assert key(batch) == key(got)
+
+
+def test_minhash_collision_fn_never_flags_anchor_against_itself():
+    """At-least-once re-delivery of the anchor row (or a duplicated id
+    within one batch) must not emit (doc, anchor=doc) self-pairs."""
+    import pandas as pd
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming.dedup import (
+        _bucket_collision_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+    fn = _bucket_collision_fn(None)
+    state = FakeState()
+    # batch 1: duplicated id -> anchor=7, no self-flag
+    out1 = list(fn((1, 99), iter([pd.DataFrame({"doc_id": [7, 7]})]), state))
+    assert out1 == []
+    # batch 2: anchor re-delivered alongside a genuine dup
+    out2 = list(fn((1, 99), iter([pd.DataFrame({"doc_id": [7, 9]})]), state))
+    rows = pd.concat(out2)
+    assert list(rows["doc_id"]) == [9] and list(rows["anchor_id"]) == [7]
