@@ -288,10 +288,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_id(toks: Column | str, markers=None) -> Column:
     """N-gram-free language ID heuristic: argmax of marker-word hit
-    counts; ties and zero hits → 'und' (undetermined).
+    counts; zero hits → 'und' (undetermined).
 
-    Deterministic tie-break: highest count wins, then alphabetical
-    language code — expressible identically in the SQL oracle.
+    Deterministic tie-break: highest count wins, then the
+    ALPHABETICALLY FIRST language code (NOT 'und' — a tie between two
+    positive scores still identifies a language) — expressible
+    identically in the SQL oracle.
     """
     markers = markers or LANG_MARKERS
     t = _c(toks)

@@ -112,14 +112,30 @@ def dot_batch(vec_col: Column | str, query_vecs) -> Column:
     else:
         key = None
 
+    dim = Q.shape[1]
+
     @pandas_udf("array<double>")
     def _scores(v: pd.Series) -> pd.Series:
         arrs = v.to_numpy()
         if len(arrs) == 0:
             return pd.Series([], dtype=object)
-        M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
-        S = M @ Q.T  # (rows, n_queries)
-        return pd.Series(list(S))
+        # null-tolerant like the HOF twin: a null or wrong-length
+        # vector scores null for that ROW instead of aborting the
+        # whole query with a concatenate/reshape error
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        if good.all():
+            M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
+            S = M @ Q.T  # (rows, n_queries)
+            return pd.Series(list(S))
+        out = np.empty(len(arrs), dtype=object)
+        if good.any():
+            M = np.stack(
+                [np.asarray(a, dtype=np.float64) for a in arrs[good]]
+            )
+            out[good] = list(M @ Q.T)
+        return pd.Series(out)
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     out = _scores(c)

@@ -33,20 +33,26 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: keep the lowest id per identical text.
 
-    Groups on (length, xxhash64) — two cheap LONGs — rather than the
-    raw text, so the shuffle carries ~16 bytes/row regardless of
-    document size, and the fingerprint is ONE codegen'd hash call per
-    row (the interpreted per-character rolling hash lives on only in
-    the ``text_fingerprint`` oracle-parity query). Returns
-    (id, group_size).
+    Groups on (length, xxhash64, xxhash64∘reverse) — three cheap
+    LONGs — rather than the raw text, so the shuffle carries
+    ~24 bytes/row regardless of document size, and each fingerprint is
+    ONE codegen'd hash call per row (the interpreted per-character
+    rolling hash lives on only in the ``text_fingerprint``
+    oracle-parity query). Two independent 64-bit hashes + the length
+    put the silent-merge probability at the 2⁻¹²⁸ scale: at the
+    10¹⁰-10¹¹-document corpora this module targets, a single 64-bit
+    fingerprint's same-length collisions would no longer be
+    negligible, and unlike the LSH path there is no exact-verify stage
+    behind this one to catch a false merge. Returns (id, group_size).
     """
     keyed = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__len"),
         F.xxhash64(F.col(text_col)).alias("__fp"),
+        F.xxhash64(F.reverse(F.col(text_col))).alias("__fp2"),
     )
     return (
-        keyed.groupBy("__len", "__fp")
+        keyed.groupBy("__len", "__fp", "__fp2")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
         .select(id_col, "group_size")
     )
@@ -66,9 +72,16 @@ def ngram_jaccard_pairs(
     least one shingle ever meet, and the pre-aggregated shingle lists
     keep the join input to one row per (doc, distinct shingle).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle"),
+    # three consumers (sizes agg, both self-join sides) with different
+    # shuffle keys — persist so the corpus-wide tokenize+shingle
+    # explode is computed once, per the module's caching convention
+    sh = caching.persist(
+        df.select(
+            F.col(id_col),
+            F.explode(
+                X.word_shingles(X.tokens(F.col(text_col)), n)
+            ).alias("shingle"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
@@ -113,6 +126,7 @@ def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
     """
     from pyspark.sql.functions import pandas_udf
 
+    assert num_hashes % bands == 0, (num_hashes, bands)
     key = ("minhash_band", num_hashes, bands, n, text_col)
     cached = V._UDF_COL_CACHE.get(key)
     if cached is not None:
@@ -124,12 +138,21 @@ def _minhash_band_udf(num_hashes: int, bands: int, n: int, text_col: str):
     C = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
     FOLD = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden ratio
 
+    import re
+
+    # ASCII-class \s+ split (NOT str.split()): the exact-Jaccard
+    # verify stage tokenizes JVM-side with split(lower(text), '\s+'),
+    # whose \s is the ASCII class — Python's str.split() also breaks
+    # on Unicode spaces (NBSP, thin space), which would compute band
+    # keys over a DIFFERENT shingle set than the verifier checks.
+    _ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("array<bigint>")
     def _bandkeys(texts: pd.Series) -> pd.Series:
         flat: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
+            toks = [w for w in _ws.split((t or "").lower()) if w]
             if len(toks) >= n:
                 flat.extend(
                     " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
@@ -172,6 +195,59 @@ def banded_signatures(
         F.posexplode(
             _minhash_band_udf(num_hashes, bands, n, text_col)
         ).alias("band", "key"),
+    )
+
+
+def _lsh_pairs_from_banded(
+    df: DataFrame,
+    banded: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    broadcast_buckets: bool,
+) -> DataFrame:
+    """Shared stages 2-3 of BOTH MinHash pipelines (production xxhash
+    and oracle-portable): persist the banded frame if the caller
+    hasn't, self-join buckets into candidate pairs, exact-Jaccard
+    verify. One body so the two hash families can never drift on the
+    join/verify semantics.
+
+    The banded frame feeds both sides of the self-join, and Spark
+    re-evaluates a Python UDF per plan reference (no exchange/CSE
+    reuse through a broadcast) — the storage-level check guarantees
+    the corpus scan runs once whether the caller passed a resident
+    write-time artifact (indexes.materialized) or a fresh frame.
+    """
+    sl = banded.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        banded = caching.persist(banded)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # The bucket self-join: at cluster scale it SHUFFLES on
+    # (band, key) — the banded frame is O(corpus·bands) rows, and a
+    # bucketed index table gives the co-location for free. A caller
+    # whose corpus is known-small (size policy, queries.py) passes
+    # broadcast_buckets=True to replace the exchange+sort with a
+    # broadcast hash join — the local/serving fast path.
+    if broadcast_buckets:
+        b = F.broadcast(b)
+    # candidate pairs are tiny (collisions, not the corpus) and feed
+    # three consumers (both verify joins + the id semi-join) — persist
+    # THEM, not the corpus-scale shingle frame (tracked, caching.py)
+    cand = caching.persist(
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return jaccard_verify_pairs(
+        df, cand, n=n, threshold=threshold, text_col=text_col, id_col=id_col
     )
 
 
@@ -224,37 +300,9 @@ def minhash_lsh_pairs(
             df, n=n, num_hashes=num_hashes, bands=bands,
             text_col=text_col, id_col=id_col,
         )
-    sl = banded.storageLevel
-    if not (sl.useMemory or sl.useDisk):
-        banded = caching.persist(banded)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # The bucket self-join: at cluster scale it SHUFFLES on
-    # (band, key) — the banded frame is O(corpus·bands) rows, and a
-    # bucketed index table gives the co-location for free. A caller
-    # whose corpus is known-small (size policy, queries.py) passes
-    # broadcast_buckets=True to replace the exchange+sort with a
-    # broadcast hash join — the local/serving fast path.
-    if broadcast_buckets:
-        b = F.broadcast(b)
-    # candidate pairs are tiny (collisions, not the corpus) and feed
-    # three consumers (both verify joins + the id semi-join) — persist
-    # THEM, not the corpus-scale shingle frame (tracked, caching.py)
-    cand = caching.persist(
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    return _lsh_pairs_from_banded(
+        df, banded, n, threshold, text_col, id_col, broadcast_buckets
     )
-
-    return jaccard_verify_pairs(
-        df, cand, n=n, threshold=threshold, text_col=text_col, id_col=id_col
-    )
-
 
 def jaccard_verify_pairs(
     df: DataFrame,
@@ -507,26 +555,9 @@ def minhash_lsh_pairs_portable(
             df, n=n, num_hashes=num_hashes, bands=bands,
             text_col=text_col, id_col=id_col,
         )
-    sl = banded.storageLevel
-    if not (sl.useMemory or sl.useDisk):
-        banded = caching.persist(banded)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    if broadcast_buckets:
-        b = F.broadcast(b)
-    cand = caching.persist(
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    return _lsh_pairs_from_banded(
+        df, banded, n, threshold, text_col, id_col, broadcast_buckets
     )
-    return jaccard_verify_pairs(
-        df, cand, n=n, threshold=threshold, text_col=text_col, id_col=id_col
-    )
-
 
 def simhash_signatures_portable(
     df: DataFrame,
@@ -542,30 +573,9 @@ def simhash_signatures_portable(
     usable bits (values < 1e9+7), so the signature is 30 bits in two
     15-bit bands rather than 64 in four — recall trades against
     having a DuckDB twin."""
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
-    ).filter(F.length("t") > 0)
-    hashed = tok.select(
-        F.col(id_col), X.rolling_hash_fingerprint(F.col("t")).alias("h")
+    return _simhash_from_token_hash(
+        df, X.rolling_hash_fingerprint, bits, text_col, id_col
     )
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig + F.when(
-            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), sig.alias("simhash"))
-
 
 def simhash_buckets_portable(
     df: DataFrame,
@@ -596,6 +606,40 @@ def simhash_buckets_portable(
     return banded.select("band", "key", F.col(id_col))
 
 
+def _simhash_from_token_hash(
+    df: DataFrame, hash_col_fn, bits: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared vote-aggregation body of both SimHash builders: explode
+    tokens → one hash per token via ``hash_col_fn`` → ``bits``
+    codegen'd ±1 vote sums → assemble the signature long. One body so
+    the production and portable variants can't drift on the vote or
+    sign-bit assembly semantics. Bit 63, when used, is the sign bit —
+    its addend must be the negative long.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)  # post-explode WHERE stays in codegen
+    hashed = tok.select(F.col(id_col), hash_col_fn(F.col("t")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+        sig = sig + F.when(F.col(f"v{j}") > 0, bit).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -613,27 +657,9 @@ def simhash_signatures(
     reference-style multiset semantics. Token-less documents drop out
     (no signature), which is what dedup wants anyway.
     """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
-    ).filter(F.length("t") > 0)  # post-explode WHERE stays in codegen
-    hashed = tok.select(F.col(id_col), F.xxhash64("t").alias("h"))
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    return _simhash_from_token_hash(
+        df, F.xxhash64, 64, text_col, id_col
     )
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        bit = F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
-        sig = sig + F.when(F.col(f"v{j}") > 0, bit).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), sig.alias("simhash"))
-
 
 def simhash_buckets(
     df: DataFrame,

@@ -37,6 +37,20 @@ def _query_vec_col(query_vec: Sequence[float]):
 _MAX_BATCHED_QUERIES = 64
 
 
+def _qrows_frame(like_df, qrows, qid_col: str, qvec_col: str):
+    """Rebuild a queries DataFrame from driver-side (qid, vector) rows
+    for the >_MAX_BATCHED_QUERIES crossJoin fallback. The fallback must
+    score exactly the batch the caller supplied: callers on the serving
+    path pass ``query_rows`` with NO queries DataFrame at all, and a
+    caller passing both must not get a silently different query set the
+    moment the batch outgrows the width-limited path."""
+    spark = like_df.sparkSession
+    return spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in qrows],
+        f"{qid_col} long, {qvec_col} array<double>",
+    )
+
+
 def pair_scores(
     df: DataFrame,
     query_rows,  # list of (qid, vector)
@@ -163,7 +177,8 @@ def knn_batch(
             embeddings, qrows, id_col, vec_col, query_id_col, arrow=arrow
         ).select(query_id_col, id_col, "sim")
     else:
-        joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        qdf = _qrows_frame(embeddings, qrows, query_id_col, query_vec_col)
+        joined = embeddings.crossJoin(F.broadcast(qdf)).select(
             F.col(query_id_col),
             F.col(id_col),
             V.dot(F.col(vec_col), F.col(query_vec_col)).alias("sim"),
@@ -242,7 +257,8 @@ def segment_search(
             mx.alias("max_segment_similarity"),
         )
     else:
-        pairs = cand.crossJoin(F.broadcast(query_segments)).select(
+        qdf = _qrows_frame(cand, qrows, qid_col, qvec_col)
+        pairs = cand.crossJoin(F.broadcast(qdf)).select(
             F.col(image_col),
             F.col(qid_col),
             V.dot(F.col(vec_col), F.col(qvec_col)).alias("sim"),
@@ -311,7 +327,8 @@ def hybrid_search(
             (total / F.lit(float(len(names)))).alias("segment_score"),
         )
     else:
-        pairs = cand_segments.crossJoin(F.broadcast(query_segments)).select(
+        qdf = _qrows_frame(cand_segments, qrows, qid_col, qvec_col)
+        pairs = cand_segments.crossJoin(F.broadcast(qdf)).select(
             F.col(image_col),
             F.col(qid_col),
             V.dot(F.col(seg_vec_col), F.col(qvec_col)).alias("sim"),
@@ -430,7 +447,6 @@ def tag_search(
     qualifying tag are filtered before the aggregate, so only matches
     shuffle.
     """
-    tag_arr = F.lit([str(t) for t in tags])
     matching = F.filter(
         F.col(tags_col),
         lambda t: t["tag"].isin(*[str(x) for x in tags])
@@ -444,7 +460,6 @@ def tag_search(
         F.countDistinct("tag").alias("matched_tags"),
         F.max("confidence").alias("max_confidence"),
     )
-    _ = tag_arr  # literal kept for API symmetry / future pushdown
     return scored.orderBy(
         F.desc("matched_tags"), F.desc("max_confidence"), F.col(image_col)
     ).limit(top_k)

@@ -25,11 +25,16 @@ from pyspark.sql import DataFrame, functions as F
 def fingerprint_columns(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Attach the exact-dedup content fingerprint (length + xxhash64 —
-    the same 16-byte key ``operators/dedup.py::exact_dedup`` groups
-    on) so streaming and batch dedup agree on identity."""
-    return df.withColumn("__len", F.length(F.col(text_col))).withColumn(
-        "__fp", F.xxhash64(F.col(text_col))
+    """Attach the exact-dedup content fingerprint (length + two
+    independent xxhash64s — the same ~24-byte key
+    ``operators/dedup.py::exact_dedup`` groups on) so streaming and
+    batch dedup agree on identity, with the same 2⁻¹²⁸-scale
+    silent-merge bound."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("__len", F.length(c))
+        .withColumn("__fp", F.xxhash64(c))
+        .withColumn("__fp2", F.xxhash64(F.reverse(c)))
     )
 
 
@@ -50,8 +55,8 @@ def dedup_stream(
     keyed = fingerprint_columns(stream, text_col=text_col)
     return (
         keyed.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__len", "__fp"])
-        .drop("__len", "__fp")
+        .dropDuplicatesWithinWatermark(["__len", "__fp", "__fp2"])
+        .drop("__len", "__fp", "__fp2")
     )
 
 
