@@ -31,7 +31,7 @@ def explode_counts(
     ).filter(F.length("value") > 0)
     counts = exploded.groupBy("value").agg(F.count("*").alias("count"))
     counts = counts.orderBy(F.desc("count"), F.col("value"))
-    return counts.limit(top_n) if top_n else counts
+    return counts.limit(top_n) if top_n is not None else counts
 
 
 def histogram(
@@ -69,7 +69,7 @@ def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.avg(value_col).alias("mean"),
-            F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+            F.expr(f"percentile(`{value_col}`, 0.5)").alias("median"),
             F.min(value_col).alias("min"),
             F.max(value_col).alias("max"),
         )

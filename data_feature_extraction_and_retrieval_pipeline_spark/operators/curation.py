@@ -188,6 +188,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool = True,
+    include_empty: bool = False,
 ) -> DataFrame:
     """Corpus-unigram NLL quality score: (id, n_tokens, avg_nll) where
     ``avg_nll = mean(-ln(count(tok)/total_tokens))`` over the
@@ -202,6 +203,12 @@ def unigram_logprob(
     table (right for natural-language vocabularies, ~millions of rows
     even at 100 TB); set False to shuffle-join when the token domain
     is unbounded (code, URLs).
+
+    Token-less documents vanish at the explode, so by default they
+    have NO output row — a downstream ``avg_nll <= tau`` keep-join
+    would silently drop them. ``include_empty=True`` re-attaches them
+    as (id, n_tokens=0, avg_nll=null) so the caller decides their
+    fate explicitly.
     """
     toks = df.select(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
@@ -211,11 +218,24 @@ def unigram_logprob(
     vocab = freq.crossJoin(F.broadcast(total))
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
-    return (
+    scored = (
         toks.join(vocab, "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
             F.avg(-F.log(F.col("c") / F.col("total"))).alias("avg_nll"),
+        )
+    )
+    if not include_empty:
+        return scored
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            "avg_nll",
         )
     )

@@ -94,6 +94,7 @@ def assign_clusters_np(
     centroids: list[Sequence[float]],
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    l2: bool = False,
 ) -> DataFrame:
     """Numpy twin of ``assign_clusters``: one Arrow batch matmul
     (rows × centroids) + argmax per batch instead of centroids×dim
@@ -103,15 +104,30 @@ def assign_clusters_np(
     loop (IVF build, cluster-blocked dedup); the expression form
     remains for composition inside pure-Catalyst plans."""
     C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    # l2=True scores dot(x, c) - |c|²/2 — argmax equals the true
+    # nearest-in-L2 assignment (|x|² is row-constant). Identical to
+    # max-dot when every centroid is unit-norm (the IVF/LSH fixed-
+    # centroid paths); required for Lloyd's once re-centered means
+    # have diverging norms (kmeans), where raw max-dot is neither L2
+    # nor spherical and the objective can oscillate.
+    bias = 0.5 * (C * C).sum(axis=1) if l2 else 0.0
+    dim = C.shape[1]
 
     def _assign(batches):
         for pdf in batches:
             arrs = pdf[vec_col].to_numpy()
-            if len(arrs):
-                M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
-                pdf = pdf.assign(**{out_col: np.argmax(M @ C.T, axis=1).astype("int32")})
-            else:
-                pdf = pdf.assign(**{out_col: np.array([], dtype="int32")})
+            good = np.array(
+                [a is not None and len(a) == dim for a in arrs], dtype=bool
+            )
+            out = np.empty(len(arrs), dtype=object)
+            if good.any():
+                M = np.stack(
+                    [np.asarray(a, dtype=np.float64) for a in arrs[good]]
+                )
+                out[good] = np.argmax(M @ C.T - bias, axis=1).astype("int32")
+            # null/wrong-length vectors -> null cluster, matching the
+            # Catalyst twin's null propagation instead of crashing
+            pdf = pdf.assign(**{out_col: out})
             yield pdf
 
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -202,10 +218,15 @@ def hyperplane_bucket(
     becomes partition pruning, exactly like the IVF path.
     """
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("int")
+    # LONG accumulation: at >=32 hyperplanes bit 31 would wrap an int
+    # bucket negative (and >=64 is out of range entirely — asserted)
+    assert len(hyperplanes) < 64, "bucket id must fit a signed long"
+    bucket = F.lit(0).cast("long")
     for i, h in enumerate(hyperplanes):
         hcol = V.lit_vec(h)
-        bucket = bucket + F.when(V.dot(col, hcol) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bucket + F.when(
+            V.dot(col, hcol) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
@@ -229,14 +250,27 @@ def hyperplane_bucket_np(vec_col, hyperplanes: list[Sequence[float]]):
     else:
         key = None
 
-    @pandas_udf("int")
+    assert len(hyperplanes) < 64, "bucket id must fit a signed long"
+    dim = H.shape[1]
+
+    @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         arrs = v.to_numpy()
         if len(arrs) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.concatenate(arrs).reshape(len(arrs), -1).astype(np.float64)
-        bits = (M @ H.T) > 0
-        return pd.Series((bits @ powers).astype("int32"))
+            return pd.Series([], dtype="int64")
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        out = np.empty(len(arrs), dtype=object)
+        if good.any():
+            M = np.stack(
+                [np.asarray(a, dtype=np.float64) for a in arrs[good]]
+            )
+            bits = (M @ H.T) > 0
+            out[good] = (bits @ powers).astype("int64")
+        # null/wrong-length vectors -> null bucket (the Catalyst twin
+        # yields null through the null dot), never a crashed job
+        return pd.Series(out)
 
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     out = _bucket(col)
@@ -315,7 +349,9 @@ def kmeans(
     """Lloyd's k-means over an embedding column — the engine's
     iterative-algorithm pattern (repeated assign → re-center with the
     k×dim centroid state collected to the driver and re-broadcast each
-    round; the data never leaves the cluster).
+    round; the data never leaves the cluster). Assignment is exact
+    nearest-in-L2 (argmax dot − |c|²/2), so the Lloyd objective is
+    non-increasing by construction.
 
     Deterministic: init = the first k vectors by id (seed-free,
     mirroring the fixed-centroid convention), ties broken by lowest
@@ -336,6 +372,11 @@ def kmeans(
         cents = [[float(x) for x in r[0]] for r in rows]
     else:
         cents = [[float(x) for x in c] for c in init_centroids]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans: need at least k={k} vectors to initialize, "
+            f"got {len(cents)}"
+        )
 
     dim = len(cents[0])
     fit_df = embeddings
@@ -348,7 +389,10 @@ def kmeans(
         )
     assigned = None
     for _ in range(max_iter):
-        assigned = assign_clusters(fit_df, cents, vec_col=vec_col)
+        # exact-L2 Lloyd assignment (argmax dot - |c|²/2): re-centered
+        # means have diverging norms, where raw max-dot is neither L2
+        # nor spherical and the objective can oscillate
+        assigned = assign_clusters_np(fit_df, cents, vec_col=vec_col, l2=True)
         sums = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
@@ -366,7 +410,10 @@ def kmeans(
             [x / counts[c] for x in acc[c]] if c in acc else cents[c]
             for c in range(k)
         ]
-    return assign_clusters(embeddings, cents, vec_col=vec_col), cents
+    return (
+        assign_clusters_np(embeddings, cents, vec_col=vec_col, l2=True),
+        cents,
+    )
 
 
 def cosine_self_join_pairs(
@@ -433,8 +480,12 @@ def cosine_self_join_pairs(
             }
         )
 
+    # pair-id types follow the actual id column (the hardcoded "long"
+    # crashed the Arrow return path for string/uuid ids)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     return assigned.groupBy("cluster").applyInPandas(
-        _block_pairs, schema="id_a long, id_b long, cosine double"
+        _block_pairs,
+        schema=f"id_a {id_type}, id_b {id_type}, cosine double",
     )
 
 

@@ -47,13 +47,25 @@ def asof_join(
     ]
     lcols = left.columns
 
+    # The right row is carried as ONE struct and forward-filled
+    # atomically: per-column last(ignorenulls) would fill a genuinely
+    # NULL payload value from an OLDER right row, emitting a mixed row
+    # no single right row ever contained. The struct is non-null for
+    # every right row (even with null payload fields), so the fill
+    # always selects the complete latest right row — real ASOF JOIN
+    # semantics.
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
     l_tagged = left.select(
         F.col(key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
     )
     r_tagged = right.select(
         F.col(key).alias("__key"),
@@ -62,8 +74,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["__left"].dataType
         ).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
-        F.col(right_ts).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
 
     w = (
@@ -74,16 +85,12 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_payload
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{prefix}{right_ts}"),
+        F.last("__r", ignorenulls=True).over(w).alias("__r_filled"),
     )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col("__left")[c].alias(c) for c in lcols],
-        *[F.col(f"{prefix}{c}") for c in right_payload],
-        F.col(f"{prefix}{right_ts}"),
+        *[F.col("__r_filled")[c].alias(f"{prefix}{c}") for c in right_payload],
+        F.col("__r_filled")["__rts"].alias(f"{prefix}{right_ts}"),
     )
     return out
 

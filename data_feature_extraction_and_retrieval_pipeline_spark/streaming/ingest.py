@@ -146,9 +146,20 @@ def incremental_upsert(
 
     from ..sources.writers import upsert_parquet
 
+    retired = f"{index_path}__retired"
+
     def _merge(batch_df, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         target = Path(index_path)
+        # Crash recovery: the swap below is rename(target→retired) +
+        # rename(tmp→target) + delete(retired). A crash between the
+        # renames leaves the index at `retired` and no target — roll
+        # it back here before merging, so the accumulated index is
+        # NEVER destroyed (the old rmtree-then-rename swap lost the
+        # whole index to a crash in that window, and the next batch
+        # silently rebuilt it from one batch's rows).
+        if not target.exists() and Path(retired).exists():
+            Path(retired).rename(target)
         if not target.exists():
             batch_df.write.mode("overwrite").parquet(index_path)
             return
@@ -156,8 +167,11 @@ def incremental_upsert(
         merged = upsert_parquet(existing, batch_df, key)
         tmp = f"{index_path}__tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(index_path)
+        if Path(retired).exists():  # leftover from an interrupted swap
+            shutil.rmtree(retired)
+        target.rename(retired)
         Path(tmp).rename(index_path)
+        shutil.rmtree(retired)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (

@@ -107,3 +107,25 @@ def test_sessionize_gap_splits(spark):
     # session_window end = last event + gap
     assert s1["session_end"] == _ts("2024-01-01 10:40:00")
     assert s1["sum_value"] == pytest.approx(3.0)
+
+
+def test_asof_join_carries_whole_right_row(spark):
+    """A genuinely-null right payload value must NOT be back-filled
+    from an older right row: the as-of match is the complete latest
+    right row, like DuckDB/kdb ASOF JOIN."""
+    import datetime as dt
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    right = spark.createDataFrame(
+        [(1, ts(0), 5.0, "a"), (1, ts(2), None, "b")],
+        "k long, ts timestamp, val double, tag string",
+    )
+    left = spark.createDataFrame([(1, ts(5))], "k long, ts timestamp")
+    row = asof_join(left, right, "k").collect()[0]
+    assert row.asof_tag == "b"
+    assert row.asof_val is None  # NOT 5.0 from the older row
+    assert row.asof_ts == ts(2)
