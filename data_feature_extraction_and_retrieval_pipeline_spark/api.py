@@ -20,9 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import retrieval
 from .sources import load_table
+from .sources.readers import IMAGE_EXTENSIONS
 
 MAX_UPLOAD_BYTES = 16 * 1024 * 1024  # app.py:27 MAX_CONTENT_LENGTH
-ALLOWED_EXTENSIONS = ("jpg", "jpeg", "png", "gif")  # app.py:31
+# one constant for BOTH halves of the S1/P9 contract: the upload gate
+# and the directory-scan filter must accept the same formats (app.py:31)
+ALLOWED_EXTENSIONS = IMAGE_EXTENSIONS
 
 
 def validate_upload(filename: str, n_bytes: int) -> None:
@@ -148,8 +151,6 @@ class Engine:
         from .ml.encoders import _hash_projection, _l2_normalize_rows, _try_real_clip
 
         validate_upload(filename, len(payload))
-        if dim is None:
-            dim = len(self.images.select("embedding").first()[0])
         real = _try_real_clip()
         if real is not None:
             import numpy as np
@@ -157,6 +158,16 @@ class Engine:
             mat = np.asarray(real.encode_image_batch([payload]), dtype=np.float32)
             qvec = _l2_normalize_rows(mat)[0].tolist()
         else:
+            # dim lookup only on the stub path (the real encoder knows
+            # its own dim) — it costs a Spark job per request otherwise
+            if dim is None:
+                first = self.images.select("embedding").first()
+                if first is None:
+                    raise ValueError(
+                        "search_content: images table is empty — no "
+                        "embedding dimension to infer"
+                    )
+                dim = len(first[0])
             qvec = _hash_projection(payload, dim).tolist()
         return self.search(mode, query_vec=qvec, top_k=top_k, **kwargs)
 

@@ -49,13 +49,20 @@ def release() -> int:
     ledger empties (one-shot harness runs). Returns the released count.
     """
     n = len(_LIVE)
+    survivors: list[DataFrame] = []
     for df in _LIVE:
+        try:
+            alive = df.sparkSession.sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if not alive:
+            continue  # dead session: drop the ledger entry entirely
         try:
             df.unpersist(blocking=False)
             if RETAIN_ON_RELEASE:
                 df.persist()
+                survivors.append(df)
         except Exception:
-            pass  # session already stopped
-    if not RETAIN_ON_RELEASE:
-        _LIVE.clear()
+            pass
+    _LIVE[:] = survivors if RETAIN_ON_RELEASE else []
     return n

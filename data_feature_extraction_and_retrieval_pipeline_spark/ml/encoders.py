@@ -195,7 +195,9 @@ def zero_shot_tags(df, vec_col: str, vocab: list[tuple[str, list[float]]], top_k
             logits = 100.0 * (mat @ x)
             e = np.exp(logits - logits.max())
             probs = e / e.sum()
-            idx = np.argsort(-probs)[:top_k]
+            # stable sort: tied confidences must break by tag index
+            # (the oracle's ORDER BY ex DESC, tid), not quicksort whim
+            idx = np.argsort(-probs, kind="stable")[:top_k]
             return [
                 {"tag": tags[i], "confidence": float(probs[i])} for i in idx
             ]

@@ -268,7 +268,14 @@ def segment_search(
             F.avg("best_sim").alias("avg_similarity"),
             F.max("best_sim").alias("max_segment_similarity"),
         )
-    return scored.orderBy(F.desc("avg_similarity"), F.col(image_col)).limit(top_k)
+    # top-k selection orders on the ROUNDED score + id — the engine's
+    # certification convention (module header of queries.py): the raw
+    # doubles come from different fp accumulation orders per execution
+    # strategy/engine, so a raw-score order could select a different
+    # row SET than the oracle when two candidates round equal
+    return scored.orderBy(
+        F.desc(F.round("avg_similarity", 6)), F.col(image_col)
+    ).limit(top_k)
 
 
 def hybrid_search(
@@ -348,7 +355,10 @@ def hybrid_search(
             F.col("whole_score"), F.col("segment_score"), whole_weight, segment_weight
         ).alias("hybrid_score"),
     )
-    return combined.orderBy(F.desc("hybrid_score"), F.col(image_col)).limit(top_k)
+    # rounded-score + id ordering — see segment_search
+    return combined.orderBy(
+        F.desc(F.round("hybrid_score", 6)), F.col(image_col)
+    ).limit(top_k)
 
 
 def hybrid_search_flat(
@@ -424,7 +434,10 @@ def hybrid_search_flat(
             F.col("whole_score"), seg_score, whole_weight, segment_weight
         ).alias("hybrid_score"),
     )
-    return combined.orderBy(F.desc("hybrid_score"), F.col(image_col)).limit(top_k)
+    # rounded-score + id ordering — see segment_search
+    return combined.orderBy(
+        F.desc(F.round("hybrid_score", 6)), F.col(image_col)
+    ).limit(top_k)
 
 
 def tag_search(

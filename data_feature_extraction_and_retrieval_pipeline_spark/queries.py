@@ -82,6 +82,17 @@ def register(name: str, oracle: str | None = None):
             key = (id(spark), sf_dir.rstrip("/"), name)
             df = _PLAN_CACHE.get(key)
             if df is None:
+                # evict dead-session plans (same liveness pruning as
+                # the table/index caches) before adding a new one
+                for k, old_df in list(_PLAN_CACHE.items()):
+                    try:
+                        alive = (
+                            old_df.sparkSession.sparkContext._jsc is not None
+                        )
+                    except Exception:
+                        alive = False
+                    if not alive:
+                        _PLAN_CACHE.pop(k, None)
                 df = fn(spark, sf_dir)
                 _PLAN_CACHE[key] = df
             return df.select("*")
@@ -1247,7 +1258,7 @@ def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_dot_product(w.v, q.qv) + 1.0 AS whole_score
         FROM whole w, qwhole q
         ORDER BY whole_score DESC, w.image_id
-        LIMIT 100
+        LIMIT 200
     ),
     best AS (
         SELECT s.image_id, q.qid, MAX(list_dot_product(s.v, q.qv)) AS best_sim
@@ -1321,7 +1332,7 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_dot_product(w.v, q.qv) + 1.0 AS whole_score
         FROM whole w, qwhole q
         ORDER BY whole_score DESC, w.image_id
-        LIMIT 100
+        LIMIT 200
     ),
     best AS (
         SELECT s.image_id, q.qid, MAX(list_dot_product(s.v, q.qv)) AS best_sim
@@ -2602,16 +2613,20 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = minhash_collision_stream(src.select("doc_id", "text"))
     name = f"mh_stream_{abs(hash(sf_dir)) % 10**8}"
+    ckpt = tempfile.mkdtemp(prefix="dferp_mh_ckpt_")
     q = (
         flagged.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dferp_mh_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(120):
         q.stop()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
     return (
         spark.table(name)
         .groupBy("doc_id")
@@ -2644,11 +2659,12 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = sessionize_stream(src, "30 minutes", emit_open=True)
     name = f"sessions_stream_{abs(hash(sf_dir)) % 10**8}"
+    ckpt = tempfile.mkdtemp(prefix="dferp_sess_ckpt_")
     q = (
         sessions.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dferp_sess_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -2658,6 +2674,11 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than left to abort mid-batch at session teardown.
     if not q.awaitTermination(120):
         q.stop()
+    # drained into the memory sink — the per-call checkpoint has no
+    # further use; a resident process must not leak one per invocation
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -4140,7 +4161,11 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    tmp = tempfile.mkdtemp(prefix="dferp_csv_rt_")
+    # deterministic per-sf_dir dir, overwritten each call — a resident
+    # process re-running the query must not leak a directory per call
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dferp_csv_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
     docs.write.mode("overwrite").option("header", True).option(
         "escape", '"'
     ).csv(tmp)
@@ -4169,6 +4194,7 @@ def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned back with the multiLine JSON dir reader under an explicit
     schema, re-aggregated, and checked against the parquet-side
     oracle. Subset (doc_id % 4 == 0) keeps the file count bounded."""
+    import shutil
     import tempfile
 
     from .sources.readers import read_json_dir
@@ -4183,7 +4209,11 @@ def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("doc_id", "lang", "n_chars")), "utf-8"
         ).alias("content"),
     )
-    tmp = tempfile.mkdtemp(prefix="dferp_json_rt_")
+    tmp = os.path.join(  # deterministic per-sf_dir; see etl_csv_roundtrip
+        tempfile.gettempdir(), f"dferp_json_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
+    os.makedirs(tmp, exist_ok=True)
     write_binary_files(payload, tmp)
     back = read_json_dir(
         spark, tmp, schema="doc_id long, lang string, n_chars long"
@@ -4211,6 +4241,7 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate must select exactly the images — count, byte total, and
     the id checksum parsed back out of the filenames all match the
     parquet-side oracle over the even ids."""
+    import shutil
     import tempfile
 
     from .sources.readers import read_image_dir
@@ -4227,7 +4258,11 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filename"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    tmp = tempfile.mkdtemp(prefix="dferp_imgdir_")
+    tmp = os.path.join(  # deterministic per-sf_dir; see etl_csv_roundtrip
+        tempfile.gettempdir(), f"dferp_imgdir_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
+    os.makedirs(tmp, exist_ok=True)
     write_binary_files(files, tmp)
     back = read_image_dir(spark, tmp)
     return back.agg(

@@ -98,6 +98,17 @@ def load_table(
         cached = _TABLE_CACHE.get(cache_key)
         if cached is not None:
             return cached
+        # miss: evict entries whose session has been stopped (each
+        # cached frame strong-refs its session, so without this a
+        # multi-session process pins dead sessions forever —
+        # indexes.py applies the same liveness pruning)
+        for k, df in list(_TABLE_CACHE.items()):
+            try:
+                alive = df.sparkSession.sparkContext._jsc is not None
+            except Exception:
+                alive = False
+            if not alive:
+                _TABLE_CACHE.pop(k, None)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = schemas.TABLES.get(name)
     if expected is not None:

@@ -79,13 +79,18 @@ def write_binary_files(
     foreachPartition + count() shape ran the frame twice). NOTE:
     one-file-per-row is an export/compat path; the engine's canonical
     store keeps crops as a BinaryType column in parquet (small-files
-    problem at 100 TB). Returns the number of files written.
+    problem at 100 TB). Returns the number of files written. Rows
+    whose filenames share a basename overwrite each other (last writer
+    wins) — pre-deduplicate if source paths can collide on basename.
     """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(rows):
+        # executors run on machines where the driver's makedirs never
+        # happened — ensure the target dir exists partition-side too
+        os.makedirs(out_dir, exist_ok=True)
         n = 0
         for row in rows:
             name = os.path.basename(row[filename_col])
