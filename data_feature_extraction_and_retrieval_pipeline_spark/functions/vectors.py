@@ -135,6 +135,12 @@ def dot_batch(vec_col: Column | str, query_vecs) -> Column:
                 [np.asarray(a, dtype=np.float64) for a in arrs[good]]
             )
             out[good] = list(M @ Q.T)
+        # bad rows yield an array of Q nulls — the SAME shape the HOF
+        # twin produces (null dot per query), so downstream posexplode
+        # emits identical row sets under either execution strategy
+        nq = Q.shape[0]
+        for i in np.nonzero(~good)[0]:
+            out[i] = [None] * nq
         return pd.Series(out)
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col

@@ -79,10 +79,17 @@ def resolve_paths(
     keep semantics).
     """
     meta = metadata.withColumn("__basename", url_basename(url_col))
-    listing = file_listing.select(
-        F.col(listing_basename_col).alias("__basename"),
-        F.col(listing_path_col).alias("__resolved"),
-    ).dropDuplicates(["__basename"])
+    # colliding basenames resolve to the lexicographically smallest
+    # path — dropDuplicates would pick a partition-order-dependent row
+    # (run-to-run nondeterminism, against the repo's tie-break rule)
+    listing = (
+        file_listing.select(
+            F.col(listing_basename_col).alias("__basename"),
+            F.col(listing_path_col).alias("__resolved"),
+        )
+        .groupBy("__basename")
+        .agg(F.min("__resolved").alias("__resolved"))
+    )
     return (
         meta.join(F.broadcast(listing), "__basename", "left")
         .withColumn(url_col, F.coalesce(F.col("__resolved"), F.col(url_col)))

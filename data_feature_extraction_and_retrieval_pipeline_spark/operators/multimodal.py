@@ -65,6 +65,20 @@ def _stub_dims(n_bytes: int) -> tuple[int, int, str]:
     return width, height, _FORMATS[n_bytes % 3]
 
 
+def _stub_dims_np(n_bytes):
+    """Vectorized twin of ``_stub_dims`` over an int64 array — ONE
+    definition of the stub arithmetic for both the scalar helper and
+    the batch kernels (they must never drift)."""
+    import numpy as np
+
+    fmts = np.asarray(_FORMATS)
+    return (
+        ((n_bytes * 7) % 1024 + 32).astype("int32"),
+        ((n_bytes * 13) % 1024 + 32).astype("int32"),
+        fmts[n_bytes % 3],
+    )
+
+
 def decode_image_meta(
     images: DataFrame,
     content_col: str = "content",
@@ -78,20 +92,23 @@ def decode_image_meta(
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        fmts = np.asarray(_FORMATS)
         for pdf in batches:
             # vectorized batch kernel — the shape a real decoder keeps
-            # (len() is the only per-row Python; the arithmetic is numpy)
-            n_bytes = pdf[content_col].map(len).to_numpy("int64")
+            # (len() is the only per-row Python; the arithmetic is
+            # numpy, shared with _stub_dims via _stub_dims_np). Null
+            # content decodes as empty bytes rather than crashing the
+            # task (the column is nullable in the MEDIA schema).
+            n_bytes = pdf[content_col].map(
+                lambda b: len(b) if b is not None else 0
+            ).to_numpy("int64")
+            width, height, fmt = _stub_dims_np(n_bytes)
             yield pd.DataFrame(
                 {
                     "filename": pdf[filename_col],
                     "n_bytes": n_bytes,
-                    "width": ((n_bytes * 7) % 1024 + 32).astype("int32"),
-                    "height": ((n_bytes * 13) % 1024 + 32).astype("int32"),
-                    "format": fmts[n_bytes % 3],
+                    "width": width,
+                    "height": height,
+                    "format": fmt,
                 }
             )
 
@@ -114,10 +131,16 @@ def resize_plan(
         F.greatest("width", "height") > max_side,
         F.lit(float(max_side)) / F.greatest("width", "height"),
     ).otherwise(F.lit(1.0))
+    # extreme aspect ratios can floor the short side to 0 — clamp to 1
+    # (a resizer asked for an Nx0 image fails); oracle replays the clamp
     return meta.select(
         "*",
-        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
-        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale))
+        .cast("int")
+        .alias("target_width"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale))
+        .cast("int")
+        .alias("target_height"),
     )
 
 
@@ -142,6 +165,7 @@ def sample_frames(
         for pdf in batches:
             out_name, out_idx, out_frame = [], [], []
             for name, content in zip(pdf[filename_col], pdf[content_col]):
+                content = content if content is not None else b""
                 n_frames = len(content) % 240 + 1
                 picked = list(range(0, n_frames, every_nth))[:max_frames]
                 for idx in picked:

@@ -45,9 +45,12 @@ def _qrows_frame(like_df, qrows, qid_col: str, qvec_col: str):
     caller passing both must not get a silently different query set the
     moment the batch outgrows the width-limited path."""
     spark = like_df.sparkSession
+    qid_type = (
+        "string" if qrows and isinstance(qrows[0][0], str) else "long"
+    )  # same id-type latitude as the batched pair_scores path
     return spark.createDataFrame(
         [(q, [float(x) for x in v]) for q, v in qrows],
-        f"{qid_col} long, {qvec_col} array<double>",
+        f"{qid_col} {qid_type}, {qvec_col} array<double>",
     )
 
 

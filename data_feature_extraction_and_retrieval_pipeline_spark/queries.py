@@ -3017,8 +3017,8 @@ def ml_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 800.0 / GREATEST(width, height) ELSE 1.0 END AS scale
         FROM decoded
     )
-    SELECT CAST(FLOOR(width * scale) AS INT) AS target_width,
-           CAST(FLOOR(height * scale) AS INT) AS target_height,
+    SELECT GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS target_width,
+           GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS target_height,
            COUNT(*) AS n
     FROM plan GROUP BY target_width, target_height
     """,

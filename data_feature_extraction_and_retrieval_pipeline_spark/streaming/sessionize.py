@@ -58,7 +58,12 @@ def make_sessionizer(gap_us: int = GAP_US_DEFAULT, emit_open: bool = False):
     ``emit_open=True`` also emits the still-open trailing session each
     batch (used with availableNow one-shot drains so the final session
     isn't stranded in state; a long-running stream would instead rely
-    on the timeout to flush it).
+    on the timeout to flush it). CAVEAT: this mode assumes the drain
+    processes its backlog in ONE micro-batch (availableNow's default
+    when ``maxFilesPerTrigger`` is unset) — a multi-batch drain would
+    emit an open session per batch, fragmenting sessions that span a
+    batch boundary. Use emit_open=False with timeouts for streams that
+    trickle data across batches.
     """
 
     def sessionize_fn(
@@ -74,7 +79,10 @@ def make_sessionizer(gap_us: int = GAP_US_DEFAULT, emit_open: bool = False):
             ts_us.extend(
                 pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64").tolist()
             )
-            vals.extend(pdf["value"].astype("float64"))
+            # null values contribute 0 to the session sum — the batch
+            # twin's F.sum skips nulls; a NaN here would poison the
+            # whole session's sum_value
+            vals.extend(pdf["value"].fillna(0.0).astype("float64"))
 
         if state.hasTimedOut:
             if state.exists:
@@ -139,8 +147,18 @@ def sessionize_stream(
     comparable to the batch query — the Structured Streaming contract.
     """
     n, unit = gap.split()
-    per = {"minute": 60, "minutes": 60, "second": 1, "seconds": 1, "hour": 3600, "hours": 3600}[unit]
-    gap_us = int(n) * per * 1_000_000
+    per_unit = {
+        "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+        "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }
+    if unit not in per_unit:
+        raise ValueError(
+            f"sessionize_stream: unsupported gap unit {unit!r} "
+            f"(supported: {sorted(set(per_unit))})"
+        )
+    gap_us = int(n) * per_unit[unit] * 1_000_000
     # Timeout mode follows the drain mode. A one-shot availableNow
     # drain (emit_open=True) never leaves state behind, so it needs no
     # timeouts — and declaring ProcessingTimeTimeout anyway makes the
