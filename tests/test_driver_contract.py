@@ -49,3 +49,58 @@ def test_contract_under_vanilla_session():
     assert "CONTRACT_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
+
+
+SCRIPT_PRUNE = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+
+import data_feature_extraction_and_retrieval_pipeline_spark as dferp
+from data_feature_extraction_and_retrieval_pipeline_spark import caching, queries as Q
+from data_feature_extraction_and_retrieval_pipeline_spark.sources import readers
+
+SF = "/root/testdata/sf0.001"
+
+def mk():
+    return (SparkSession.builder.master("local[2]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate())
+
+readers.enable_table_cache(True)
+Q.enable_plan_cache(True)
+
+s1 = mk()
+readers.load_table(s1, SF, "documents").count()
+Q.queries()["q1_pricing_summary"](s1, SF).collect()
+n_tables_1 = len(readers._TABLE_CACHE)
+n_plans_1 = len(Q._PLAN_CACHE)
+assert n_tables_1 >= 1 and n_plans_1 >= 1, (n_tables_1, n_plans_1)
+id1 = id(s1)
+s1.stop()
+SparkSession.builder._options = {}
+
+s2 = mk()
+readers.load_table(s2, SF, "documents").count()   # miss -> prune dead
+Q.queries()["q1_pricing_summary"](s2, SF).collect()
+caching.release()                                  # drops dead-session ledger rows
+assert not any(k[0] == id1 for k in readers._TABLE_CACHE), "dead table cache kept"
+assert not any(k[0] == id1 for k in Q._PLAN_CACHE), "dead plan cache kept"
+print("PRUNE_OK")
+"""
+
+
+def test_dead_session_caches_pruned():
+    """Stopping a session and starting another must evict the dead
+    session's table/plan cache entries (liveness pruning)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT_PRUNE % {"repo": str(REPO)}],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+    )
+    assert "PRUNE_OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )
