@@ -154,6 +154,9 @@ _DRIVER_ORDER: list[str] = [
     "etl_json_feature_roundtrip",
     "ml_image_dir_scan",
     # -- touched this round (row must postdate the change) --
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "etl_url_basename_join",
     "join_revenue_by_nation",
     "segment_search",
     "segment_search_tag_filtered",
@@ -164,32 +167,33 @@ _DRIVER_ORDER: list[str] = [
     "tag_search",
     "tag_search_and",
     # -- untouched r02-green keepers --
-    "vec_mean_per_label",
-    "join_tag_category",
     "ann_ivf",
     "ann_lsh",
     "dedup_ngram_jaccard",
-    "text_quality",
     "text_fingerprint",
     "asof_join_clicks",
     "ml_multimodal_meta",
     "ml_resize_plan",
     # ---- position 51+: r02-green, untouched this round (their r02
     # rows stay current, so union(r02, r03) covers every oracled
-    # query with zero gaps). The first seven were displaced from the
-    # head to certify the round-3 additions (curation II, format
-    # round-trips) in the round that introduced them; each displaced
-    # query is family-redundant (its §2 ID also evidenced by other
-    # certified queries) and its code is untouched since its r02
-    # row. ----
+    # query with zero gaps). Queries here were displaced from the
+    # head to certify the round-3 additions in the round that
+    # introduced them; each displaced query is family-redundant (its
+    # §2 ID also evidenced by other certified queries) and its code
+    # is semantically untouched since its r02 row (agg_group_stats
+    # gained backtick quoting around an identifier — a no-op for its
+    # column name; agg_explode_count / zero_shot_topk_tags build
+    # their own expressions and do not route through the helpers
+    # changed this round). ----
     "q1_pricing_summary",
+    "vec_mean_per_label",
+    "join_tag_category",
+    "text_quality",
     "events_tumbling_window",
     "etl_sentinel_cleanse",
     "agg_salted_group",
     "text_lang_id",
-    "dedup_exact",
     "text_token_count",
-    "dedup_embedding_cosine",
     "win_global_topk",
     "etl_upsert_merge",
     "ann_brute_force",
@@ -201,7 +205,6 @@ _DRIVER_ORDER: list[str] = [
     "join_anti_customers",
     "join_semi_allowlist",
     "etl_safe_cast",
-    "etl_url_basename_join",
     "agg_value_counts",
     "agg_histogram_chars",
     "agg_distinct_counts",
