@@ -4033,6 +4033,63 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                   t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(
+                   0, (1 + GREATEST(CEIL((n - 16) / 12.0), 0))::BIGINT - 1
+               ))::INT AS chunk_idx
+        FROM nz
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT, list_transform(
+                       t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], tok ->
+                       list_reduce(
+                           list_prepend(0::BIGINT,
+                               list_transform(generate_series(1, LENGTH(tok)),
+                                              i -> ascii(tok[i])::BIGINT)),
+                           (acc, c) -> (acc * 31 + c) % {dedup._PORT_P}))),
+                   (a, h) -> (a * {dedup._PORT_B} + h) % {dedup._PORT_P}
+               ) AS chunk_fp
+        FROM chunks
+    )
+    SELECT chunk_fp, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keep_doc
+    FROM fps
+    GROUP BY chunk_fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup — the consumer the chunk fingerprint exists
+    for: repeated 16-token windows across (or within) documents,
+    grouped on the 8-byte ``chunk_fp`` instead of chunk text, with the
+    lowest doc as the canonical keeper. At 100 TB the shuffle carries
+    one LONG per chunk; boilerplate (headers, licenses, navigation)
+    surfaces here even when whole-document dedup misses it."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    chunks = curation.chunk_windows(docs, window=16, stride=12)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
     "etl_html_scrub",
     """
     WITH noisy AS (
