@@ -348,3 +348,54 @@ def test_minhash_collision_fn_never_flags_anchor_against_itself():
     out2 = list(fn((1, 99), iter([pd.DataFrame({"doc_id": [7, 9]})]), state))
     rows = pd.concat(out2)
     assert list(rows["doc_id"]) == [9] and list(rows["anchor_id"]) == [7]
+
+
+def test_curation_composes_on_stream(spark, tmp_path):
+    """Stateless curation passes (mixture sampling) compose with the
+    stateful streaming dedup: the drained stream equals the same
+    composition run in batch."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import exact_dedup
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.curation import (
+        mixture_sample,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    dup = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+    )
+    alld = docs.unionByName(dup).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600)
+    )
+    src = str(tmp_path / "docs_curated_stream")
+    alld.write.parquet(src)
+    rates = {"src0": 1.0, "src1": 0.5}
+
+    # batch composition: sample -> exact dedup keep-list
+    batch_sampled = mixture_sample(spark.read.parquet(src), rates, 0.3)
+    batch_kept_texts = {
+        r.text
+        for r in batch_sampled.join(
+            exact_dedup(batch_sampled).select("doc_id"), "doc_id", "left_semi"
+        ).collect()
+    }
+
+    # stream composition: the SAME stateless filter applied pre-state
+    stream = spark.readStream.schema(alld.schema).parquet(src)
+    curated = dedup_stream(mixture_sample(stream, rates, 0.3), watermark="1 hour")
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("curated_stream")
+    # same distinct-text survivors (stream keeps first-arrival rows,
+    # batch keeps min-id rows — identical TEXT sets by construction)
+    assert {r.text for r in got.collect()} == batch_kept_texts
+    assert got.count() == len(batch_kept_texts)
