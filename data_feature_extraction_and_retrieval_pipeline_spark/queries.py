@@ -225,8 +225,12 @@ _DRIVER_ORDER: list[str] = [
 # green row from the latest round that touched it.
 #
 # Genuinely non-oracle-able entries only: non-portable hashes
-# (sha256/xxhash), iterative fp-order-sensitive algorithms, stateful
-# streaming, and mapInPandas pipelines whose outputs have no SQL twin.
+# (xxhash / float32 outputs), iterative fp-order-sensitive algorithms,
+# stateful streaming, and composite file-IO pipelines. Where a
+# portable twin exists it is fully certified instead
+# (dedup_minhash_lsh_portable / dedup_simhash_portable for the xxhash
+# LSH paths, ml_segment_portable for the segmentation UDTF,
+# ml_stub_text_embeddings_portable for the encoder plumbing).
 _ROWS_ONLY_TAIL: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_stream",
