@@ -20,12 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import retrieval
 from .sources import load_table
-from .sources.readers import IMAGE_EXTENSIONS
 
 MAX_UPLOAD_BYTES = 16 * 1024 * 1024  # app.py:27 MAX_CONTENT_LENGTH
-# one constant for BOTH halves of the S1/P9 contract: the upload gate
-# and the directory-scan filter must accept the same formats (app.py:31)
-ALLOWED_EXTENSIONS = IMAGE_EXTENSIONS
+# The reference keeps two deliberately DIFFERENT extension sets: the
+# upload gate also admits bmp/tiff (app.py:31), while the directory
+# scan indexes only the four web formats
+# (extract_clip_features.py:77 — readers.IMAGE_EXTENSIONS). Keeping
+# them separate means an uploaded .bmp is accepted and encoded even
+# though a bulk scan would skip it — exactly the upstream behavior.
+ALLOWED_EXTENSIONS = ("png", "jpg", "jpeg", "gif", "bmp", "tiff")
 
 
 def validate_upload(filename: str, n_bytes: int) -> None:

@@ -72,18 +72,31 @@ def ngram_jaccard_pairs(
     least one shingle ever meet, and the pre-aggregated shingle lists
     keep the join input to one row per (doc, distinct shingle).
     """
-    # three consumers (sizes agg, both self-join sides) with different
-    # shuffle keys — persist so the corpus-wide tokenize+shingle
-    # explode is computed once, per the module's caching convention
-    sh = caching.persist(
-        df.select(
-            F.col(id_col),
-            F.explode(
-                X.word_shingles(X.tokens(F.col(text_col)), n)
-            ).alias("shingle"),
-        )
+    # NOT persisted: the exploded (doc × shingle) frame is
+    # O(corpus·shingles) — pinning it in cache at the module's
+    # 10¹⁰-document target evicts everything else (persist small
+    # derived frames like candidate pairs, never the corpus-scale
+    # explode — the _lsh_pairs_from_banded rule). In the at-scale
+    # regime (shuffle join) the self-join's two sides are identical
+    # subplans shuffled on the same key, so Spark computes the explode
+    # once and reuses the exchange (ReusedExchange); in the broadcast
+    # regime one side is rebuilt map-side, which is a recompute, not a
+    # cache pin. Both plan shapes pinned in tests/test_plans.py.
+    # sizes skips the explode entirely (word_shingles is already
+    # distinct, so |exploded rows| ≡ size of the shingle array —
+    # map-side only).
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            X.word_shingles(X.tokens(F.col(text_col)), n)
+        ).alias("shingle"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sizes = df.select(
+        F.col(id_col),
+        F.size(X.word_shingles(X.tokens(F.col(text_col)), n)).alias(
+            "n_shingles"
+        ),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -556,7 +556,7 @@ def pq_encode(
     Arrow-batched numpy: one (rows × k) distance matrix per subspace
     per batch; argmin ties to the lowest centroid id.
     """
-    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(B)
@@ -576,9 +576,12 @@ def pq_encode(
                 {id_col: pdf[id_col], out_col: list(codes.tolist())}
             )
 
+    # id type follows the actual id column (a hardcoded long crashes
+    # the Arrow return path for string/uuid ids — same fix as
+    # cosine_self_join_pairs)
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, embeddings.schema[id_col].dataType),
             StructField(out_col, ArrayType(IntegerType())),
         ]
     )
@@ -592,6 +595,8 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    lut: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes,
     entirely JVM-side: the per-subspace lookup table
@@ -601,14 +606,23 @@ def pq_topk(
     join, and the scan reads only the 8-byte codes. Top-k plans as
     TakeOrderedAndProject. Approximation error is the quantization
     error of the reconstruction (classic PQ/ADC — Jégou et al. 2011).
+
+    ``lut`` overrides the numpy-computed lookup table — the portable
+    twin passes ``pq_lut`` (left-to-right accumulation, bit-matching
+    DuckDB) so the SAME scoring expression serves both paths.
+    ``round_to`` rounds the score BEFORE the top-k order (rounded
+    score DESC, id ASC — the cross-engine total-order convention).
     """
-    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    lut = [
-        [float(q[s * d:(s + 1) * d] @ np.asarray(c)) for c in codebooks[s]]
-        for s in range(m)
-    ]
+    if lut is None:
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        m = len(codebooks)
+        d = len(codebooks[0][0])
+        lut = [
+            [float(q[s * d:(s + 1) * d] @ np.asarray(c)) for c in codebooks[s]]
+            for s in range(m)
+        ]
+    else:
+        m = len(lut)
     lut_col = V.lit_mat(lut)
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -619,6 +633,8 @@ def pq_topk(
             F.element_at(F.col(code_col), s + 1) + 1,
         ),
     )
+    if round_to is not None:
+        score = F.round(score, round_to)
     return (
         codes.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -636,6 +652,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     cluster_col: str = "cluster",
+    lut: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-vector serving layout — coarse
     cluster pruning (scan nprobe/nlist of the table) composed with the
@@ -656,4 +674,121 @@ def ivfpq_topk(
         k=k,
         id_col=id_col,
         code_col=code_col,
+        lut=lut,
+        round_to=round_to,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable PQ twin — oracle-certifiable fixed-grid codebooks
+# ---------------------------------------------------------------------------
+#
+# ``pq_train`` is numpy Lloyd's: float codebooks whose values depend on
+# fp summation order, so no SQL engine can replay them bit-for-bit. The
+# portable twin swaps ONLY the quantizer inputs, keeping the serving
+# plan identical (the certified part IS the layout):
+#
+# - codebooks / coarse centroids are a FIXED 1/16-grid — every value is
+#   i/16 with |i| ≤ 4, exactly representable as a binary double AND as
+#   a short decimal, so Spark literals (vectors.lit_mat) and DuckDB
+#   ``::DOUBLE`` casts agree bit-for-bit;
+# - sub-quantization is max-DOT (argmax of dot(sub, centroid), ties to
+#   the lowest id) — the same inner-product rule as assign_clusters /
+#   probe_clusters, already hash-certified against DuckDB's
+#   list_dot_product in the IVF queries;
+# - the ADC scan is the PRODUCTION ``pq_topk`` expression with the LUT
+#   computed left-to-right (``pq_lut``) instead of via numpy dot.
+#
+# Same certification move as dedup_minhash_lsh_portable: the xxhash/fp
+# production path stays for throughput, the portable twin proves the
+# pipeline's join/score/top-k semantics on values.
+
+
+def portable_pq_codebooks(
+    m: int = 8, k: int = 16, d: int = 8
+) -> list[list[list[float]]]:
+    """Deterministic fixed-grid PQ codebooks (m × k × d values on the
+    exact 1/16 grid, spanning the embedding fixtures' component range)
+    — data-independent, so the oracle SQL can inline them at registry
+    import time."""
+    return [
+        [
+            [(((c * 131 + j * 31 + s * 17 + 7) % 9) - 4) / 16.0 for j in range(d)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def portable_coarse_centroids(
+    nlist: int = 8, dim: int = 64
+) -> list[list[float]]:
+    """Fixed-grid coarse (IVF) centroids on the same exact 1/16 grid."""
+    return [
+        [(((c * 37 + j * 11 + 3) % 9) - 4) / 16.0 for j in range(dim)]
+        for c in range(nlist)
+    ]
+
+
+def pq_lut(
+    codebooks: list[list[list[float]]], query_vec: Sequence[float]
+) -> list[list[float]]:
+    """ADC lookup table with LEFT-TO-RIGHT accumulation in pure Python
+    doubles — bit-matching DuckDB's list_dot_product / list_reduce, so
+    the literal LUT Spark scans with equals what the oracle recomputes
+    in-query."""
+    q = [float(x) for x in query_vec]
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    lut: list[list[float]] = []
+    for s in range(m):
+        row = []
+        for cvec in codebooks[s]:
+            acc = 0.0
+            for j in range(d):
+                acc += q[s * d + j] * float(cvec[j])
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_encode_catalyst(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pure-Catalyst PQ encode: per subspace, dot the slice against
+    each literal centroid and take the argmax (ties to the lowest
+    centroid id — array_position returns the first maximum). No
+    Python anywhere; at scale this runs once at ingest exactly like
+    ``assign_clusters``, writing the 8-byte code column.
+
+    Max-dot sub-quantization (not L2 argmin) so every accumulation is
+    the already-certified ``vectors.dot`` left-to-right form; the
+    numpy path (``pq_encode``) keeps the classic L2 quantizer."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+
+    def _sims(sub, book):
+        # closure factory — Spark reads the lambda's arity, so the
+        # captured columns must not appear as default parameters
+        return lambda c: V.dot(sub, F.element_at(book, c + 1))
+
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        book = V.lit_mat(codebooks[s])
+        sims = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)), _sims(sub, book)
+        )
+        codes.append(
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        )
+    return embeddings.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.array(*codes).alias(out_col)
     )

@@ -20,7 +20,9 @@ so scores agree bit-for-bit before rounding.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import threading
 
 from collections.abc import Callable
 
@@ -47,6 +49,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+# Round-trip queries write a scratch dir at plan-construction time.
+# The dir name must be a STABLE digest of sf_dir (Python's str hash is
+# salted per process — abs(hash(...)) would mint a fresh never-cleaned
+# dir per harness process), and construction must be serialized: the
+# bench's cold pass overlaps plan construction across threads, and two
+# concurrent builds of the same query would race rmtree/write on one
+# dir (the _PLAN_CACHE has no miss lock, mirroring the gap
+# indexes._BUILD_LOCK closes for artifacts).
+_SIDE_EFFECT_LOCK = threading.Lock()
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    import tempfile
+
+    digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
 
 # Prepared-plan cache: a query over the immutable driver tables is a
 # deterministic function of (session, sf_dir), and building its
@@ -232,7 +251,6 @@ _DRIVER_ORDER: list[str] = [
 # LSH paths, ml_segment_portable for the segmentation UDTF,
 # ml_stub_text_embeddings_portable for the encoder plumbing).
 _ROWS_ONLY_TAIL: list[str] = [
-    "events_sessionize_stream",
     "dedup_minhash_stream",
     "ann_pq",
     "dedup_minhash_lsh",
@@ -1532,6 +1550,158 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _duck_mat(rows) -> str:
+    """Render a 2-D float matrix as a DuckDB nested-list literal.
+    Only used for exact-grid values (repr round-trips them exactly on
+    both sides)."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in r) + "]" for r in rows
+        )
+        + "]"
+    )
+
+
+# Fixed-grid quantizers for the oracle-certifiable PQ twin — exact
+# 1/16-grid doubles, data-independent so they can be inlined into the
+# oracle SQL at import time (similarity.py "Portable PQ twin").
+_PQ_PORT_BOOKS = similarity.portable_pq_codebooks(m=8, k=16, d=8)
+_PQ_PORT_BOOKS_SQL = (
+    "[" + ", ".join(_duck_mat(b) for b in _PQ_PORT_BOOKS) + "]"
+)
+_IVFPQ_PORT_CENTS = similarity.portable_coarse_centroids(nlist=8, dim=64)
+_IVFPQ_PORT_CENTS_SQL = _duck_mat(_IVFPQ_PORT_CENTS)
+
+# Shared oracle fragment: per-subspace max-dot code (1-based index into
+# the LUT row) — list_indexof returns the FIRST maximum, matching
+# Spark's array_position tie-break to the lowest centroid id.
+_PQ_PORT_CODE_SQL = """list_indexof(
+                   list_transform(range(16), c ->
+                       list_dot_product({v}[s*8+1 : s*8+8], cb.B[s+1][c+1])),
+                   list_max(list_transform(range(16), c ->
+                       list_dot_product({v}[s*8+1 : s*8+8], cb.B[s+1][c+1]))))"""
+
+
+@register(
+    "ann_pq_portable",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 42),
+    cb AS (SELECT {_PQ_PORT_BOOKS_SQL}::DOUBLE[][][] AS B),
+    lut AS (
+        SELECT list_transform(range(8), s ->
+            list_transform(range(16), c ->
+                list_dot_product(q.qv[s*8+1 : s*8+8], cb.B[s+1][c+1]))) AS L
+        FROM q, cb
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               ROUND(list_reduce(
+                   list_prepend(0.0::DOUBLE, list_transform(range(8), s ->
+                       lut.L[s+1][{_PQ_PORT_CODE_SQL.format(v="e.ev")}])),
+                   (a, b) -> a + b), 6) AS score
+        FROM e, cb, lut
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ/ADC serving layout, oracle-certified end-to-end — the
+    portable-twin move that certified the LSH pipelines, applied to
+    the last rows-only flagship: FIXED exact-grid codebooks replace
+    the numpy-trained ones (fp-order-sensitive, never replayable), the
+    encode is pure Catalyst max-dot argmax (pq_encode_catalyst), and
+    the scan is the PRODUCTION pq_topk literal-LUT aggregate with the
+    LUT accumulated left-to-right (pq_lut) so DuckDB replays every
+    score bit-for-bit. Write-time artifact: the 8-byte code column
+    (materialized once per sf_dir under the index cache, like the IVF
+    assignment)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = indexes.materialized(
+        spark,
+        f"pq_port8x16:{sf_dir}",
+        lambda: similarity.pq_encode_catalyst(emb, _PQ_PORT_BOOKS),
+    )
+    q = _query_vector(spark, sf_dir, 42)
+    lut = similarity.pq_lut(_PQ_PORT_BOOKS, q)
+    return similarity.pq_topk(
+        codes, _PQ_PORT_BOOKS, q, k=10, lut=lut, round_to=6
+    )
+
+
+@register(
+    "ann_ivfpq_portable",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 42),
+    cb AS (SELECT {_PQ_PORT_BOOKS_SQL}::DOUBLE[][][] AS B),
+    cc AS (SELECT {_IVFPQ_PORT_CENTS_SQL}::DOUBLE[][] AS C),
+    lut AS (
+        SELECT list_transform(range(8), s ->
+            list_transform(range(16), c ->
+                list_dot_product(q.qv[s*8+1 : s*8+8], cb.B[s+1][c+1]))) AS L
+        FROM q, cb
+    ),
+    probe AS (
+        SELECT t.c AS cid
+        FROM (SELECT UNNEST(range(8)) AS c) t, q, cc
+        ORDER BY list_dot_product(q.qv, cc.C[t.c + 1]) DESC, t.c
+        LIMIT 2
+    ),
+    assign AS (
+        SELECT e.vec_id, e.ev,
+               list_indexof(
+                   list_transform(range(8), c ->
+                       list_dot_product(e.ev, cc.C[c+1])),
+                   list_max(list_transform(range(8), c ->
+                       list_dot_product(e.ev, cc.C[c+1])))) - 1 AS cluster
+        FROM e, cc
+    ),
+    scored AS (
+        SELECT a.vec_id,
+               ROUND(list_reduce(
+                   list_prepend(0.0::DOUBLE, list_transform(range(8), s ->
+                       lut.L[s+1][{_PQ_PORT_CODE_SQL.format(v="a.ev")}])),
+                   (x, y) -> x + y), 6) AS score
+        FROM assign a, cb, lut
+        WHERE a.cluster IN (SELECT cid FROM probe)
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the standard billion-vector layout — oracle-certified:
+    coarse max-dot assignment against fixed exact-grid centroids
+    (assign_clusters, pure Catalyst), the Catalyst PQ encode carrying
+    BOTH write-time columns (cluster + 8-byte code), nprobe=2 pruning
+    via the shared probe_clusters rule, and the production ADC scan
+    over only the probed clusters. At scale the table is written
+    partitionBy(cluster) with code-only reads — the isin probe IS
+    partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _build() -> DataFrame:
+        assigned = similarity.assign_clusters(emb, _IVFPQ_PORT_CENTS)
+        return similarity.pq_encode_catalyst(
+            assigned, _PQ_PORT_BOOKS, keep_cols=("cluster",)
+        )
+
+    coded = indexes.materialized(spark, f"ivfpq_port:{sf_dir}", _build)
+    q = _query_vector(spark, sf_dir, 42)
+    lut = similarity.pq_lut(_PQ_PORT_BOOKS, q)
+    return similarity.ivfpq_topk(
+        coded,
+        _IVFPQ_PORT_CENTS,
+        _PQ_PORT_BOOKS,
+        q,
+        k=10,
+        nprobe=2,
+        lut=lut,
+        round_to=6,
+    )
+
+
 @register(
     "ann_brute_force",
     """
@@ -2538,9 +2708,13 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sessionize",
-    """
+# ONE oracle for both sessionize formulations: the batch spans
+# pipeline and the applyInPandasWithState stream drain summarize the
+# SAME session set per user, so the SQL twin certifies each — the
+# stream query's green row is the stateful path's value certification
+# (its equality with the batch twin is additionally asserted in
+# tests/test_streaming.py).
+_SESSIONIZE_ORACLE = """
     WITH flag AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
@@ -2569,8 +2743,10 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MAX(last_ts) + INTERVAL 30 MINUTE,
                     '%Y-%m-%d %H:%M:%S') AS last_session_end
     FROM per_session GROUP BY user_id
-    """,
-)
+    """
+
+
+@register("events_sessionize", _SESSIONIZE_ORACLE)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark-native session_window (30-min gap) —
     the same expression is stateful session aggregation on a stream.
@@ -2644,14 +2820,16 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_sessionize_stream")  # stateful streaming — rows-only
+@register("events_sessionize_stream", _SESSIONIZE_ORACLE)
 def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState sessionizer (streaming/sessionize.py)
     driven as a one-shot availableNow drain over the events table,
-    summarized per user exactly like the batch twin. Non-SQL-
-    expressible (custom stateful operator) → rows-only; equality with
-    the batch session_window twin is asserted in tests/test_streaming.
-    """
+    summarized per user exactly like the batch twin. The stateful
+    operator itself is not SQL, but its DRAINED OUTPUT is the exact
+    session set the batch spans formulation computes — so the batch
+    oracle certifies the stateful path on values (emit_open=True emits
+    every still-open session at source exhaustion; nothing is held
+    back)."""
     import tempfile
 
     from .streaming import sessionize_stream
@@ -2956,6 +3134,33 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded image metadata, shared by ml_multimodal_meta and
+    ml_resize_plan — ONE mapInPandas decode pass per sf_dir instead of
+    one per query. At scale decode-at-ingest writes these columns once
+    and every consumer reads them; the index cache models that steady
+    state (build cost priced in BENCH index_build_s), while
+    correctness runs (cache off) still execute the full decode inside
+    each query under test."""
+
+    def _build() -> DataFrame:
+        # Stub decode costs ~nothing per row, so fewer, fatter Arrow
+        # batches win: coalesce (no shuffle) the cached 8-way table to
+        # 4 before the Python stage — measured 0.40 -> 0.24 s at
+        # sf0.1. A REAL decoder (ms/image) wants the full scan width
+        # instead; the swap-in seam keeps that choice with the caller.
+        docs = _t(spark, sf_dir, "documents").coalesce(4)
+        images = docs.select(
+            F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias(
+                "filename"
+            ),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+        return multimodal.decode_image_meta(images)
+
+    return indexes.materialized(spark, f"imgmeta:{sf_dir}", _build)
+
+
 @register(
     "ml_multimodal_meta",
     """
@@ -2985,17 +3190,7 @@ def ml_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py). The decode kernel is a deterministic
     stub (no codec libs in this env) so the oracle can verify the
     full mapInPandas path, not just row counts."""
-    # Stub decode costs ~nothing per row, so fewer, fatter Arrow
-    # batches win: coalesce (no shuffle) the cached 8-way table to 4
-    # before the Python stage — measured 0.40 -> 0.24 s at sf0.1. A
-    # REAL decoder (ms/image) wants the full scan width instead; the
-    # swap-in seam keeps that choice with the caller.
-    docs = _t(spark, sf_dir, "documents").coalesce(4)
-    images = docs.select(
-        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("filename"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-    )
-    meta = multimodal.decode_image_meta(images)
+    meta = _image_meta(spark, sf_dir)
     return meta.groupBy("format").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
@@ -3033,13 +3228,10 @@ def ml_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 — the ≤800 px downscale rule as a declarative resize plan
     (search_with_segments.py:62-67): target dims preserving aspect
-    ratio, grouped to a small distribution."""
-    docs = _t(spark, sf_dir, "documents").coalesce(4)  # see ml_multimodal_meta
-    images = docs.select(
-        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("filename"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-    )
-    meta = multimodal.decode_image_meta(images)
+    ratio, grouped to a small distribution. Pure Catalyst over the
+    shared decoded-meta artifact (_image_meta) — the resize math never
+    re-enters Python."""
+    meta = _image_meta(spark, sf_dir)
     plan = multimodal.resize_plan(meta, max_side=800)
     return plan.groupBy("target_width", "target_height").agg(
         F.count("*").alias("n")
@@ -4218,8 +4410,6 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the parquet — any quoting/encoding corruption in the CSV layer
     breaks the fingerprint sum. The write is executor-side (one file
     per partition); the oracle never sees the CSV."""
-    import tempfile
-
     from .sources.readers import read_csv_bom
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -4227,12 +4417,11 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic per-sf_dir dir, overwritten each call — a resident
     # process re-running the query must not leak a directory per call
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dferp_csv_rt_{abs(hash(sf_dir)) % 10**8}"
-    )
-    docs.write.mode("overwrite").option("header", True).option(
-        "escape", '"'
-    ).csv(tmp)
+    tmp = _scratch_dir("dferp_csv_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        docs.write.mode("overwrite").option("header", True).option(
+            "escape", '"'
+        ).csv(tmp)
     back = read_csv_bom(
         spark, tmp, schema="doc_id long, text string, lang string, n_chars long"
     )
@@ -4259,7 +4448,6 @@ def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, re-aggregated, and checked against the parquet-side
     oracle. Subset (doc_id % 4 == 0) keeps the file count bounded."""
     import shutil
-    import tempfile
 
     from .sources.readers import read_json_dir
     from .sources.writers import write_binary_files
@@ -4273,12 +4461,11 @@ def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("doc_id", "lang", "n_chars")), "utf-8"
         ).alias("content"),
     )
-    tmp = os.path.join(  # deterministic per-sf_dir; see etl_csv_roundtrip
-        tempfile.gettempdir(), f"dferp_json_rt_{abs(hash(sf_dir)) % 10**8}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
-    os.makedirs(tmp, exist_ok=True)
-    write_binary_files(payload, tmp)
+    tmp = _scratch_dir("dferp_json_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
+        os.makedirs(tmp, exist_ok=True)
+        write_binary_files(payload, tmp)
     back = read_json_dir(
         spark, tmp, schema="doc_id long, lang string, n_chars long"
     )
@@ -4306,7 +4493,6 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id checksum parsed back out of the filenames all match the
     parquet-side oracle over the even ids."""
     import shutil
-    import tempfile
 
     from .sources.readers import read_image_dir
     from .sources.writers import write_binary_files
@@ -4322,12 +4508,11 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filename"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    tmp = os.path.join(  # deterministic per-sf_dir; see etl_csv_roundtrip
-        tempfile.gettempdir(), f"dferp_imgdir_{abs(hash(sf_dir)) % 10**8}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
-    os.makedirs(tmp, exist_ok=True)
-    write_binary_files(files, tmp)
+    tmp = _scratch_dir("dferp_imgdir", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        shutil.rmtree(tmp, ignore_errors=True)  # no stale files in the scan
+        os.makedirs(tmp, exist_ok=True)
+        write_binary_files(files, tmp)
     back = read_image_dir(spark, tmp)
     return back.agg(
         F.count("*").alias("n_images"),

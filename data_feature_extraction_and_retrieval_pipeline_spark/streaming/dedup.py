@@ -51,6 +51,14 @@ def dedup_stream(
     so state stays bounded on an unbounded stream — the plain variant
     would grow state forever. Within-horizon duplicates are dropped
     regardless of which micro-batch they arrive in.
+
+    Checkpoint compatibility: adding ``__fp2`` to the dedup key set
+    (round 3) changed the streaming state schema — a checkpoint
+    written by the earlier (len, fp) key will NOT restore against
+    this operator. Upgrading a live pipeline requires a new
+    checkpoint location (and accepting that in-horizon duplicates
+    spanning the cutover are not deduped), the standard Structured
+    Streaming state-evolution procedure.
     """
     keyed = fingerprint_columns(stream, text_col=text_col)
     return (

@@ -88,7 +88,15 @@ def test_upload_validation():
         validate_upload("a.exe", 10)
     with pytest.raises(ValueError, match="extension"):
         validate_upload("noext", 10)
-    assert set(ALLOWED_EXTENSIONS) == {"jpg", "jpeg", "png", "gif"}
+    # upload gate (app.py:31) ⊃ scan filter (extract_clip_features.py:77):
+    # the two reference sets differ on purpose — bmp/tiff upload fine
+    # but are skipped by bulk directory scans
+    validate_upload("c.bmp", 10)
+    validate_upload("d.TIFF", 10)
+    assert set(ALLOWED_EXTENSIONS) == {"png", "jpg", "jpeg", "gif", "bmp", "tiff"}
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.readers import IMAGE_EXTENSIONS
+
+    assert set(IMAGE_EXTENSIONS) == {"jpg", "jpeg", "png", "gif"}
 
 
 def test_health(engine):

@@ -330,3 +330,78 @@ def test_label_propagation_matches_union_find(spark, docs_with_dups):
         for r in label_propagation_canonical(pairs, rounds=3).collect()
     }
     assert got == truth
+
+
+def test_portable_pq_catalyst_encode_matches_python(spark):
+    """The portable fixed-grid PQ twin: the pure-Catalyst max-dot
+    encode must equal a plain-Python replay of the same quantizer
+    (left-to-right accumulation, ties to the lowest centroid), and the
+    production ADC scan over those codes with the left-to-right LUT
+    must equal driver-side scoring."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        portable_pq_codebooks,
+        pq_encode_catalyst,
+        pq_lut,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = portable_pq_codebooks(m=8, k=16, d=8)
+    codes = {r.vec_id: r.pq_code for r in pq_encode_catalyst(emb, books).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    assert set(codes) == set(vecs)
+
+    def py_code(v):
+        out = []
+        for s in range(8):
+            sims = []
+            for cvec in books[s]:
+                acc = 0.0
+                for j in range(8):
+                    acc += v[s * 8 + j] * cvec[j]
+                sims.append(acc)
+            out.append(sims.index(max(sims)))  # first max = lowest id
+        return out
+
+    for vid, v in vecs.items():
+        assert codes[vid] == py_code(v), vid
+
+    q = vecs[min(vecs)]
+    lut = pq_lut(books, q)
+    top = pq_topk(
+        emb.sparkSession.createDataFrame(
+            [(vid, c) for vid, c in codes.items()], "vec_id long, pq_code array<int>"
+        ),
+        books,
+        q,
+        k=5,
+        lut=lut,
+        round_to=6,
+    ).collect()
+    scored = sorted(
+        (
+            (round(sum(lut[s][codes[vid][s]] for s in range(8)), 6), vid)
+            for vid in codes
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [r.vec_id for r in top] == [vid for _, vid in scored[:5]]
+
+
+def test_pq_encode_string_ids(spark):
+    """pq_encode's output id type follows the input id column — a
+    string/uuid id must not crash the Arrow return path."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding")
+    )
+    books = pq_train(emb, m=8, k=4, max_iter=2, id_col="vec_id")
+    rows = pq_encode(emb, books, id_col="vec_id").collect()
+    assert all(isinstance(r.vec_id, str) and len(r.pq_code) == 8 for r in rows)

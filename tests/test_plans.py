@@ -162,3 +162,59 @@ def test_pack_bins_single_exchange(spark, qs):
     df = qs["text_pack_bins"](spark, SF_DIR)
     text = _plan_text(df)
     assert text.count("Exchange") == 1, f"one shard exchange expected:\n{text}"
+
+
+def test_ngram_jaccard_no_cache_pin_both_regimes(spark):
+    """ngram_jaccard_pairs must never persist the corpus-scale
+    (doc × shingle) explode (no InMemoryTableScan anywhere). In the
+    at-scale regime (broadcast off) the self-join's two sides share
+    ONE exchange (ReusedExchange) so the explode computes once; in the
+    local broadcast regime the rebuild is a map-side recompute. Both
+    regimes cartesian-free."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    small = _plan_text(ngram_jaccard_pairs(docs))
+    assert "InMemoryTableScan" not in small
+    assert "CartesianProduct" not in small
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        big = _plan_text(ngram_jaccard_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert "InMemoryTableScan" not in big
+    assert "CartesianProduct" not in big
+    assert "ReusedExchange" in big, (
+        "shuffle regime must compute the shingle explode once"
+    )
+
+
+def test_portable_pq_serving_plan_is_jvm_only(spark, qs):
+    """The portable PQ/IVF-PQ serving path must stay entirely
+    JVM-side: no Python boundary anywhere (encode is pure Catalyst,
+    the ADC scan is a literal-LUT aggregate), top-k plans as
+    TakeOrderedAndProject, and the IVF probe is a pushable cluster
+    filter — the shape that becomes partition pruning on a
+    cluster-partitioned table."""
+    pq_df = qs["ann_pq_portable"](spark, SF_DIR)
+    pq = _plan_text(pq_df)
+    assert "ArrowEvalPython" not in pq and "MapInPandas" not in pq
+    assert has_take_ordered(pq_df)
+
+    ivfpq_df = qs["ann_ivfpq_portable"](spark, SF_DIR)
+    ivfpq = _plan_text(ivfpq_df)
+    assert "ArrowEvalPython" not in ivfpq and "MapInPandas" not in ivfpq
+    assert has_take_ordered(ivfpq_df)
+    # the probe is a Filter over the (inline) assignment expression;
+    # on a table with the write-time cluster column it pushes to the
+    # scan / becomes partition pruning
+    assert "Filter" in ivfpq, "probe filter missing from the IVF-PQ plan"
