@@ -73,8 +73,16 @@ HEADLINE = [
     "text_unigram_logprob",
     "ann_range_search",
     "ann_pq",
+    # round 4: the oracle-certified PQ serving layout (fixed-grid
+    # portable twins — same pq_topk ADC expression as ann_pq, so the
+    # DuckDB denominator runs the identical arithmetic)
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
     "ml_segment_portable",
     "ml_multimodal_meta",
+    # round 4: shares ml_multimodal_meta's decoded-meta artifact —
+    # pure Catalyst over the once-materialized decode pass
+    "ml_resize_plan",
     "events_tumbling_window",
 ]
 

@@ -80,6 +80,24 @@ class Engine:
 
     # -- the four modes (app.py /search/whole /segment /hybrid /tags) --
 
+    def _tag_allowed_ids(
+        self, tag_filter: Sequence[str], min_confidence: float
+    ) -> DataFrame:
+        """Image ids with ≥1 tag in ``tag_filter`` at or above the
+        confidence floor — the candidate-restriction the reference
+        applies when /api/search carries a tags form field
+        (app.py:213-214 → search_with_segments.py:349-352)."""
+        matching = F.filter(
+            F.col("tags"),
+            lambda t: t["tag"].isin(*[str(x) for x in tag_filter])
+            & (t["confidence"] >= F.lit(float(min_confidence))),
+        )
+        return (
+            self.segment_tags.filter(F.size(matching) > 0)
+            .select(self.image_col)
+            .distinct()
+        )
+
     def search(
         self,
         mode: str,
@@ -90,32 +108,50 @@ class Engine:
         whole_weight: float = 0.4,
         segment_weight: float = 0.6,
         min_confidence: float = 0.1,
+        tag_filter: Sequence[str] | None = None,
     ) -> DataFrame:
-        """Mode dispatcher (app.py:296-321 POST /api/search)."""
+        """Mode dispatcher (app.py:296-321 POST /api/search).
+
+        ``tag_filter`` restricts the candidate universe of the vector
+        modes BEFORE any scoring (broadcast semi-join on the allowed
+        image ids — filter-before-expensive-work), matching the
+        reference's tags form field on /api/search.
+        """
+        images, segments = self.images, self.segments
+        if tag_filter:
+            if self.segment_tags is None:
+                raise ValueError("tag_filter needs a segment_tags table")
+            allowed = F.broadcast(
+                self._tag_allowed_ids(tag_filter, min_confidence)
+            )
+            if images is not None:
+                images = images.join(allowed, self.image_col, "left_semi")
+            if segments is not None:
+                segments = segments.join(allowed, self.image_col, "left_semi")
         if mode == "whole":
             if query_vec is None:
                 raise ValueError("whole mode needs query_vec")
             return retrieval.knn(
-                self.images, query_vec, k=top_k,
+                images, query_vec, k=top_k,
                 id_col=self.image_col, vec_col="embedding",
             )
         if mode == "segment":
             if query_segments is None:
                 raise ValueError("segment mode needs query_segments")
-            if self.segments is None:
+            if segments is None:
                 raise ValueError("engine has no segments table")
             return retrieval.segment_search(
-                self.segments, query_segments,
+                segments, query_segments,
                 top_k=top_k, candidate_cap=top_k * 3,
                 image_col=self.image_col,
             )
         if mode == "hybrid":
             if query_vec is None or query_segments is None:
                 raise ValueError("hybrid mode needs query_vec + query_segments")
-            if self.segments is None:
+            if segments is None:
                 raise ValueError("engine has no segments table")
             return retrieval.hybrid_search(
-                self.images, self.segments, query_vec, query_segments,
+                images, segments, query_vec, query_segments,
                 top_k=top_k, whole_weight=whole_weight,
                 segment_weight=segment_weight, image_col=self.image_col,
             )
@@ -131,6 +167,35 @@ class Engine:
             )
         raise ValueError(f"unknown mode {mode!r}")
 
+    @staticmethod
+    def _segment_payload(
+        payload: bytes, max_segments: int = 10, min_area: int = 500
+    ) -> list[tuple[int, bytes]]:
+        """Driver-side twin of ``ml.encoders.segment_image``'s stub
+        kernel for the ONE uploaded query image: same sha256-derived
+        segment count and area ranking, returning (segment_id, crop)
+        pairs largest-first. Each crop carries the segment id suffix
+        so the stub encoder yields DISTINCT per-segment features —
+        the shape real SAM crops have — while the real path replaces
+        this whole function with mask-generation + white-background
+        crops (SAM/sam_segment_clip_pipeline.py:157-200)."""
+        import hashlib
+
+        h = hashlib.sha256(payload).digest()
+        n_seg = min((h[0] % max_segments) + 1, max_segments)
+        areas = sorted(
+            (
+                min_area + int.from_bytes(h[4 * i:4 * i + 2], "big")
+                for i in range(n_seg)
+            ),
+            reverse=True,
+        )
+        base = payload[: min(64, len(payload))]
+        return [
+            (sid, base + sid.to_bytes(2, "big"))
+            for sid, _area in enumerate(areas, 1)
+        ]
+
     def search_content(
         self,
         payload: bytes,
@@ -138,41 +203,72 @@ class Engine:
         mode: str = "whole",
         top_k: int = 10,
         dim: int | None = None,
+        max_segments: int = 10,
+        model_loader=None,
         **kwargs,
     ) -> DataFrame:
-        """Query-side embedding + search — the reference's
-        upload → CLIP-encode → KNN flow (app.py:203-215 →
-        search_with_segments.py:123-145) with the engine's encoder
-        (stub here; real CLIP on a GPU cluster swaps in behind
-        ml/encoders.py).
+        """Query-side embedding + search — the reference's full
+        upload → encode → search lifecycle (app.py:203-215 →
+        search_with_segments.py:123-145): whole-image features for the
+        whole/hybrid modes, SAM-style query segmentation + per-crop
+        encode for the segment/hybrid modes (app.py:217-218
+        ``segment_query_image(max_segments=...)``), then the mode
+        dispatcher — including ``tag_filter`` and the 0.4/0.6
+        whole/segment weight defaults (app.py:210-211).
 
-        The query payload is one row — encoded driver-side through the
-        same model seam the distributed encoder uses (``_try_real_clip``
-        → real model when installed, else the hash-projection stub), so
-        an item inserted through the encoder is its own top hit.
+        ``model_loader`` is the model seam (defaults to
+        ``_try_real_clip`` — real CLIP on a GPU cluster, else the
+        hash-projection stub); tests inject a fake to assert the
+        lifecycle end-to-end. The payload is one row, encoded
+        driver-side through the same seam the distributed encoder
+        uses, so an item inserted through the encoder is its own top
+        hit.
         """
-        from .ml.encoders import _hash_projection, _l2_normalize_rows, _try_real_clip
+        from .ml.encoders import (
+            _hash_projection,
+            _l2_normalize_rows,
+            _try_real_clip,
+        )
 
         validate_upload(filename, len(payload))
-        real = _try_real_clip()
-        if real is not None:
-            import numpy as np
-
-            mat = np.asarray(real.encode_image_batch([payload]), dtype=np.float32)
-            qvec = _l2_normalize_rows(mat)[0].tolist()
-        else:
+        loader = model_loader if model_loader is not None else _try_real_clip
+        real = loader()
+        if real is None and dim is None:
             # dim lookup only on the stub path (the real encoder knows
             # its own dim) — it costs a Spark job per request otherwise
-            if dim is None:
-                first = self.images.select("embedding").first()
-                if first is None:
-                    raise ValueError(
-                        "search_content: images table is empty — no "
-                        "embedding dimension to infer"
-                    )
-                dim = len(first[0])
-            qvec = _hash_projection(payload, dim).tolist()
-        return self.search(mode, query_vec=qvec, top_k=top_k, **kwargs)
+            first = self.images.select("embedding").first()
+            if first is None:
+                raise ValueError(
+                    "search_content: images table is empty — no "
+                    "embedding dimension to infer"
+                )
+            dim = len(first[0])
+
+        def encode(blob: bytes) -> list[float]:
+            if real is not None:
+                import numpy as np
+
+                mat = np.asarray(
+                    real.encode_image_batch([blob]), dtype=np.float32
+                )
+                return [float(x) for x in _l2_normalize_rows(mat)[0]]
+            return [float(x) for x in _hash_projection(blob, dim)]
+
+        qvec = encode(payload) if mode in ("whole", "hybrid") else None
+        query_segments = None
+        if mode in ("segment", "hybrid"):
+            crops = self._segment_payload(payload, max_segments=max_segments)
+            rows = [(sid, encode(crop)) for sid, crop in crops]
+            query_segments = self.images.sparkSession.createDataFrame(
+                rows, "q_segment_id long, features array<float>"
+            )
+        return self.search(
+            mode,
+            query_vec=qvec,
+            query_segments=query_segments,
+            top_k=top_k,
+            **kwargs,
+        )
 
     def health(self) -> dict:
         """GET /health analogue (app.py:72-79): table presence + lazy

