@@ -231,36 +231,61 @@ class Engine:
         )
 
         validate_upload(filename, len(payload))
-        loader = model_loader if model_loader is not None else _try_real_clip
-        real = loader()
-        if real is None and dim is None:
-            # dim lookup only on the stub path (the real encoder knows
-            # its own dim) — it costs a Spark job per request otherwise
-            first = self.images.select("embedding").first()
-            if first is None:
-                raise ValueError(
-                    "search_content: images table is empty — no "
-                    "embedding dimension to infer"
-                )
-            dim = len(first[0])
+        needs_vec = mode in ("whole", "hybrid")
+        needs_segs = mode in ("segment", "hybrid")
+        real = None
+        if needs_vec or needs_segs:
+            # tags mode never encodes — don't load a model (or infer a
+            # dim, below) for a request that won't use either
+            loader = (
+                model_loader if model_loader is not None else _try_real_clip
+            )
+            real = loader()
+            if real is None and dim is None:
+                # dim lookup only on the stub path (the real encoder
+                # knows its own dim) — it costs a Spark job per request
+                first = self.images.select("embedding").first()
+                if first is None:
+                    raise ValueError(
+                        "search_content: images table is empty — no "
+                        "embedding dimension to infer"
+                    )
+                dim = len(first[0])
 
-        def encode(blob: bytes) -> list[float]:
+        crops = (
+            self._segment_payload(payload, max_segments=max_segments)
+            if needs_segs
+            else []
+        )
+        # ONE model invocation for the whole request (the adapter is
+        # batch-shaped and the reference batch-encodes its crops too) —
+        # not one GPU round-trip per segment
+        blobs = ([payload] if needs_vec else []) + [c for _, c in crops]
+        vecs: list[list[float]] = []
+        if blobs:
             if real is not None:
                 import numpy as np
 
                 mat = np.asarray(
-                    real.encode_image_batch([blob]), dtype=np.float32
+                    real.encode_image_batch(blobs), dtype=np.float32
                 )
-                return [float(x) for x in _l2_normalize_rows(mat)[0]]
-            return [float(x) for x in _hash_projection(blob, dim)]
-
-        qvec = encode(payload) if mode in ("whole", "hybrid") else None
+                vecs = [
+                    [float(x) for x in row] for row in _l2_normalize_rows(mat)
+                ]
+            else:
+                vecs = [
+                    [float(x) for x in _hash_projection(b, dim)] for b in blobs
+                ]
+        qvec = vecs[0] if needs_vec else None
         query_segments = None
-        if mode in ("segment", "hybrid"):
-            crops = self._segment_payload(payload, max_segments=max_segments)
-            rows = [(sid, encode(crop)) for sid, crop in crops]
+        if needs_segs:
+            seg_vecs = vecs[1:] if needs_vec else vecs
             query_segments = self.images.sparkSession.createDataFrame(
-                rows, "q_segment_id long, features array<float>"
+                [
+                    (sid, v)
+                    for (sid, _crop), v in zip(crops, seg_vecs)
+                ],
+                "q_segment_id long, features array<float>",
             )
         return self.search(
             mode,

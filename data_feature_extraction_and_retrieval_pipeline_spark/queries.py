@@ -51,21 +51,44 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 # Round-trip queries write a scratch dir at plan-construction time.
-# The dir name must be a STABLE digest of sf_dir (Python's str hash is
-# salted per process — abs(hash(...)) would mint a fresh never-cleaned
-# dir per harness process), and construction must be serialized: the
-# bench's cold pass overlaps plan construction across threads, and two
-# concurrent builds of the same query would race rmtree/write on one
-# dir (the _PLAN_CACHE has no miss lock, mirroring the gap
-# indexes._BUILD_LOCK closes for artifacts).
+# The dir name is a stable digest of sf_dir (Python's str hash is
+# salted per process) PLUS the pid: stable within a process, so a
+# resident server reuses one dir per (query, sf_dir) instead of
+# leaking one per call — but isolated ACROSS processes, because a
+# fully-stable name would let a second harness process overwrite the
+# directory while this process's lazily-executed scan is mid-collect
+# (rmtree racing a running read). The process's scratch dirs are
+# removed at interpreter exit, so nothing accumulates either way.
+# In-process, construction is serialized by _SIDE_EFFECT_LOCK: the
+# bench's cold pass overlaps plan construction across threads, and
+# two concurrent builds of the same query would otherwise race
+# rmtree/write on one dir (the _PLAN_CACHE has no miss lock,
+# mirroring the gap indexes._BUILD_LOCK closes for artifacts).
 _SIDE_EFFECT_LOCK = threading.Lock()
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_scratch_dirs)
 
 
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
     import tempfile
 
     digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{digest}_{os.getpid()}"
+    )
+    _SCRATCH_DIRS.add(d)
+    return d
 
 # Prepared-plan cache: a query over the immutable driver tables is a
 # deterministic function of (session, sf_dir), and building its
@@ -148,6 +171,7 @@ _DRIVER_ORDER: list[str] = [
     "dedup_minhash_stream",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
+    "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
     "ml_multimodal_meta",       # shared decoded-meta artifact
     "ml_resize_plan",           # shared decoded-meta artifact
     "etl_csv_roundtrip",        # sha1 scratch dirs + build lock
@@ -193,7 +217,6 @@ _DRIVER_ORDER: list[str] = [
     "ml_stub_text_embeddings_portable",
     "hybrid_search",
     "segment_search",
-    "knn_whole",
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other
@@ -2842,6 +2865,21 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(120):
         q.stop()
+    # The oracle's per-bucket MIN(doc_id) anchor equals the state
+    # operator's first-batch-min anchor ONLY when the whole drain is a
+    # single micro-batch (true for the single-file fixture tables; a
+    # multi-file layout or maxFilesPerTrigger would split it). Fail
+    # LOUDLY on a layout change instead of surfacing it as a silent
+    # value mismatch blamed on the operator.
+    fed = [
+        p for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    ]
+    if len(fed) > 1:
+        raise RuntimeError(
+            "dedup_minhash_stream: availableNow drain split into "
+            f"{len(fed)} micro-batches — the bucket-min-anchor oracle "
+            "assumes a single batch (single-file source layout)"
+        )
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
