@@ -106,21 +106,30 @@ def incremental_ingest(
     index_path: str,
     checkpoint: str,
     transform=None,
+    partition_by: list[str] | None = None,
 ):
     """Incremental index maintenance: stream new rows, apply the
     (optional) feature transform, append to the parquet index table.
     Append suffices for immutable feature rows; mutable rows use
-    ``incremental_upsert``."""
+    ``incremental_upsert``.
+
+    ``partition_by`` keeps a WRITE-TIME index layout fresh on the
+    stream: e.g. transform = encode → assign_clusters → PQ-encode and
+    partition_by=["cluster"] maintains the IVF(-PQ) serving table
+    incrementally — each micro-batch's rows land in their cluster
+    directories, so probes keep pruning partitions as the index grows
+    (tests/test_streaming.py pins the end-to-end flow)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if transform is not None:
         stream = transform(stream)
-    return (
+    writer = (
         stream.writeStream.format("parquet")
         .option("path", index_path)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.trigger(availableNow=True).start()
 
 
 def incremental_upsert(

@@ -399,3 +399,90 @@ def test_curation_composes_on_stream(spark, tmp_path):
     # batch keeps min-id rows — identical TEXT sets by construction)
     assert {r.text for r in got.collect()} == batch_kept_texts
     assert got.count() == len(batch_kept_texts)
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """Streaming ingest keeps the IVF-PQ serving index fresh: each
+    micro-batch runs encode → coarse-assign → PQ-encode (all map-only,
+    legal on a stream) and lands in its cluster's partition directory.
+    Probes over the growing index keep pruning partitions, and a doc
+    delivered in the SECOND batch is its own top hit afterward — the
+    full write-time-index story under incremental arrival."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import (
+        stub_text_encoder_udf,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        ivfpq_topk,
+        pq_encode_catalyst,
+        pq_lut,
+        portable_coarse_centroids,
+        portable_pq_codebooks,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.plans.inspect import (
+        plan_summary,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import load_table
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        incremental_ingest,
+    )
+
+    books = portable_pq_codebooks(m=8, k=16, d=8)
+    cents = portable_coarse_centroids(nlist=8, dim=64)
+    enc = stub_text_encoder_udf(dim=64)
+
+    def to_index(stream):
+        vec = stream.select(
+            F.col("doc_id").alias("vec_id"), enc(F.col("text")).alias("embedding")
+        )
+        return pq_encode_catalyst(
+            assign_clusters(vec, cents), books, keep_cols=("cluster",)
+        )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "ann_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = docs.filter(F.col("doc_id") < 40)
+    first.write.mode("append").parquet(src)
+    q = incremental_ingest(
+        spark, src, docs.schema, idx, ckpt,
+        transform=to_index, partition_by=["cluster"],
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(idx).count()
+    assert n1 == first.count()
+
+    # second delivery: a new doc arrives and must become searchable
+    second = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    second.write.mode("append").parquet(src)
+    q2 = incremental_ingest(
+        spark, src, docs.schema, idx, ckpt,
+        transform=to_index, partition_by=["cluster"],
+    )
+    q2.awaitTermination(120)
+    on_disk = spark.read.parquet(idx)
+    assert on_disk.count() == n1 + second.count()
+
+    # probe with a batch-2 doc's own vector: self row must surface,
+    # and the probe must still reach the scan as partition pruning
+    target = 47
+    qvec = [
+        float(x)
+        for x in docs.filter(F.col("doc_id") == target)
+        .select(enc(F.col("text")).alias("e"))
+        .first()["e"]
+    ]
+    lut = pq_lut(books, qvec)
+    top = ivfpq_topk(on_disk, cents, books, qvec, k=5, nprobe=8, lut=lut, round_to=6)
+    formatted = plan_summary(top)
+    assert any(
+        "PartitionFilters" in ln and "cluster" in ln
+        for ln in formatted.splitlines()
+    )
+    got = [r["vec_id"] for r in top.collect()]
+    # nprobe=8 = all clusters -> exhaustive ADC: the self doc must rank
+    # among the top hits (quantized scores tie with near-identical
+    # vectors, so top-1 is not guaranteed, membership is)
+    assert target in got
