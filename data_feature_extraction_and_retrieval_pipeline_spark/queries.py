@@ -169,6 +169,8 @@ _DRIVER_ORDER: list[str] = [
     "ann_ivfpq_portable",
     "events_sessionize_stream",
     "dedup_minhash_stream",
+    "etl_partitioned_roundtrip",
+    "etl_bucketed_roundtrip",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
     "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
@@ -215,8 +217,6 @@ _DRIVER_ORDER: list[str] = [
     "dedup_simhash_portable",
     "ml_segment_portable",
     "ml_stub_text_embeddings_portable",
-    "hybrid_search",
-    "segment_search",
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other
@@ -4510,6 +4510,94 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_partitioned_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           SUM(list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> ascii(text[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007))::BIGINT AS fp_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def etl_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S9 certified end-to-end: the canonical partitioned-parquet
+    index sink (sources/writers.py::write_parquet_table — the engine's
+    bulk index write) exercised write → read-back → re-aggregate, with
+    the per-language content-fingerprint sums checked against the same
+    aggregate computed straight off the source parquet. The partition
+    column round-trips through the Hive directory layout (lang moves
+    into the path and back into the schema), so a corruption in either
+    direction breaks the match."""
+    from .sources.writers import write_parquet_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = _scratch_dir("dferp_part_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        write_parquet_table(docs, tmp, partition_by=["lang"])
+    back = spark.read.parquet(tmp)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_bucketed_roundtrip",
+    """
+    SELECT (doc_id % 8)::BIGINT AS bucket_mod,
+           COUNT(*) AS n_docs,
+           SUM(doc_id)::BIGINT AS id_checksum,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY bucket_mod
+    """,
+)
+def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 at co-location scale, certified on VALUES: the bucketed
+    managed table (sources/writers.py::write_bucketed_table — the
+    shuffle-free-join layout pinned in test_bucketing) written and
+    read back through the catalog, re-aggregated per doc_id mod-bucket
+    group and checked against the source parquet. The oracle cannot
+    see bucket metadata (that is the pytest plan assertion's job);
+    what it certifies is that the bucketed write/read path loses or
+    mangles no rows."""
+    from .sources.writers import write_bucketed_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    table = f"dferp_bkt_rt_{digest}"
+    with _SIDE_EFFECT_LOCK:
+        # a previous PROCESS's managed-table location can survive this
+        # session's in-memory catalog — saveAsTable then refuses the
+        # name (LOCATION_ALREADY_EXISTS). Drop both the catalog entry
+        # and any orphaned location before writing.
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for pfx in ("file://", "file:"):
+            if wh.startswith(pfx):
+                wh = wh[len(pfx):]
+                break
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        write_bucketed_table(
+            docs, table, bucket_col="doc_id", num_buckets=8, sort_col="doc_id"
+        )
+    back = spark.table(table)
+    return back.groupBy(
+        (F.col("doc_id") % 8).alias("bucket_mod")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("sum_chars"),
     )
 
 
