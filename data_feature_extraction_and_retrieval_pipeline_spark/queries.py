@@ -171,6 +171,9 @@ _DRIVER_ORDER: list[str] = [
     "dedup_minhash_stream",
     "etl_partitioned_roundtrip",
     "etl_bucketed_roundtrip",
+    "api_engine_whole",
+    "api_engine_segment",
+    "api_engine_tags",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
     "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
@@ -212,11 +215,8 @@ _DRIVER_ORDER: list[str] = [
     "zero_shot_topk_tags",
     "nested_tags_two_level",
     "set_ops_users",
-    # -- r03-green flagship re-certifications (rows stay fresh) --
-    "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable",
+    # -- touched round 4 as well (resident segment artifact) --
     "ml_segment_portable",
-    "ml_stub_text_embeddings_portable",
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other
@@ -4689,6 +4689,144 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.regexp_extract("filename", r"img_(\d+)\.png", 1).cast("long")
         ).alias("id_checksum"),
+    )
+
+
+# =====================================================================
+# API facade certification (SURVEY.md §2.10) — the Engine dispatch
+# path itself driver-certified, not just the operators under it
+# =====================================================================
+
+
+@register(
+    "api_engine_whole",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    imgs AS (
+        SELECT (vec_id // 10)::BIGINT AS image_id, embedding::DOUBLE[] AS iv
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT i.image_id,
+           ROUND(list_dot_product(i.iv, q.v) + 1.0, 6) AS score
+    FROM imgs i, q
+    ORDER BY score DESC, image_id
+    LIMIT 10
+    """,
+)
+def api_engine_whole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Engine.search('whole') through the facade itself
+    (api.py mode dispatcher → retrieval.knn over the from_sf_dir
+    image model): certifies the dispatch path, the derived images
+    table (one whole-image vector per ten segment rows), and the
+    calibrated 0..2 score end to end."""
+    from .api import Engine
+
+    eng = Engine.from_sf_dir(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    out = eng.search("whole", query_vec=q, top_k=10)
+    return out.select("image_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "api_engine_segment",
+    f"""
+    WITH {_SEG_CTE},
+    q AS (SELECT vec_id AS qid, v AS qv FROM seg WHERE image_id = 0),
+    cand AS (
+        SELECT * FROM seg
+        WHERE image_id IN (SELECT DISTINCT image_id FROM seg ORDER BY image_id LIMIT 30)
+    ),
+    best AS (
+        SELECT c.image_id, q.qid, MAX(list_dot_product(c.v, q.qv)) AS best_sim
+        FROM cand c, q
+        GROUP BY c.image_id, q.qid
+    )
+    SELECT image_id,
+           ROUND(AVG(best_sim), 6) AS avg_similarity,
+           ROUND(MAX(best_sim), 6) AS max_segment_similarity
+    FROM best
+    GROUP BY image_id
+    ORDER BY avg_similarity DESC, image_id
+    LIMIT 10
+    """,
+)
+def api_engine_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Engine.search('segment') through the facade: the same
+    Q2 semantics as segment_search (per-query-segment argmax, mean of
+    maxima, top_k*3 candidate cap) reached via the mode dispatcher
+    over the from_sf_dir segment model."""
+    from .api import Engine
+
+    eng = Engine.from_sf_dir(spark, sf_dir)
+    qsegs = eng.segments.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    out = eng.search("segment", query_segments=qsegs, top_k=10)
+    return out.select(
+        "image_id",
+        F.round("avg_similarity", 6).alias("avg_similarity"),
+        F.round("max_segment_similarity", 6).alias("max_segment_similarity"),
+    )
+
+
+@register(
+    "api_engine_tags",
+    """
+    WITH tagged AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               t -> LENGTH(t) > 0)))[1:5] AS tag_list
+        FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, UNNEST(tag_list) AS tag FROM tagged
+    ),
+    matched AS (
+        SELECT doc_id, tag,
+               ((doc_id + LENGTH(tag)) % 100) / 100.0 AS confidence
+        FROM exploded
+        WHERE tag IN ('data', 'table', 'row')
+          AND ((doc_id + LENGTH(tag)) % 100) / 100.0 >= 0.1
+    )
+    SELECT doc_id AS image_id,
+           COUNT(DISTINCT tag) AS matched_tags,
+           ROUND(MAX(confidence), 6) AS max_confidence
+    FROM matched
+    GROUP BY image_id
+    ORDER BY matched_tags DESC, max_confidence DESC, image_id
+    LIMIT 10
+    """,
+)
+def api_engine_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Engine.search('tags') through the facade: the Q4
+    OR-match with confidence floor reached via the mode dispatcher
+    over an engine bound to the deterministic segment_tags index."""
+    from .api import Engine
+
+    tagged = _doc_tag_list(spark, sf_dir).select(
+        F.col("doc_id").alias("image_id"),
+        F.transform(
+            F.col("tag_list"),
+            lambda t: F.struct(
+                t.alias("tag"),
+                (((F.col("doc_id") + F.length(t)) % 100) / 100.0)
+                .cast("float")
+                .alias("confidence"),
+            ),
+        ).alias("tags"),
+    )
+    eng = Engine(images=None, segment_tags=tagged)
+    out = eng.search(
+        "tags", tags=["data", "table", "row"], min_confidence=0.1, top_k=10
+    )
+    return out.select(
+        "image_id",
+        "matched_tags",
+        F.round(F.col("max_confidence").cast("double"), 6).alias(
+            "max_confidence"
+        ),
     )
 
 
