@@ -173,6 +173,7 @@ _DRIVER_ORDER: list[str] = [
     "etl_bucketed_roundtrip",
     "api_engine_whole",
     "api_engine_segment",
+    "api_engine_hybrid",
     "api_engine_tags",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
@@ -214,7 +215,8 @@ _DRIVER_ORDER: list[str] = [
     "join_ext_fallback",
     "zero_shot_topk_tags",
     "nested_tags_two_level",
-    "set_ops_users",
+    # set_ops_users stays at 51+ this round (head is full); its r02
+    # row remains current — code untouched since.
     # -- touched round 4 as well (resident segment artifact) --
     "ml_segment_portable",
 ]
@@ -1285,9 +1287,11 @@ def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hybrid_search",
-    f"""
+# ONE oracle for both hybrid formulations: the flat single-pass fusion
+# (hybrid_search query) and the two-phase dispatch through the Engine
+# facade (api_engine_hybrid) compute the same pool-200 re-rank, so the
+# SQL twin certifies each.
+_HYBRID_ORACLE = f"""
     WITH {_SEG_CTE},
     whole AS (SELECT image_id, v FROM seg WHERE vec_id % 10 = 0),
     qwhole AS (SELECT v AS qv FROM seg WHERE vec_id = 0),
@@ -1316,8 +1320,10 @@ def segment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM phase1 p LEFT JOIN segscore s ON s.image_id = p.image_id
     ORDER BY hybrid_score DESC, p.image_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("hybrid_search", _HYBRID_ORACLE)
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 — two-phase hybrid re-rank (search_with_segments.py:345-445)
     with the reference's exact score algebra: phase-1 whole score
@@ -4767,6 +4773,32 @@ def api_engine_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id",
         F.round("avg_similarity", 6).alias("avg_similarity"),
         F.round("max_segment_similarity", 6).alias("max_segment_similarity"),
+    )
+
+
+@register("api_engine_hybrid", _HYBRID_ORACLE)
+def api_engine_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Engine.search('hybrid') through the facade: the
+    TWO-PHASE formulation (retrieval.hybrid_search — pool-200 whole
+    KNN, candidate semi-join, re-rank) dispatched by the Engine,
+    certified against the same oracle as the flat fusion the
+    hybrid_search query routes through. Two independent plan shapes,
+    one SQL twin — the strongest equivalence evidence the registry
+    can carry for Q3."""
+    from .api import Engine
+
+    eng = Engine.from_sf_dir(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir, 0)
+    qsegs = eng.segments.filter(F.col("image_id") == 0).select(
+        F.col("vec_id").alias("q_segment_id"),
+        F.col("clip_features").alias("features"),
+    )
+    out = eng.search("hybrid", query_vec=qvec, query_segments=qsegs, top_k=10)
+    return out.select(
+        "image_id",
+        F.round("whole_score", 6).alias("whole_score"),
+        F.round("segment_score", 6).alias("segment_score"),
+        F.round("hybrid_score", 6).alias("hybrid_score"),
     )
 
 
