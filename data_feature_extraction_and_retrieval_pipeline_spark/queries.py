@@ -155,12 +155,13 @@ def register(name: str, oracle: str | None = None):
 # with NO official driver row yet (dedup_chunks — the one gap round 3
 # left — plus the four new round-4 certifications: portable PQ,
 # portable IVF-PQ, the sessionize stream drain, and the streaming
-# MinHash collision pass), then every query
-# whose code round 4 touched (rows must postdate the change), then ALL
-# 31 position-51+ keepers whose newest rows are r02 (refreshing the
-# oldest evidence in one sweep), then r03-green flagship
-# re-certifications up to slot 50. Position 51+ now holds ONLY
-# r03-green queries untouched since their row — no oracled query
+# MinHash collision pass — plus the round-4 sink roundtrips and the
+# four Engine-facade mode queries), then every query whose code round
+# 4 touched (rows must postdate the change), then 30 of the 31
+# position-51+ keepers whose newest rows are r02 (refreshing the
+# oldest evidence; set_ops_users stays at 51+ — head full, code
+# untouched, r02 row current). Position 51+ otherwise holds ONLY
+# r02/r03-green queries untouched since their row — no oracled query
 # anywhere lacks a current row.
 _DRIVER_ORDER: list[str] = [
     # -- oracled, no official driver row yet --

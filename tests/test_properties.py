@@ -309,3 +309,46 @@ def test_mixture_sample_threshold_semantics(spark, ids, thr_a, thr_b):
     expect_hi = {i for i in ids if (i * curation._MIX_A + curation._MIX_C) % _PORT_P % 1000 < hi}
     assert got_lo == expect_lo and got_hi == expect_hi
     assert got_lo <= got_hi
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_portable_pq_encode_matches_python(spark, vecs):
+    """The pure-Catalyst portable PQ encode equals a plain-Python
+    replay on ARBITRARY float32 vectors (not just the fixtures): same
+    left-to-right double accumulation, same first-max tie-break —
+    the property the DuckDB oracle's bit-for-bit replay rests on."""
+    import numpy as np
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        portable_pq_codebooks,
+        pq_encode_catalyst,
+    )
+
+    books = portable_pq_codebooks(m=2, k=4, d=2)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode_catalyst(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]
+        codes = []
+        for s in range(2):
+            sims = []
+            for cvec in books[s]:
+                acc = 0.0
+                for j in range(2):
+                    acc += v32[s * 2 + j] * cvec[j]
+                sims.append(acc)
+            codes.append(sims.index(max(sims)))
+        assert got[i] == codes, (i, got[i], codes)
