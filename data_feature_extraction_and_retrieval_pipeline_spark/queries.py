@@ -223,19 +223,16 @@ _DRIVER_ORDER: list[str] = [
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other
-# oracled query is r03-green and semantically untouched in round 4 —
-# sql_api_revenue, agg_decade_orders, agg_rollup_acctbal,
-# knn_tag_filtered/knn_batch/knn_percentage, the tag-filtered
-# retrieval variants, the curation suite (text_redact_pii,
-# text_contamination, text_gopher_rules, etl_hash_split,
-# dedup_keep_best_per_source, dedup_cluster_canonical,
-# text_chunk_windows, etl_mixture_sample, text_unigram_logprob,
-# text_pack_bins), ann_ivf/ann_lsh/ann_range_search, dedup_exact,
-# dedup_embedding_cosine, events_hopping_window, etl_html_scrub,
-# ml_frame_sample, ml_zero_shot_tags, asof_join_clicks,
-# text_fingerprint, etl_url_basename_join, join_revenue_by_nation,
-# nested_roundtrip, text_token_bpe — their r03 rows remain current,
-# so union(r03, r04) covers every oracled query with zero gaps.
+# oracled query is green in the newest round that touched it and
+# semantically untouched since — r03 rows for the bulk
+# (sql_api_revenue, the knn/tag-filtered retrieval variants, the
+# curation suite, ann_ivf/ann_lsh/ann_range_search, dedup_exact,
+# dedup_embedding_cosine, the window/join/agg families,
+# dedup_minhash_lsh_portable / dedup_simhash_portable /
+# ml_stub_text_embeddings_portable, hybrid_search / segment_search /
+# knn_whole / tag_search displaced from the head by the round-4
+# additions), and one r02 row (set_ops_users). union(r02, r03, r04)
+# covers every oracled query with zero gaps.
 
 # Round-5 rotation plan (assuming r04 certifies the current head):
 # promote into the head any position-51+ query whose code changes in
