@@ -239,3 +239,47 @@ def unigram_logprob(
             "avg_nll",
         )
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: tuple[float, float, float, float] = (-1.25, 2.5, 1.5, 0.875),
+    threshold: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering — the linear-classifier gate the
+    big public curations run between heuristics and training (the
+    fastText-classifier pattern: score every document with a tiny
+    linear model over cheap features, keep above a threshold; a real
+    pipeline swaps the hand-set weights for trained ones, the plan is
+    identical).
+
+    Pure Catalyst: logit = w0 + w1·length_sig + w2·alpha_ratio +
+    w3·stop_sig over the shared quality features (functions/text.py),
+    accumulated strictly left-to-right so an external engine replays
+    it bit-for-bit. NO sigmoid/exp on purpose — the sigmoid is
+    monotone, so thresholding the logit is the same decision, and a
+    transcendental would cost cross-engine reproducibility (libm vs
+    JVM Math are only 1-ulp-correct). The default weights are exact
+    binary fractions (1/16 grid — the portable-literal convention).
+
+    Map-only: no shuffle at any scale; at 100 TB this is one pass
+    fused with whatever filter chain surrounds it.
+    """
+    c = F.col(text_col)
+    t = X.tokens(c)
+    length_sig = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    stop_sig = F.least(X.stopword_ratio(t) * F.lit(10.0), F.lit(1.0))
+    w0, w1, w2, w3 = (float(w) for w in weights)
+    logit = (
+        F.lit(w0)
+        + F.lit(w1) * length_sig
+        + F.lit(w2) * X.alpha_ratio(c)
+        + F.lit(w3) * stop_sig
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        (F.round(logit, 6) >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -707,3 +707,76 @@ def simhash_buckets(
     return banded.select(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), F.col(id_col)
     )
+
+
+def incremental_exact_filter(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus exact dedup — the DAILY-INGEST shape: drop
+    arriving documents whose content fingerprint already exists in the
+    accumulated corpus, without ever joining text against text.
+
+    Keys: (length, xxhash64, xxhash64∘reverse) — the same 24-byte
+    identity ``exact_dedup`` groups on, so batch-vs-corpus and
+    within-corpus dedup can never disagree on what "identical" means.
+    ``portable=True`` swaps in (length, polynomial rolling hash) so an
+    external engine can replay the decision (the oracle path; weaker
+    64-bit identity, fine for certification fixtures).
+
+    Plan: LEFT ANTI join on the key columns. With
+    ``broadcast_batch=True`` the NEW side's keys build the hash table
+    — at 100 TB the arriving batch is ≪ the corpus, so the corpus-side
+    fingerprint index streams through a broadcast anti join and the
+    corpus is never shuffled. (Spark broadcasts the right side of a
+    left-anti build? No — the STREAMED side must be the left; we
+    therefore probe corpus-keys INTO the batch: semi-join the batch
+    against corpus keys to find collisions, then anti-join those ids
+    away — both joins broadcast the small side.) At scale the corpus
+    keys come from the write-time fingerprint index (24 bytes/doc),
+    not a corpus re-scan.
+
+    Intra-batch duplicates are exact_dedup's job — compose:
+    ``exact_dedup(incremental_exact_filter(batch, corpus))``.
+    """
+    from ..functions import text as X
+
+    def keyed(df: DataFrame) -> DataFrame:
+        c = F.col(text_col)
+        if portable:
+            return df.select(
+                F.col(id_col),
+                F.length(c).alias("__len"),
+                X.rolling_hash_fingerprint(c).alias("__fp"),
+            )
+        return df.select(
+            F.col(id_col),
+            F.length(c).alias("__len"),
+            F.xxhash64(c).alias("__fp"),
+            F.xxhash64(F.reverse(c)).alias("__fp2"),
+        )
+
+    key_cols = ["__len", "__fp"] + ([] if portable else ["__fp2"])
+    batch_keys = keyed(new_batch)
+    corpus_keys = keyed(corpus).select(*key_cols)
+    if broadcast_batch:
+        # batch ≪ corpus: find which of the (broadcast) batch keys the
+        # corpus-key stream collides with, then drop those ids from
+        # the batch — two broadcast joins, zero corpus shuffle
+        hit_keys = corpus_keys.join(
+            F.broadcast(batch_keys.select(*key_cols).distinct()),
+            key_cols,
+            "left_semi",
+        ).distinct()
+        survivors = batch_keys.join(
+            F.broadcast(hit_keys), key_cols, "left_anti"
+        )
+    else:
+        survivors = batch_keys.join(corpus_keys, key_cols, "left_anti")
+    return new_batch.join(
+        F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+    )

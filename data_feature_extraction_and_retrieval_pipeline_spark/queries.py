@@ -176,6 +176,8 @@ _DRIVER_ORDER: list[str] = [
     "api_engine_segment",
     "api_engine_hybrid",
     "api_engine_tags",
+    "dedup_incremental",
+    "text_quality_classifier",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
     "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
@@ -214,10 +216,9 @@ _DRIVER_ORDER: list[str] = [
     "etl_prefix_split",
     "etl_row_range_select",
     "join_ext_fallback",
-    "zero_shot_topk_tags",
-    "nested_tags_two_level",
-    # set_ops_users stays at 51+ this round (head is full); its r02
-    # row remains current — code untouched since.
+    # zero_shot_topk_tags / nested_tags_two_level / set_ops_users stay
+    # at 51+ this round (head is full); their r02 rows remain current —
+    # code untouched since.
     # -- touched round 4 as well (resident segment artifact) --
     "ml_segment_portable",
 ]
@@ -4368,6 +4369,107 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+_ROLLING_FP_SQL = """list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, LENGTH(text)),
+                                  i -> ascii(text[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 < 3
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text
+        FROM corpus WHERE doc_id % 10 = 0
+    ),
+    ck AS (
+        SELECT DISTINCT LENGTH(text) AS len, {_ROLLING_FP_SQL} AS fp
+        FROM corpus
+    ),
+    bk AS (
+        SELECT doc_id, LENGTH(text) AS len, {_ROLLING_FP_SQL} AS fp
+        FROM batch
+    )
+    SELECT b.doc_id, b.fp
+    FROM bk b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ck c WHERE c.len = b.len AND c.fp = b.fp
+    )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the daily-ingest
+    shape (operators/dedup.py::incremental_exact_filter): a quarter of
+    the documents arrive as the new batch, salted with injected copies
+    of existing corpus rows; the filter must drop exactly the arrivals
+    whose (length, fingerprint) identity already exists in the
+    accumulated corpus, touching fingerprints only (never text vs
+    text, never a corpus shuffle — broadcast semi/anti joins). The
+    portable rolling-hash identity lets the oracle replay every keep/
+    drop decision; production uses the dual-xxhash identity shared
+    with exact_dedup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 < 3)
+    copies = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 3).unionByName(copies)
+    out = dedup.incremental_exact_filter(batch, corpus, portable=True)
+    return out.select(
+        "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "text_quality_classifier",
+    """
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CASE WHEN len(t) > 0
+                    THEN len(list_filter(t, x -> list_contains(
+                        ['the','a','an','and','of','to','in','is','it','that'], x)))
+                         / CAST(len(t) AS DOUBLE)
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN LENGTH(text) > 0
+                    THEN LENGTH(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                         / CAST(LENGTH(text) AS DOUBLE)
+                    ELSE 0.0 END AS alpha_ratio,
+               LEAST(LENGTH(text) / 200.0, 1.0) AS length_sig
+        FROM toks
+    )
+    SELECT doc_id,
+           ROUND(-1.25 + 2.5 * length_sig + 1.5 * alpha_ratio
+                 + 0.875 * LEAST(stop_ratio * 10.0, 1.0), 6) AS logit,
+           ROUND(-1.25 + 2.5 * length_sig + 1.5 * alpha_ratio
+                 + 0.875 * LEAST(stop_ratio * 10.0, 1.0), 6) >= 1.0 AS keep
+    FROM feats
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/curation.py::
+    quality_classifier) — the linear-classifier filter pattern between
+    heuristics and training: a tiny linear model over the shared
+    quality features scores every document, keep = logit ≥ threshold.
+    Exact-grid weights + left-to-right accumulation + no
+    transcendentals make the whole decision oracle-replayable; a real
+    deployment swaps in trained weights with the identical map-only
+    plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.quality_classifier(docs, threshold=1.0)
 
 
 @register(

@@ -167,3 +167,37 @@ class TestPackBins:
         ).collect()[0]
         assert agg.c == total_chunks
         assert agg.t == chunks.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+def test_quality_classifier_threshold_semantics(spark):
+    """The linear quality gate: keep ⇔ rounded logit ≥ threshold, and
+    the logit is the documented left-to-right weighted sum of the
+    shared quality features."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.curation import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 10),
+            (2, "x"),
+            (3, ""),
+            (4, "1234 5678 !!!! ????"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_classifier(docs, threshold=1.0).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert r.keep == (r.logit >= 1.0)
+    # long English prose clears the gate; empty/garbage does not
+    assert rows[1].keep
+    assert not rows[3].keep and not rows[4].keep
+    # higher threshold keeps a subset
+    strict = {
+        r.doc_id for r in quality_classifier(docs, threshold=2.0).collect() if r.keep
+    }
+    loose = {
+        r.doc_id for r in quality_classifier(docs, threshold=0.0).collect() if r.keep
+    }
+    assert strict <= loose

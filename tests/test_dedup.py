@@ -405,3 +405,34 @@ def test_pq_encode_string_ids(spark):
     books = pq_train(emb, m=8, k=4, max_iter=2, id_col="vec_id")
     rows = pq_encode(emb, books, id_col="vec_id").collect()
     assert all(isinstance(r.vec_id, str) and len(r.pq_code) == 8 for r in rows)
+
+
+def test_incremental_exact_filter_matches_reference_set(spark, docs_with_dups):
+    """Batch-vs-corpus dedup (production dual-xxhash identity): the
+    survivors equal the Python-set reference (batch docs whose text is
+    not in the corpus), and both join strategies agree."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        incremental_exact_filter,
+    )
+
+    corpus = docs_with_dups.filter(F.col("doc_id") % 3 != 0)
+    batch = docs_with_dups.filter(F.col("doc_id") % 3 == 0)
+
+    seen = {r.text for r in corpus.collect()}
+    expect = {r.doc_id for r in batch.collect() if r.text not in seen}
+
+    got_b = {
+        r.doc_id
+        for r in incremental_exact_filter(batch, corpus).collect()
+    }
+    got_s = {
+        r.doc_id
+        for r in incremental_exact_filter(
+            batch, corpus, broadcast_batch=False
+        ).collect()
+    }
+    assert got_b == expect
+    assert got_s == expect
+    # the filter keeps full rows, not just ids
+    cols = incremental_exact_filter(batch, corpus).columns
+    assert set(cols) == {"doc_id", "text"}
