@@ -374,6 +374,32 @@ class CurationPipeline:
             self.df.join(keep.select(self.id_col), self.id_col, "left_semi")
         )
 
+    def dedup_incremental(self, corpus: DataFrame) -> "CurationPipeline":
+        """Drop rows whose content identity already exists in the
+        accumulated ``corpus`` — the daily-ingest stage (broadcast
+        semi/anti joins on fingerprints; the corpus never shuffles)."""
+        from .operators.dedup import incremental_exact_filter
+
+        return self._with(
+            incremental_exact_filter(
+                self.df, corpus, text_col=self.text_col, id_col=self.id_col
+            )
+        )
+
+    def filter_classifier(self, threshold: float = 1.0) -> "CurationPipeline":
+        """Model-based quality gate: keep rows whose linear-classifier
+        logit clears the threshold — a row-local predicate
+        (curation.quality_logit), so it FUSES with the neighboring
+        filter stages instead of joining against a scored frame."""
+        from .operators.curation import quality_logit
+
+        return self._with(
+            self.df.filter(
+                F.round(quality_logit(self.text_col), 6)
+                >= F.lit(float(threshold))
+            )
+        )
+
     def sample_mixture(
         self, rates: dict[str, float], default_rate: float = 1.0,
         stratum_col: str = "source",

@@ -267,19 +267,30 @@ def quality_classifier(
     Map-only: no shuffle at any scale; at 100 TB this is one pass
     fused with whatever filter chain surrounds it.
     """
+    logit = quality_logit(text_col, weights)
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        (F.round(logit, 6) >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def quality_logit(
+    text_col: str = "text",
+    weights: tuple[float, float, float, float] = (-1.25, 2.5, 1.5, 0.875),
+):
+    """The classifier's logit as a bare Column expression — for
+    callers that FILTER on it (CurationPipeline.filter_classifier):
+    a row-local predicate fuses with the surrounding filter chain,
+    where a join against the scored frame would not."""
     c = F.col(text_col)
     t = X.tokens(c)
     length_sig = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
     stop_sig = F.least(X.stopword_ratio(t) * F.lit(10.0), F.lit(1.0))
     w0, w1, w2, w3 = (float(w) for w in weights)
-    logit = (
+    return (
         F.lit(w0)
         + F.lit(w1) * length_sig
         + F.lit(w2) * X.alpha_ratio(c)
         + F.lit(w3) * stop_sig
-    )
-    return df.select(
-        F.col(id_col),
-        F.round(logit, 6).alias("logit"),
-        (F.round(logit, 6) >= F.lit(float(threshold))).alias("keep"),
     )

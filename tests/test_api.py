@@ -360,3 +360,36 @@ def test_search_content_stub_path_self_consistent(content_engine):
     out = content_engine.search_content(_PAYLOAD, mode="whole").collect()
     assert len(out) == 2  # both images scored, deterministic order
     assert all(-1e-6 <= r["score"] <= 2.0 + 1e-6 for r in out)
+
+
+def test_curation_pipeline_incremental_and_classifier_stages(spark):
+    """The round-4 stages compose in the one-plan chain: incremental
+    dedup against an accumulated corpus drops exactly the already-seen
+    arrivals, and the classifier gate is a fused row-local filter
+    (single plan, no join for the gate)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+        CurationPipeline,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # arrivals: the odd docs plus copies of five even (seen) docs
+    copies = corpus.limit(5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+
+    p = CurationPipeline(batch).dedup_incremental(corpus).filter_classifier(0.0)
+    survived = {r.doc_id for r in p.df.select("doc_id").collect()}
+    # every injected copy is gone; no corpus row ever enters
+    assert not any(d >= 900000 for d in survived)
+    assert survived <= {r.doc_id for r in batch.collect()}
+
+    # the classifier gate is a fused row-local Filter, not a join:
+    # adding it to the chain must not add a single join node
+    base = CurationPipeline(batch).dedup_incremental(corpus)
+    base_plan = base.df._jdf.queryExecution().executedPlan().toString()
+    full_plan = p.df._jdf.queryExecution().executedPlan().toString()
+    assert full_plan.count("Join") == base_plan.count("Join"), full_plan
