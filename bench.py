@@ -71,6 +71,9 @@ HEADLINE = [
     "text_chunk_windows",
     "text_pack_bins",
     "text_unigram_logprob",
+    # round 4: model-based quality gate + daily-ingest dedup
+    "text_quality_classifier",
+    "dedup_incremental",
     "ann_range_search",
     "ann_pq",
     # round 4: the oracle-certified PQ serving layout (fixed-grid
