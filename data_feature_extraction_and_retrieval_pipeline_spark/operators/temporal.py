@@ -175,3 +175,40 @@ def sessionize(
             *([F.col("sum_value")] if value_col is not None else []),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 600,
+    upper_seconds: int = 0,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """Time-bounded interval join: every (left, right) pair with the
+    same key whose right timestamp falls in
+    ``[left.ts − lower, left.ts + upper]`` — the bounded-window sibling
+    of ``asof_join`` (ALL in-window matches, not just the latest).
+
+    Plan: equi join on the key with the range as a join predicate —
+    one shuffle on the key; the range prunes pairs inside the join,
+    never materializing the unbounded cross product per key. On a
+    STREAM the identical condition is Spark's watermarked
+    stream-stream join (streaming/join.py::interval_join_stream) —
+    the range bound is what lets the engine evict state, exactly as
+    it bounds the batch join's output here.
+
+    Output columns: key, ``left_ts`` (as ``lts``), ``right_ts`` (as
+    ``rts``), plus ``right_payload`` columns.
+    """
+    payload = list(right_payload or [])
+    l = left.select(F.col(key), F.col(left_ts).alias("lts"))
+    r = right.select(F.col(key).alias("__rkey"), F.col(right_ts).alias("rts"), *payload)
+    cond = (
+        (l[key] == r["__rkey"])
+        & (r["rts"] >= l["lts"] - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (r["rts"] <= l["lts"] + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return l.join(r, cond).select(key, "lts", "rts", *payload)

@@ -178,6 +178,8 @@ _DRIVER_ORDER: list[str] = [
     "api_engine_tags",
     "dedup_incremental",
     "text_quality_classifier",
+    "events_interval_join",
+    "events_interval_join_stream",
     # -- code touched this round (fresh rows must postdate) --
     "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
     "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
@@ -214,11 +216,10 @@ _DRIVER_ORDER: list[str] = [
     "agg_bool_flags",
     "etl_multiformat_date",
     "etl_prefix_split",
-    "etl_row_range_select",
-    "join_ext_fallback",
-    # zero_shot_topk_tags / nested_tags_two_level / set_ops_users stay
-    # at 51+ this round (head is full); their r02 rows remain current —
-    # code untouched since.
+    # etl_row_range_select / join_ext_fallback / zero_shot_topk_tags /
+    # nested_tags_two_level / set_ops_users stay at 51+ this round
+    # (head is full); their r02 rows remain current — code untouched
+    # since.
     # -- touched round 4 as well (resident segment artifact) --
     "ml_segment_portable",
 ]
@@ -4796,6 +4797,108 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("filename", r"img_(\d+)\.png", 1).cast("long")
         ).alias("id_checksum"),
     )
+
+
+# ONE oracle for both interval-join formulations: the batch range join
+# and the watermarked stream-stream join drain emit the same in-window
+# match set, so the SQL twin certifies each.
+_INTERVAL_JOIN_ORACLE = """
+    WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT e.user_id, e.ts AS lts, c.ts AS rts, c.value
+        FROM e JOIN c ON c.user_id = e.user_id
+         AND c.ts >= e.ts - INTERVAL 3600 SECONDS
+         AND c.ts <= e.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(SUM(epoch_us(lts) - epoch_us(rts))::DOUBLE / 1000000.0, 6)
+               AS total_lag_s,
+           ROUND(SUM(value), 2) AS total_value
+    FROM j GROUP BY user_id
+"""
+
+
+def _interval_join_summary(j: DataFrame) -> DataFrame:
+    """Shared per-user summary over the (user_id, lts, rts, value)
+    match rows — both formulations aggregate identically."""
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        # exact integer micros sum, divided down to seconds where
+        # ROUND(x, 6) is loss-free in both engines (see asof_join)
+        F.round(
+            F.sum(F.unix_micros("lts") - F.unix_micros("rts")).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("total_lag_s"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register("events_interval_join", _INTERVAL_JOIN_ORACLE)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded interval join (operators/temporal.py::
+    interval_join): every click by the same user within the hour
+    BEFORE each error — ALL in-window pairs, the bounded-window
+    sibling of the as-of join. One shuffle on user_id; the range
+    predicate prunes inside the join."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = temporal.interval_join(
+        errors, clicks, key="user_id", lower_seconds=3600, upper_seconds=0,
+        right_payload=["value"],
+    )
+    return _interval_join_summary(j)
+
+
+@register("events_interval_join_stream", _INTERVAL_JOIN_ORACLE)
+def events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked STREAM-STREAM interval join
+    (streaming/join.py::interval_join_stream) — two unbounded event
+    streams joined on (user, 1-hour window), drained availableNow
+    and summarized identically to the batch twin. The inner join's
+    in-window match SET is deterministic regardless of micro-batch
+    arrival (a buffered row joins whenever its partner arrives inside
+    the watermark horizon), so the batch oracle certifies the stateful
+    path on values."""
+    import tempfile
+
+    from .streaming import interval_join_stream
+
+    ev = _t(spark, sf_dir, "events")
+    src = lambda: (  # noqa: E731 — two independent stream readers
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    errors = src().filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = src().filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join_stream(
+        errors, clicks, key="user_id", lower_seconds=3600, upper_seconds=0,
+        watermark="3 hours", right_payload=["value"],
+    )
+    name = f"ivj_stream_{abs(hash(sf_dir)) % 10**8}"
+    ckpt = tempfile.mkdtemp(prefix="dferp_ivj_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
+    return _interval_join_summary(spark.table(name))
 
 
 # =====================================================================

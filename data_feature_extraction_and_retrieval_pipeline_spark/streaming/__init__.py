@@ -11,3 +11,4 @@ from .dedup import (  # noqa: F401
     fingerprint_columns,
     minhash_collision_stream,
 )
+from .join import interval_join_stream  # noqa: F401

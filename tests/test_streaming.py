@@ -486,3 +486,61 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     # among the top hits (quantized scores tie with near-identical
     # vectors, so top-1 is not guaranteed, membership is)
     assert target in got
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
+    """The watermarked stream-stream interval join drains exactly the
+    batch interval join's match set (the §2.11 convention: one
+    condition, two execution modes)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        interval_join,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        interval_join_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    errors_b = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    batch = interval_join(
+        errors_b, clicks_b, key="user_id",
+        lower_seconds=3600, right_payload=["value"],
+    )
+
+    def stream_src():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+        )
+
+    errors_s = stream_src().filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    clicks_s = stream_src().filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join_stream(
+        errors_s, clicks_s, key="user_id",
+        lower_seconds=3600, watermark="3 hours", right_payload=["value"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.lts, r.rts, round(r.value, 9))
+        for r in spark.table("ivj_test").collect()
+    }
+    want = {
+        (r.user_id, r.lts, r.rts, round(r.value, 9)) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

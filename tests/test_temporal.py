@@ -129,3 +129,41 @@ def test_asof_join_carries_whole_right_row(spark):
     assert row.asof_tag == "b"
     assert row.asof_val is None  # NOT 5.0 from the older row
     assert row.asof_ts == ts(2)
+
+
+def test_interval_join_matches_python(spark):
+    """Batch interval join equals the quadratic Python reference on
+    the fixture events (all same-user clicks in the window before each
+    error, multiplicity preserved)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    errors = [(r.user_id, r.ts) for r in ev.filter(F.col("event_type") == "error").collect()]
+    clicks = [
+        (r.user_id, r.ts, r.value)
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    ]
+    import datetime as dt
+
+    lo = dt.timedelta(seconds=3600)
+    want = sorted(
+        (u, lts, rts, round(v, 9))
+        for (u, lts) in errors
+        for (cu, rts, v) in clicks
+        if cu == u and lts - lo <= rts <= lts
+    )
+    got = interval_join(
+        ev.filter(F.col("event_type") == "error").select("user_id", "ts"),
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value"),
+        key="user_id",
+        lower_seconds=3600,
+        right_payload=["value"],
+    )
+    got_rows = sorted(
+        (r.user_id, r.lts, r.rts, round(r.value, 9)) for r in got.collect()
+    )
+    assert got_rows == want and len(want) > 0
