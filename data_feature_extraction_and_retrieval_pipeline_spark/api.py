@@ -109,6 +109,7 @@ class Engine:
         segment_weight: float = 0.6,
         min_confidence: float = 0.1,
         tag_filter: Sequence[str] | None = None,
+        arrow: bool = True,
     ) -> DataFrame:
         """Mode dispatcher (app.py:296-321 POST /api/search).
 
@@ -116,6 +117,13 @@ class Engine:
         modes BEFORE any scoring (broadcast semi-join on the allowed
         image ids — filter-before-expensive-work), matching the
         reference's tags form field on /api/search.
+
+        ``arrow`` selects the multi-query sims execution path for the
+        segment/hybrid modes (numpy matmul per Arrow batch vs JVM HOF
+        dots) — the same volume knob the operator layer exposes; a
+        serving deployment keeps the Arrow default, tiny corpora /
+        bit-exactness-sensitive callers pass False (SCALING.md
+        "Size-parameterized physical strategies").
         """
         images, segments = self.images, self.segments
         if tag_filter:
@@ -143,7 +151,7 @@ class Engine:
             return retrieval.segment_search(
                 segments, query_segments,
                 top_k=top_k, candidate_cap=top_k * 3,
-                image_col=self.image_col,
+                image_col=self.image_col, arrow=arrow,
             )
         if mode == "hybrid":
             if query_vec is None or query_segments is None:
@@ -154,6 +162,7 @@ class Engine:
                 images, segments, query_vec, query_segments,
                 top_k=top_k, whole_weight=whole_weight,
                 segment_weight=segment_weight, image_col=self.image_col,
+                arrow=arrow,
             )
         if mode == "tags":
             if not tags:

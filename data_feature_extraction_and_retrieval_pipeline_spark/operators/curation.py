@@ -282,8 +282,13 @@ def quality_logit(
     """The classifier's logit as a bare Column expression — for
     callers that FILTER on it (CurationPipeline.filter_classifier):
     a row-local predicate fuses with the surrounding filter chain,
-    where a join against the scored frame would not."""
-    c = F.col(text_col)
+    where a join against the scored frame would not.
+
+    NULL text scores as empty text (coalesce before the features):
+    F.least skips NULL operands, so an un-coalesced NULL length would
+    saturate the length signal to 1.0 and a quality gate would KEEP
+    garbage null rows — the opposite of its job."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     t = X.tokens(c)
     length_sig = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
     stop_sig = F.least(X.stopword_ratio(t) * F.lit(10.0), F.lit(1.0))

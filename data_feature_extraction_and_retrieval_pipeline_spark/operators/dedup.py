@@ -716,6 +716,7 @@ def incremental_exact_filter(
     id_col: str = "doc_id",
     portable: bool = False,
     broadcast_batch: bool = True,
+    keep_fingerprint: bool = False,
 ) -> DataFrame:
     """Batch-vs-corpus exact dedup — the DAILY-INGEST shape: drop
     arriving documents whose content fingerprint already exists in the
@@ -742,25 +743,40 @@ def incremental_exact_filter(
 
     Intra-batch duplicates are exact_dedup's job — compose:
     ``exact_dedup(incremental_exact_filter(batch, corpus))``.
+
+    NULL text: the key set carries an explicit ``__isnull`` indicator
+    and fingerprints ``coalesce(text, '')`` — plain equi-joins skip
+    NULL keys entirely, so an un-flagged NULL arrival would NEVER
+    match a NULL corpus row and the documented agreement with
+    ``exact_dedup`` (whose groupBy treats NULLs as equal to each
+    other, distinct from '') would break.
+
+    ``keep_fingerprint=True`` keeps the computed identity on the
+    survivors as ``content_fp`` (+ ``content_len``) — consumers that
+    need the fingerprint (index writes, the certification query)
+    reuse it instead of re-hashing every surviving document.
     """
     from ..functions import text as X
 
     def keyed(df: DataFrame) -> DataFrame:
-        c = F.col(text_col)
+        raw = F.col(text_col)
+        c = F.coalesce(raw, F.lit(""))
+        base = [
+            F.col(id_col),
+            raw.isNull().alias("__isnull"),
+            F.length(c).alias("__len"),
+        ]
         if portable:
             return df.select(
-                F.col(id_col),
-                F.length(c).alias("__len"),
-                X.rolling_hash_fingerprint(c).alias("__fp"),
+                *base, X.rolling_hash_fingerprint(c).alias("__fp")
             )
         return df.select(
-            F.col(id_col),
-            F.length(c).alias("__len"),
+            *base,
             F.xxhash64(c).alias("__fp"),
             F.xxhash64(F.reverse(c)).alias("__fp2"),
         )
 
-    key_cols = ["__len", "__fp"] + ([] if portable else ["__fp2"])
+    key_cols = ["__isnull", "__len", "__fp"] + ([] if portable else ["__fp2"])
     batch_keys = keyed(new_batch)
     corpus_keys = keyed(corpus).select(*key_cols)
     if broadcast_batch:
@@ -777,6 +793,13 @@ def incremental_exact_filter(
         )
     else:
         survivors = batch_keys.join(corpus_keys, key_cols, "left_anti")
+    if keep_fingerprint:
+        fp = survivors.select(
+            id_col,
+            F.col("__len").alias("content_len"),
+            F.col("__fp").alias("content_fp"),
+        )
+        return new_batch.join(F.broadcast(fp), id_col, "inner")
     return new_batch.join(
         F.broadcast(survivors.select(id_col)), id_col, "left_semi"
     )

@@ -155,14 +155,17 @@ def register(name: str, oracle: str | None = None):
 # with NO official driver row yet (dedup_chunks — the one gap round 3
 # left — plus the four new round-4 certifications: portable PQ,
 # portable IVF-PQ, the sessionize stream drain, and the streaming
-# MinHash collision pass — plus the round-4 sink roundtrips and the
-# four Engine-facade mode queries), then every query whose code round
-# 4 touched (rows must postdate the change), then 30 of the 31
-# position-51+ keepers whose newest rows are r02 (refreshing the
-# oldest evidence; set_ops_users stays at 51+ — head full, code
-# untouched, r02 row current). Position 51+ otherwise holds ONLY
-# r02/r03-green queries untouched since their row — no oracled query
-# anywhere lacks a current row.
+# MinHash collision pass — plus the round-4 sink roundtrips, the four
+# Engine-facade mode queries, the quality-classifier gate, the
+# incremental dedup, and the interval-join pair), then every query
+# whose code round 4 touched (rows must postdate the change), then 26
+# of the 31 position-51+ keepers whose newest rows are r02 (refreshing
+# the oldest evidence; five stay at 51+ because the head is full —
+# etl_row_range_select, join_ext_fallback, zero_shot_topk_tags,
+# nested_tags_two_level, set_ops_users — all untouched, r02 rows
+# current). Position 51+ otherwise holds ONLY r03-green queries
+# untouched since their row — no oracled query anywhere lacks a
+# current row.
 _DRIVER_ORDER: list[str] = [
     # -- oracled, no official driver row yet --
     "dedup_chunks",
@@ -189,7 +192,8 @@ _DRIVER_ORDER: list[str] = [
     "etl_json_feature_roundtrip",
     "ml_image_dir_scan",
     "events_sessionize",        # registration refactor (shared oracle)
-    # -- all 31 keepers whose newest row was r02: refreshed to r04 --
+    # -- 26 of the 31 keepers whose newest row was r02: refreshed to
+    #    r04 (the other five stay at 51+, named below — head is full) --
     "q1_pricing_summary",
     "vec_mean_per_label",
     "join_tag_category",
@@ -233,8 +237,10 @@ _DRIVER_ORDER: list[str] = [
 # dedup_minhash_lsh_portable / dedup_simhash_portable /
 # ml_stub_text_embeddings_portable, hybrid_search / segment_search /
 # knn_whole / tag_search displaced from the head by the round-4
-# additions), and one r02 row (set_ops_users). union(r02, r03, r04)
-# covers every oracled query with zero gaps.
+# additions), and five r02 rows (etl_row_range_select,
+# join_ext_fallback, zero_shot_topk_tags, nested_tags_two_level,
+# set_ops_users). union(r02, r03, r04) covers every oracled query
+# with zero gaps.
 
 # Round-5 rotation plan (assuming r04 certifies the current head):
 # promote into the head any position-51+ query whose code changes in
@@ -4423,10 +4429,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 3000000).alias("doc_id"), "text"
     )
     batch = docs.filter(F.col("doc_id") % 4 == 3).unionByName(copies)
-    out = dedup.incremental_exact_filter(batch, corpus, portable=True)
-    return out.select(
-        "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fp")
+    # keep_fingerprint: reuse the identity the filter already computed
+    # instead of re-hashing every surviving document's full text
+    out = dedup.incremental_exact_filter(
+        batch, corpus, portable=True, keep_fingerprint=True
     )
+    return out.select("doc_id", F.col("content_fp").alias("fp"))
 
 
 @register(
@@ -4581,13 +4589,9 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "etl_csv_roundtrip",
-    """
+    f"""
     SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
-           SUM(list_reduce(
-               list_prepend(0::BIGINT,
-                   list_transform(generate_series(1, LENGTH(text)),
-                                  i -> ascii(text[i])::BIGINT)),
-               (acc, c) -> (acc * 31 + c) % 1000000007))::BIGINT AS fp_sum
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
     FROM documents GROUP BY lang
     """,
 )
@@ -4622,13 +4626,9 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "etl_partitioned_roundtrip",
-    """
+    f"""
     SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
-           SUM(list_reduce(
-               list_prepend(0::BIGINT,
-                   list_transform(generate_series(1, LENGTH(text)),
-                                  i -> ascii(text[i])::BIGINT)),
-               (acc, c) -> (acc * 31 + c) % 1000000007))::BIGINT AS fp_sum
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
     FROM documents GROUP BY lang
     """,
 )
@@ -4971,7 +4971,10 @@ def api_engine_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_segment_id"),
         F.col("clip_features").alias("features"),
     )
-    out = eng.search("segment", query_segments=qsegs, top_k=10)
+    out = eng.search(
+        "segment", query_segments=qsegs, top_k=10,
+        arrow=_vectors_arrow(sf_dir),
+    )
     return out.select(
         "image_id",
         F.round("avg_similarity", 6).alias("avg_similarity"),
@@ -4996,7 +4999,10 @@ def api_engine_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_segment_id"),
         F.col("clip_features").alias("features"),
     )
-    out = eng.search("hybrid", query_vec=qvec, query_segments=qsegs, top_k=10)
+    out = eng.search(
+        "hybrid", query_vec=qvec, query_segments=qsegs, top_k=10,
+        arrow=_vectors_arrow(sf_dir),
+    )
     return out.select(
         "image_id",
         F.round("whole_score", 6).alias("whole_score"),

@@ -201,3 +201,21 @@ def test_quality_classifier_threshold_semantics(spark):
         r.doc_id for r in quality_classifier(docs, threshold=0.0).collect() if r.keep
     }
     assert strict <= loose
+
+
+def test_quality_classifier_null_text_rejected(spark):
+    """NULL text must score like empty text (rejected), not like a
+    maximally-long document — F.least skips NULLs, so an un-coalesced
+    length signal would saturate to 1.0 and keep garbage rows."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.curation import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the data and the table of it " * 20)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_classifier(docs, threshold=0.0).collect()}
+    assert rows[1].logit == rows[2].logit == -1.25
+    assert not rows[1].keep and not rows[2].keep
+    assert rows[3].keep

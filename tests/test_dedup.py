@@ -436,3 +436,30 @@ def test_incremental_exact_filter_matches_reference_set(spark, docs_with_dups):
     # the filter keeps full rows, not just ids
     cols = incremental_exact_filter(batch, corpus).columns
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_incremental_exact_filter_null_text_identity(spark):
+    """NULL-text arrivals must match NULL corpus rows (exact_dedup's
+    groupBy treats NULLs as equal to each other, distinct from '') —
+    plain equi-joins would silently keep every NULL arrival."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        incremental_exact_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, None), (11, "same text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(20, None), (21, "same text"), (22, ""), (23, "fresh")],
+        "doc_id long, text string",
+    )
+    for bb in (True, False):
+        got = {
+            r.doc_id
+            for r in incremental_exact_filter(
+                batch, corpus, broadcast_batch=bb
+            ).collect()
+        }
+        # 20 collides with the NULL corpus row; 21 with the text row;
+        # '' is NOT null — no corpus '' exists, so 22 survives
+        assert got == {22, 23}, (bb, got)

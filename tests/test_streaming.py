@@ -488,7 +488,7 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     assert target in got
 
 
-def test_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
+def test_interval_join_stream_matches_batch(spark, tmp_path):
     """The watermarked stream-stream interval join drains exactly the
     batch interval join's match set (the §2.11 convention: one
     condition, two execution modes)."""
