@@ -104,3 +104,29 @@ def test_dead_session_caches_pruned():
     assert "PRUNE_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
+
+
+def test_registry_rotation_invariants():
+    """The rotation contract the driver head depends on: exactly the
+    first 50 entries are evaluated, so they must be 50 UNIQUE, all-
+    oracled names; every _DRIVER_ORDER name must exist; rows-only
+    entries stay in the tail; and every registered oracle belongs to a
+    registered query."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from data_feature_extraction_and_retrieval_pipeline_spark import queries as Q
+
+    names = list(Q.queries())
+    oracles = Q.oracle_sql()
+    head = names[:50]
+    assert len(head) == 50
+    assert len(set(head)) == 50, "duplicate names in the driver head"
+    missing = [n for n in head if n not in oracles]
+    assert not missing, f"head entries without oracles: {missing}"
+    unknown = [n for n in Q._DRIVER_ORDER if n not in Q._QUERIES]
+    assert not unknown, f"_DRIVER_ORDER names not registered: {unknown}"
+    tail = names[-len(Q._ROWS_ONLY_TAIL):]
+    assert tail == [n for n in Q._ROWS_ONLY_TAIL if n in Q._QUERIES]
+    assert all(n not in oracles for n in tail), "rows-only entry has an oracle"
+    assert set(oracles) <= set(Q._QUERIES)

@@ -488,10 +488,13 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     assert target in got
 
 
-def test_interval_join_stream_matches_batch(spark, tmp_path):
+def test_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
     """The watermarked stream-stream interval join drains exactly the
     batch interval join's match set (the §2.11 convention: one
-    condition, two execution modes)."""
+    condition, two execution modes) — over the MULTI-SPLIT source, so
+    matches whose two sides arrive in different input files must still
+    all be emitted (state buffers the early side until its partner
+    lands inside the watermark horizon)."""
     from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
         interval_join,
     )
@@ -499,7 +502,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         interval_join_stream,
     )
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = spark.read.parquet(events_dir)
     errors_b = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
     clicks_b = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "value"
@@ -510,11 +513,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
 
     def stream_src():
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(SF_DIR)
-        )
+        return spark.readStream.schema(ev.schema).parquet(events_dir)
 
     errors_s = stream_src().filter(F.col("event_type") == "error").select(
         "user_id", "ts"
