@@ -115,3 +115,50 @@ def vector_mean(
             F.transform(F.col("pairs"), lambda p: p["mean_x"]).alias("mean_vec"),
         )
     )
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate per-group profile — the SKETCH versions of the
+    certified exact aggregates, for the scales where exact is the
+    bottleneck:
+
+    - ``approx_count_distinct`` (HyperLogLog++): O(1) state per group
+      vs the exact distinct's shuffle of every distinct value — at
+      100 TB an exact countDistinct on a high-cardinality column is a
+      full reshuffle of the column, the sketch is a few KB per group
+      merged map-side.
+    - ``percentile_approx`` (KLL-style quantile sketch): bounded-size
+      mergeable state vs the exact percentile's per-group sort.
+
+    Both are deterministic for a given input and Spark version but
+    implementation-specific — NO SQL oracle can replay them, so the
+    registry entry is rows-only by nature; correctness is bounded
+    instead: pytest asserts the sketches land within tolerance of the
+    certified exact twins (agg_distinct_counts, agg_group_stats).
+    Plans stay partial+final aggregation around ONE exchange, exactly
+    like the exact versions — the scale win is state size, not plan
+    shape.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(distinct_col, rsd=rsd).alias(
+                "approx_distinct"
+            ),
+            F.percentile_approx(value_col, 0.5, accuracy).alias(
+                "approx_median"
+            ),
+            F.percentile_approx(value_col, 0.95, accuracy).alias(
+                "approx_p95"
+            ),
+        )
+        .orderBy(group_col)
+    )

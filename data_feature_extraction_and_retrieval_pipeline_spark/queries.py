@@ -273,6 +273,10 @@ _DRIVER_ORDER: list[str] = [
 #   ml_ingest_pipeline      composite file-IO pipeline; its stages are
 #                           certified separately (ml_image_dir_scan,
 #                           portable encoder, exact dedup)
+#   agg_sketch_profile      HLL++/KLL sketch internals are
+#                           implementation-specific — no SQL engine
+#                           replays them; pytest bounds the sketches
+#                           against the certified exact twins
 _ROWS_ONLY_TAIL: list[str] = [
     "ann_pq",
     "dedup_minhash_lsh",
@@ -281,6 +285,7 @@ _ROWS_ONLY_TAIL: list[str] = [
     "ml_stub_text_embeddings",
     "ml_segment_pipeline",
     "ml_ingest_pipeline",
+    "agg_sketch_profile",
 ]
 
 
@@ -4796,6 +4801,22 @@ def ml_image_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.regexp_extract("filename", r"img_(\d+)\.png", 1).cast("long")
         ).alias("id_checksum"),
+    )
+
+
+@register("agg_sketch_profile")  # approx sketches — rows-only by nature
+def agg_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (operators/analytics.py::sketch_profile):
+    HyperLogLog++ distinct counts + KLL-style approximate quantiles
+    per event type — the O(1)-state versions of the certified exact
+    aggregates, for the cardinalities where exact countDistinct /
+    percentile become the shuffle bottleneck. Implementation-specific
+    sketch internals → no SQL oracle CAN replay them (rows-only by
+    nature); pytest bounds them against the certified exact twins
+    (agg_distinct_counts, agg_group_stats) instead."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sketch_profile(
+        ev, group_col="event_type", distinct_col="user_id", value_col="value"
     )
 
 

@@ -152,3 +152,50 @@ def test_skew_stress_hot_key_levers_engage(spark):
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(8)]))
     )
     assert salted_dim.count() == dim.count() * 8
+
+
+def test_sketch_profile_bounds_vs_exact(spark):
+    """The sketch aggregates land within tolerance of the certified
+    exact twins, and the plan keeps the exact versions' partial+final
+    single-exchange shape (the scale win is state size, not plan
+    shape)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.analytics import (
+        sketch_profile,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {r["event_type"]: r for r in sketch_profile(
+        ev, "event_type", "user_id", "value"
+    ).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        e, g = exact[k], got[k]
+        # HLL++ at rsd=0.05: allow 3 standard errors
+        assert abs(g["approx_distinct"] - e["nd"]) <= max(3, 0.15 * e["nd"])
+        # quantile sketch at accuracy=10000 on ~thousands of rows:
+        # the approx quantile is an actual data value near the target
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == k).collect()
+        )
+        n = len(vals)
+        import bisect
+
+        for q, approx in ((0.5, g["approx_median"]), (0.95, g["approx_p95"])):
+            rank = bisect.bisect_left(vals, approx) / max(n - 1, 1)
+            assert abs(rank - q) <= 0.02, (k, q, approx, rank)
+
+    plan = sketch_profile(ev, "event_type", "user_id", "value")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "sketch aggregation must stay one exchange (partial+final)"
+    )
