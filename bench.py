@@ -71,9 +71,12 @@ HEADLINE = [
     "text_chunk_windows",
     "text_pack_bins",
     "text_unigram_logprob",
-    # round 4: model-based quality gate + daily-ingest dedup
+    # round 4: model-based quality gate + daily-ingest dedup + the
+    # interval-join range join + sketch aggregates
     "text_quality_classifier",
     "dedup_incremental",
+    "events_interval_join",
+    "agg_sketch_profile",
     "ann_range_search",
     "ann_pq",
     # round 4: the oracle-certified PQ serving layout (fixed-grid
