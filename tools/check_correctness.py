@@ -62,9 +62,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -104,7 +106,11 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match oracle")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    # report over the queries actually RUN — a filtered invocation
+    # must not print the full-registry denominator (it reads as a
+    # full sweep when it is not)
+    suffix = "" if not only else f" (filtered from {len(qs)})"
+    print(f"\n{n_ran - len(failures)}/{n_ran} passed{suffix}")
     return 1 if failures else 0
 
 
