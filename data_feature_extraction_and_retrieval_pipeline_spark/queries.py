@@ -52,20 +52,27 @@ _ORACLES: dict[str, str] = {}
 
 # Round-trip queries write a scratch dir at plan-construction time.
 # The dir name is a stable digest of sf_dir (Python's str hash is
-# salted per process) PLUS the pid: stable within a process, so a
-# resident server reuses one dir per (query, sf_dir) instead of
-# leaking one per call — but isolated ACROSS processes, because a
-# fully-stable name would let a second harness process overwrite the
-# directory while this process's lazily-executed scan is mid-collect
-# (rmtree racing a running read). The process's scratch dirs are
+# salted per process) PLUS the pid PLUS the constructing thread id:
+# stable within a (process, thread), so a resident server reuses one
+# dir per (query, sf_dir, worker) instead of leaking one per call —
+# but isolated ACROSS processes (a fully-stable name would let a
+# second harness process overwrite the directory while this one's
+# lazily-executed scan is mid-collect) and ACROSS threads: the
+# _SIDE_EFFECT_LOCK serializes the write itself, but the read-back
+# DataFrame executes lazily AFTER the lock is released, so two
+# threads plan-cache-missing the same roundtrip query on one shared
+# dir could still overwrite (mode=overwrite deletes files first)
+# while the other thread's scan is running. Per-thread dirs make the
+# overwrite race structurally impossible: the only writer of a dir is
+# the thread that also runs its reads. The process's scratch dirs are
 # removed at interpreter exit, so nothing accumulates either way.
-# In-process, construction is serialized by _SIDE_EFFECT_LOCK: the
-# bench's cold pass overlaps plan construction across threads, and
-# two concurrent builds of the same query would otherwise race
-# rmtree/write on one dir (the _PLAN_CACHE has no miss lock,
-# mirroring the gap indexes._BUILD_LOCK closes for artifacts).
+# The lock remains to serialize catalog/warehouse side effects (the
+# bucketed managed table below) and to bound concurrent write jobs
+# during the bench's overlapped cold pass.
 _SIDE_EFFECT_LOCK = threading.Lock()
 _SCRATCH_DIRS: set[str] = set()
+# bucketed managed tables created by this process: name -> location
+_SCRATCH_TABLES: dict[str, str] = {}
 
 
 def _cleanup_scratch_dirs() -> None:
@@ -73,6 +80,16 @@ def _cleanup_scratch_dirs() -> None:
 
     for d in _SCRATCH_DIRS:
         shutil.rmtree(d, ignore_errors=True)
+    for table, loc in _SCRATCH_TABLES.items():
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None and sess.sparkContext._jsc is not None:
+                sess.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass  # session already gone — the rmtree below still runs
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 import atexit  # noqa: E402
@@ -85,7 +102,8 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
 
     digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:12]
     d = os.path.join(
-        tempfile.gettempdir(), f"{prefix}_{digest}_{os.getpid()}"
+        tempfile.gettempdir(),
+        f"{prefix}_{digest}_{os.getpid()}_{threading.get_ident()}",
     )
     _SCRATCH_DIRS.add(d)
     return d
@@ -2870,7 +2888,9 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     flagged = minhash_collision_stream(src.select("doc_id", "text"))
-    name = f"mh_stream_{abs(hash(sf_dir)) % 10**8}"
+    name = f"mh_stream_" + hashlib.sha1(
+        sf_dir.rstrip("/").encode()
+    ).hexdigest()[:10]
     ckpt = tempfile.mkdtemp(prefix="dferp_mh_ckpt_")
     q = (
         flagged.writeStream.format("memory")
@@ -2933,7 +2953,9 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     sessions = sessionize_stream(src, "30 minutes", emit_open=True)
-    name = f"sessions_stream_{abs(hash(sf_dir)) % 10**8}"
+    name = f"sessions_stream_" + hashlib.sha1(
+        sf_dir.rstrip("/").encode()
+    ).hexdigest()[:10]
     ckpt = tempfile.mkdtemp(prefix="dferp_sess_ckpt_")
     q = (
         sessions.writeStream.format("memory")
@@ -4446,8 +4468,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_classifier",
     """
     WITH toks AS (
-        SELECT doc_id, text,
-               list_filter(string_split_regex(LOWER(text), '\\s+'),
+        -- COALESCE matches quality_logit's documented NULL identity
+        -- (NULL text scores as the empty document, not as NULL)
+        SELECT doc_id, COALESCE(text, '') AS text,
+               list_filter(string_split_regex(LOWER(COALESCE(text, '')), '\\s+'),
                            t -> LENGTH(t) > 0) AS t
         FROM documents
     ),
@@ -4685,12 +4709,20 @@ def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
-    table = f"dferp_bkt_rt_{digest}"
+    # pid + thread id mirror _scratch_dir: a digest-only name would let
+    # a second harness process sharing the warehouse DROP/rmtree the
+    # table while this process's lazily-executed spark.table() read is
+    # mid-collect (and two in-process threads would overwrite each
+    # other the same way). The table is dropped at interpreter exit via
+    # _SCRATCH_TABLES, so nothing accumulates in the warehouse.
+    table = (
+        f"dferp_bkt_rt_{digest}_{os.getpid()}_{threading.get_ident()}"
+    )
     with _SIDE_EFFECT_LOCK:
-        # a previous PROCESS's managed-table location can survive this
-        # session's in-memory catalog — saveAsTable then refuses the
-        # name (LOCATION_ALREADY_EXISTS). Drop both the catalog entry
-        # and any orphaned location before writing.
+        # a crashed previous run can leave an orphaned location that
+        # survives this session's in-memory catalog — saveAsTable then
+        # refuses the name (LOCATION_ALREADY_EXISTS). Drop both the
+        # catalog entry and any orphaned location before writing.
         import shutil
 
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -4699,7 +4731,9 @@ def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             if wh.startswith(pfx):
                 wh = wh[len(pfx):]
                 break
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        loc = os.path.join(wh, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        _SCRATCH_TABLES[table] = loc
         write_bucketed_table(
             docs, table, bucket_col="doc_id", num_buckets=8, sort_col="doc_id"
         )
@@ -4904,7 +4938,9 @@ def events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, clicks, key="user_id", lower_seconds=3600, upper_seconds=0,
         watermark="3 hours", right_payload=["value"],
     )
-    name = f"ivj_stream_{abs(hash(sf_dir)) % 10**8}"
+    name = f"ivj_stream_" + hashlib.sha1(
+        sf_dir.rstrip("/").encode()
+    ).hexdigest()[:10]
     ckpt = tempfile.mkdtemp(prefix="dferp_ivj_ckpt_")
     q = (
         joined.writeStream.format("memory")

@@ -439,7 +439,12 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
             assign_clusters(vec, cents), books, keep_cols=("cluster",)
         )
 
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+    # no .cache(): a leaked cache pin here makes Spark's cache manager
+    # substitute InMemoryTableScan into LATER tests' plans over the
+    # same scan fragment (breaking test_plans' no-cache-pin assertions
+    # when streaming tests run first), and the frame is reused only a
+    # few times at sf0.001
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     src = str(tmp_path / "src")
     idx = str(tmp_path / "ann_index")
     ckpt = str(tmp_path / "ckpt")
