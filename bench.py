@@ -90,6 +90,14 @@ HEADLINE = [
     # pure Catalyst over the once-materialized decode pass
     "ml_resize_plan",
     "events_tumbling_window",
+    # round 5: the CurationPipeline facade certified end-to-end — an
+    # 8-stage composed chain (incremental dedup -> redact -> classifier
+    # -> decontaminate -> MinHash near-dup -> mixture -> split ->
+    # chunks). Multi-pass by design; its near-dup pair mining is
+    # lineage-truncated at construction (localCheckpoint), so warm
+    # passes re-run the stage materializations but not pair mining —
+    # the same steady-state convention as the write-time indexes.
+    "api_pipeline_curate",
 ]
 
 

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import caching
 from .operators import retrieval
 from .sources import load_table
 
@@ -363,11 +364,14 @@ class CurationPipeline:
         (anti-join on the broadcast-flagged ids)."""
         from .operators.dedup import contamination_flags
 
+        # persist: the input feeds both the flagging pass and the
+        # anti-join (see dedup_exact for the stage-boundary policy)
+        src = caching.persist(self.df)
         flagged = contamination_flags(
-            self.df, benchmark, n=n, text_col=self.text_col, id_col=self.id_col
+            src, benchmark, n=n, text_col=self.text_col, id_col=self.id_col
         )
         return self._with(
-            self.df.join(
+            src.join(
                 F.broadcast(flagged.select(self.id_col)),
                 self.id_col,
                 "left_anti",
@@ -378,22 +382,103 @@ class CurationPipeline:
         """Keep the lowest id per identical text (16-byte shuffle key)."""
         from .operators.dedup import exact_dedup
 
-        keep = exact_dedup(self.df, text_col=self.text_col, id_col=self.id_col)
+        # the input feeds both the key aggregation and the semi-join
+        # back — persist at the stage boundary so the upstream chain's
+        # lineage is not duplicated into each consumer (plan growth is
+        # multiplicative across chained self-referencing stages)
+        src = caching.persist(self.df)
+        keep = exact_dedup(src, text_col=self.text_col, id_col=self.id_col)
         return self._with(
-            self.df.join(keep.select(self.id_col), self.id_col, "left_semi")
+            src.join(keep.select(self.id_col), self.id_col, "left_semi")
         )
 
-    def dedup_incremental(self, corpus: DataFrame) -> "CurationPipeline":
+    def dedup_incremental(
+        self, corpus: DataFrame, portable: bool = False
+    ) -> "CurationPipeline":
         """Drop rows whose content identity already exists in the
         accumulated ``corpus`` — the daily-ingest stage (broadcast
-        semi/anti joins on fingerprints; the corpus never shuffles)."""
+        semi/anti joins on fingerprints; the corpus never shuffles).
+        ``portable=True`` swaps the xxhash identity for the rolling
+        polynomial hash an external engine can replay (certification)."""
         from .operators.dedup import incremental_exact_filter
 
+        # persist: the arriving batch feeds the key projection (twice,
+        # via the broadcast collision probe) plus the survivor
+        # semi-join (see dedup_exact for the stage-boundary policy)
+        src = caching.persist(self.df)
         return self._with(
             incremental_exact_filter(
-                self.df, corpus, text_col=self.text_col, id_col=self.id_col
+                src, corpus, text_col=self.text_col, id_col=self.id_col,
+                portable=portable,
             )
         )
+
+    def dedup_near(
+        self,
+        n: int = 3,
+        num_hashes: int | None = None,
+        bands: int | None = None,
+        threshold: float = 0.5,
+        portable: bool = False,
+    ) -> "CurationPipeline":
+        """Near-duplicate stage — the flagship MinHash+LSH path wired
+        into the chain: banded signatures → bucket self-join → exact
+        n-gram-Jaccard verify (operators/dedup.py::minhash_lsh_pairs)
+        → fixed-round min-label propagation
+        (label_propagation_canonical), keep = each near-dup cluster's
+        canonical (minimum-id) representative. This is what catches
+        the boilerplate-variant copies exact dedup misses.
+
+        The drop list (non-canonical cluster members) joins back with
+        a plain left-anti — NO broadcast hint: in a web corpus near-dup
+        drops run 30-50% of N, far past broadcast range; AQE still
+        picks a broadcast build when the list turns out tiny.
+
+        ``portable=True`` swaps the xxhash band keys for the
+        polynomial family the DuckDB oracle replays
+        (minhash_lsh_pairs_portable — same pipeline, same plan
+        shapes); defaults then follow the certified 8×4 configuration
+        vs the production 16×4.
+        """
+        from .operators.dedup import (
+            label_propagation_canonical,
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_portable,
+        )
+
+        # persist: the heaviest multi-consumer stage — the input feeds
+        # the banded signatures, the Jaccard-verify semi-join, and the
+        # final anti-join (see dedup_exact for the boundary policy; at
+        # cluster scale the banded frame would instead come from the
+        # write-time index, but the input still has three consumers)
+        src = caching.persist(self.df)
+        if portable:
+            pairs = minhash_lsh_pairs_portable(
+                src, n=n, num_hashes=num_hashes or 8, bands=bands or 4,
+                threshold=threshold, text_col=self.text_col,
+                id_col=self.id_col,
+            )
+        else:
+            pairs = minhash_lsh_pairs(
+                src, n=n, num_hashes=num_hashes or 16, bands=bands or 4,
+                threshold=threshold, text_col=self.text_col,
+                id_col=self.id_col,
+            )
+        # lineage-truncate the pairs frame before the iterative
+        # propagation (the GraphX/MLlib pattern): each min-label round
+        # references its input twice, so the LOGICAL plan under the
+        # rounds grows ~2^rounds copies of the whole LSH pair-mining
+        # subtree — harmless to execute (the persists dedup the work)
+        # but fatal to the driver, because AQE re-renders the plan
+        # string on every runtime re-plan and the render is linear in
+        # TREE size, not in work. The pairs frame is collision-bounded
+        # (tiny at any corpus scale), so the checkpoint is cheap.
+        pairs = pairs.localCheckpoint(eager=True)
+        lab = label_propagation_canonical(pairs, rounds=3)
+        drops = lab.filter(F.col("node") != F.col("canonical")).select(
+            F.col("node").alias(self.id_col)
+        )
+        return self._with(src.join(drops, self.id_col, "left_anti"))
 
     def filter_classifier(self, threshold: float = 1.0) -> "CurationPipeline":
         """Model-based quality gate: keep rows whose linear-classifier

@@ -5128,6 +5128,357 @@ def api_engine_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATE_ORACLE = f"""
+    WITH docs3 AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text, source
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    inj AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@mail.example.com now'
+                    WHEN doc_id % 4 = 1
+                    THEN text || ' call +90 555 0199 today'
+                    WHEN doc_id % 4 = 2
+                    THEN text || ' from 192.168.1.50 addr'
+                    ELSE text END AS text
+        FROM docs3
+    ),
+    seen AS (
+        SELECT DISTINCT LENGTH(text) AS len, {_ROLLING_FP_SQL} AS fp
+        FROM inj WHERE doc_id % 10 = 0
+    ),
+    arr AS (
+        SELECT i.doc_id, i.source, i.text FROM (
+            SELECT doc_id, source, text,
+                   LENGTH(text) AS len, {_ROLLING_FP_SQL} AS fp
+            FROM inj
+        ) i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s WHERE s.len = i.len AND s.fp = i.fp
+        )
+    ),
+    red AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,}}',
+                           '<EMAIL>', 'g'),
+                       '[+][0-9]{{1,3}}[- ][0-9]{{3}}[- ][0-9]{{4}}',
+                       '<PHONE>', 'g'),
+                   '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}',
+                   '<IP>', 'g') AS text
+        FROM arr
+    ),
+    gfeat AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM red
+    ),
+    gate AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   ROUND(-1.25
+                         + 2.5 * LEAST(LENGTH(text) / 200.0, 1.0)
+                         + 1.5 * CASE WHEN LENGTH(text) > 0
+                                      THEN LENGTH(regexp_replace(
+                                               text, '[^A-Za-z ]', '', 'g'))
+                                           / CAST(LENGTH(text) AS DOUBLE)
+                                      ELSE 0.0 END
+                         + 0.875 * LEAST(CASE WHEN len(t) > 0
+                                    THEN len(list_filter(t, x -> list_contains(
+                                        ['the','a','an','and','of','to','in',
+                                         'is','it','that'], x)))
+                                         / CAST(len(t) AS DOUBLE)
+                                    ELSE 0.0 END * 10.0, 1.0), 6) AS logit
+            FROM gfeat
+        ) WHERE logit >= 1.0
+    ),
+    b_sh AS (
+        SELECT DISTINCT UNNEST(list_distinct(
+            CASE WHEN len(t) >= 8
+                 THEN [array_to_string(t[i:i+7], ' ')
+                       FOR i IN generate_series(1, len(t) - 7)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM (
+            SELECT list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               x -> LENGTH(x) > 0) AS t
+            FROM documents WHERE doc_id % 97 = 0
+        )
+    ),
+    g_sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 8
+                 THEN [array_to_string(t[i:i+7], ' ')
+                       FOR i IN generate_series(1, len(t) - 7)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(LOWER(text), '\\s+'),
+                               x -> LENGTH(x) > 0) AS t
+            FROM gate
+        )
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM g_sh g JOIN b_sh b ON b.shingle = g.shingle
+    ),
+    docs2 AS (
+        SELECT doc_id, source, text FROM gate g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM contaminated c WHERE c.doc_id = g.doc_id
+        )
+    ),
+    {_PORT_TOKS_CTE},
+    {_PORT_TH_CTE},
+    pshh AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 3
+                    THEN [((th[i] * {dedup._PORT_B} + th[i+1]) % {dedup._PORT_P}
+                           * {dedup._PORT_B} + th[i+2]) % {dedup._PORT_P}
+                          FOR i IN generate_series(1, len(th) - 2)]
+                    ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                      (a, b) -> (a * {dedup._PORT_B} + b)
+                                      % {dedup._PORT_P})]
+               END AS shh
+        FROM pth
+    ),
+    pmins AS (SELECT doc_id, {_PORT_MINS} FROM pshh),
+    pkeys AS (SELECT doc_id, {_PORT_KEYS} FROM pmins),
+    pbanded AS ({_PORT_BAND_ROWS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pbanded a JOIN pbanded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(t) - 2)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM ptoks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b FROM common c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l1 AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS label
+        FROM edges GROUP BY src
+    ),
+    l2 AS (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+        FROM l1 l
+        LEFT JOIN edges e ON e.src = l.node
+        LEFT JOIN l1 n ON n.node = e.dst
+        GROUP BY l.node, l.label
+    ),
+    l3 AS (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+        FROM l2 l
+        LEFT JOIN edges e ON e.src = l.node
+        LEFT JOIN l2 n ON n.node = e.dst
+        GROUP BY l.node, l.label
+    ),
+    drops AS (SELECT node FROM l3 WHERE label <> node),
+    kept3 AS (
+        SELECT d.doc_id, d.source, d.text FROM docs2 d
+        WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.node = d.doc_id)
+    ),
+    mixed AS (
+        SELECT * FROM kept3
+        WHERE (((doc_id % {dedup._PORT_P} + {dedup._PORT_P})
+                % {dedup._PORT_P}) * {curation._MIX_A} + {curation._MIX_C})
+              % {dedup._PORT_P} % 1000
+              < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                            WHEN 'src2' THEN 250 ELSE 100 END
+    ),
+    labeled AS (
+        SELECT doc_id, text,
+               CASE WHEN {_ROLLING_FP_SQL} % 100 < 90 THEN 'train'
+                    WHEN {_ROLLING_FP_SQL} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM mixed
+    ),
+    ctoks AS (
+        SELECT doc_id, split,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS t
+        FROM labeled
+    ),
+    nz AS (SELECT doc_id, split, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+    chunks AS (
+        SELECT doc_id, split, t,
+               UNNEST(generate_series(
+                   0, (1 + GREATEST(CEIL((n - 16) / 12.0), 0))::BIGINT - 1
+               ))::INT AS chunk_idx
+        FROM nz
+    ),
+    sliced AS (
+        SELECT doc_id, split, chunk_idx,
+               t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16] AS chunk
+        FROM chunks
+    )
+    SELECT doc_id, split, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+           list_reduce(
+               list_prepend(0::BIGINT, list_transform(chunk, tok ->
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(generate_series(1, LENGTH(tok)),
+                                          i -> ascii(tok[i])::BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % {dedup._PORT_P}))),
+               (a, h) -> (a * {dedup._PORT_B} + h) % {dedup._PORT_P}
+           ) AS chunk_fp
+    FROM sliced
+    """
+
+# Pin the multiply-referenced stages of the composed curation oracle
+# as MATERIALIZED: DuckDB's CTE heuristics re-inline several of them,
+# and in a 30-CTE chain the re-inlining compounds (measured 142 s ->
+# 3.8 s at sf0.1 for identical results). Semantics are unchanged —
+# this is the oracle-side twin of the Spark plan's stage-boundary
+# persists in CurationPipeline.
+for _cte in (
+    "inj", "gate", "docs2", "ptoks", "pkeys", "pbanded", "sh", "sizes",
+    "pairs", "edges", "l1", "l2", "kept3",
+):
+    _CURATE_ORACLE = _CURATE_ORACLE.replace(
+        f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1
+    )
+
+
+@register("api_pipeline_curate", _CURATE_ORACLE)
+def api_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the `CurationPipeline` facade certified END-TO-END, the
+    same treatment the `Engine` facade got via api_engine_*: one fixed
+    raw-corpus → training-chunks chain driven entirely through the
+    facade (api.py::CurationPipeline), with the oracle replaying every
+    stage's portable identity in composition order. What this
+    certifies beyond the per-stage rows is exactly the facade's job:
+    stage FUSION (the chain stays one lazy plan) and column THREADING
+    (source survives to the mixture stage, the redacted text — not the
+    raw text — feeds the classifier, the split label rides through the
+    chunk explode). Reference analogue: the chained ETL scripts
+    update_label_paths.py:62-108 → clean_and_fill_na.py:38-89.
+
+    The chain (each stage's solo certification in parentheses):
+      0. fixture: dup injection (dedup_exact's) + deterministic PII
+         injection (text_redact_pii's) — near copies of email-bearing
+         docs get DIFFERENT injected emails, which redaction then
+         normalizes back together, so the near-dup stage downstream
+         has real work only redaction makes possible;
+      1. dedup_incremental vs the already-ingested %10==0 slice
+         (dedup_incremental), portable fingerprints;
+      2. redact() (text_redact_pii);
+      3. filter_classifier(1.0) over the REDACTED text
+         (text_quality_classifier);
+      4. decontaminate vs the %97==0 benchmark, 8-gram shingles
+         (text_contamination);
+      5. dedup_near(portable=True) — MinHash 8×4 banding → bucket
+         self-join → exact-Jaccard verify → 3-round min-label
+         propagation, keep = canonical (dedup_minhash_lsh_portable +
+         dedup_cluster_canonical);
+      6. sample_mixture(src0/1/2 = 100/50/25%, default 10%)
+         (etl_mixture_sample);
+      7. split(90/5) content-hash over the redacted text
+         (etl_hash_split);
+      8. chunks(16, 12) carrying the split label (text_chunk_windows).
+    """
+    from .api import CurationPipeline
+
+    docs = _t(spark, sf_dir, "documents", wide=True).select(
+        "doc_id", "text", "source"
+    )
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "source",
+    )
+    # spread the corpus cores-wide up front: the chain makes several
+    # full passes of deep per-row expression work (regex stacks, HOF
+    # shingle chains), and the one-file parquet scan would otherwise
+    # pin every pass to ~3 tasks; one tiny shuffle buys 32-wide
+    # execution for every downstream stage boundary
+    docs3 = (
+        docs.unionByName(exact)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    inj = docs3.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" call +90 555 0199 today")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" from 192.168.1.50 addr")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seen = inj.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    out = (
+        CurationPipeline(inj)
+        .dedup_incremental(seen, portable=True)
+        .redact()
+        .filter_classifier(threshold=1.0)
+        .decontaminate(bench, n=8)
+        .dedup_near(portable=True)
+        .sample_mixture(
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+        )
+        .split(90, 5)
+        .chunks(window=16, stride=12, carry_cols=("split",))
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        "chunk_idx",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_fp",
+    )
+
+
 # =====================================================================
 # Flagship entry
 # =====================================================================

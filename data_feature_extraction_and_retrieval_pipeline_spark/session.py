@@ -50,6 +50,14 @@ def get_spark(
         # read it as LTZ (session is UTC, so values are identical) to keep
         # one timestamp type engine-wide
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # AQE re-renders the executed plan's explain string on every
+        # runtime re-plan; for deeply composed plans (the curation
+        # facade chain) an unbounded string is a driver-heap hazard —
+        # 8 MB keeps every plan assertion readable while bounding the
+        # render. (The real fix for composed iterative stages is
+        # lineage truncation at the operator, see
+        # CurationPipeline.dedup_near; this is defense in depth.)
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()

@@ -243,6 +243,63 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert len(rows) == n1
 
 
+def test_curation_pipeline_dedup_near_drops_near_duplicates(spark):
+    """dedup_near catches what dedup_exact cannot: planted copies with
+    one token appended survive the exact stage but are dropped by the
+    MinHash+LSH stage, which keeps each cluster's canonical (min-id)
+    representative — on both the production (xxhash) and the portable
+    hash family."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+        CurationPipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    planted = {r.doc_id for r in near.select("doc_id").collect()}
+    corpus = docs.unionByName(near)
+
+    # exact dedup alone misses every planted near-copy
+    exact_only = CurationPipeline(corpus).dedup_exact()
+    exact_ids = {r.doc_id for r in exact_only.df.select("doc_id").collect()}
+    assert planted <= exact_ids
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        label_propagation_canonical,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_portable,
+    )
+
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    for portable in (False, True):
+        p = CurationPipeline(corpus).dedup_near(portable=portable)
+        kept = {r.doc_id for r in p.df.select("doc_id").collect()}
+        # every planted near-copy is gone (its base has the smaller id,
+        # so the copy can never be its cluster's canonical)...
+        assert not (planted & kept), f"portable={portable}: {planted & kept}"
+        # ...the corpus's global minimum id is always canonical...
+        assert min(all_ids) in kept
+        # ...and the facade keeps EXACTLY the canonicals the operator
+        # composition produces (wiring equivalence; bases that are
+        # non-canonical members of natural near-dup clusters drop too)
+        pairs_fn = (
+            minhash_lsh_pairs_portable if portable else minhash_lsh_pairs
+        )
+        pairs = pairs_fn(
+            corpus, n=3, num_hashes=8 if portable else 16, bands=4,
+            threshold=0.5,
+        )
+        lab = label_propagation_canonical(pairs, rounds=3)
+        expected_drops = {
+            r.node for r in lab.filter("node <> canonical").collect()
+        }
+        assert kept == all_ids - expected_drops, f"portable={portable}"
+
+
 # ---------------------------------------------------------------------------
 # search_content end-to-end: upload → encode → (segment) → search, all
 # four modes through the model seam with an injected fake encoder

@@ -218,3 +218,30 @@ def test_portable_pq_serving_plan_is_jvm_only(spark, qs):
     # on a table with the write-time cluster column it pushes to the
     # scan / becomes partition pruning
     assert "Filter" in ivfpq, "probe filter missing from the IVF-PQ plan"
+
+
+def test_curation_map_chain_stays_fused(spark):
+    """The CurationPipeline's map-only stages (redact -> classifier
+    gate -> mixture -> split -> chunks) must compose into ONE fused
+    narrow plan: no Exchange, no Join — the facade's whole point is
+    that chained row-local stages cost one corpus pass, and a stray
+    shuffle or scored-frame join here multiplies at 100 TB."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+        CurationPipeline,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = (
+        CurationPipeline(docs)
+        .redact()
+        .filter_classifier(threshold=0.0)
+        .sample_mixture({"src0": 1.0}, default_rate=0.5)
+        .split(90, 5)
+        .chunks(window=16, stride=12, carry_cols=("split",))
+    )
+    text = _plan_text(out)
+    assert "Exchange" not in text, f"map chain must stay fused:\n{text}"
+    assert "Join" not in text, f"map chain must not join:\n{text}"
+    assert "InMemoryTableScan" not in text
