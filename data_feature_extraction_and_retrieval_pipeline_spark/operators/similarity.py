@@ -141,15 +141,30 @@ def assign_clusters_np(
 
 
 def probe_clusters(
-    centroids: list[Sequence[float]], query_vec: Sequence[float], nprobe: int
+    centroids: list[Sequence[float]],
+    query_vec: Sequence[float],
+    nprobe: int,
+    l2: bool = False,
 ) -> list[int]:
     """The query's ``nprobe`` closest coarse centroids (max dot, ties
     to the lowest index) — the single probe-selection rule shared by
-    IVF and IVF-PQ so the two layouts can never drift apart."""
+    IVF and IVF-PQ so the two layouts can never drift apart.
+
+    ``l2=True`` ranks by ``dot − |c|²/2`` (= nearest-in-L2, matching
+    ``assign_clusters_np(l2=True)``): REQUIRED when the centroids are
+    kmeans-trained means, whose norms diverge — probing by raw dot
+    against the L2 assignment systematically picks over-long
+    centroids and silently costs recall. Identical ranking when every
+    centroid is unit-norm (the fixed-centroid query paths), which is
+    why the certified queries keep the default."""
     q = [float(x) for x in query_vec]
+
+    def score(c):
+        d = sum(x * y for x, y in zip(c, q))
+        return d - 0.5 * sum(x * x for x in c) if l2 else d
+
     ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (-sum(x * y for x, y in zip(centroids[i], q)), i),
+        range(len(centroids)), key=lambda i: (-score(centroids[i]), i)
     )
     return ranked[:nprobe]
 
@@ -163,6 +178,7 @@ def ivf_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    l2: bool = False,
 ) -> DataFrame:
     """IVF probe over an ALREADY-ASSIGNED table: score only vectors
     whose cluster is among the query's ``nprobe`` closest centroids.
@@ -170,10 +186,12 @@ def ivf_probe(
     This is the steady-state query path — at scale the table was
     written ``partitionBy(cluster)`` at ingest and the ``isin`` filter
     is partition pruning; locally the assigned frame is a resident
-    artifact (``indexes.materialized``).
+    artifact (``indexes.materialized``). ``l2=True`` matches the
+    probe rule to a kmeans-trained (L2-assigned) layout — see
+    ``probe_clusters``.
     """
     q = [float(x) for x in query_vec]
-    probe = probe_clusters(centroids, q, nprobe)
+    probe = probe_clusters(centroids, q, nprobe, l2=l2)
     qcol = V.lit_vec(q)
     return (
         assigned.filter(F.col(cluster_col).isin(*probe))
@@ -192,18 +210,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    l2: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-assign (unless ``assigned`` is a
     pre-built index frame) then probe.
 
     Deterministic given fixed centroids (we use seeded/fixed centroid
-    lists, mirroring the reference's seed=42 convention).
+    lists, mirroring the reference's seed=42 convention). ``l2=True``
+    applies the L2 assignment+probe rule end-to-end (kmeans-trained
+    centroid layouts — see probe_clusters).
     """
     if assigned is None:
-        assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
+        assigned = assign_clusters_np(
+            embeddings, centroids, vec_col=vec_col, l2=l2
+        )
     return ivf_probe(
         assigned, centroids, query_vec, k=k, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, l2=l2,
     )
 
 
@@ -654,6 +677,7 @@ def ivfpq_topk(
     cluster_col: str = "cluster",
     lut: list[list[float]] | None = None,
     round_to: int | None = None,
+    l2: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-vector serving layout — coarse
     cluster pruning (scan nprobe/nlist of the table) composed with the
@@ -666,7 +690,7 @@ def ivfpq_topk(
     scoring expression is the same literal-LUT aggregate as
     ``pq_topk`` — whole-stage codegen, no Python, no join.
     """
-    probe = probe_clusters(centroids, query_vec, nprobe)
+    probe = probe_clusters(centroids, query_vec, nprobe, l2=l2)
     return pq_topk(
         coded.filter(F.col(cluster_col).isin(*probe)),
         codebooks,
@@ -676,6 +700,50 @@ def ivfpq_topk(
         code_col=code_col,
         lut=lut,
         round_to=round_to,
+    )
+
+
+def pq_refine_topk(
+    coded: DataFrame,
+    embeddings: DataFrame,
+    centroids: list[Sequence[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    l2: bool = False,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking (the FAISS ``refine`` pattern):
+    the compressed ADC scan shortlists ``k*refine`` candidates, then
+    the true vectors of JUST the shortlist are fetched and re-scored
+    exactly. Quantized distances collapse when true neighbors are
+    tightly packed (the quantization error exceeds the inter-neighbor
+    gaps), so raw IVF-PQ recall@k plateaus; re-ranking restores it
+    while still reading the corpus code-only.
+
+    Scale shape: the shortlist is ``k*refine`` ids (a broadcast), and
+    the vector fetch is an id semi-join against the float table — at
+    100 TB that table is bucketed by id, so the fetch is a point
+    lookup per shortlist id, not a scan. Cost = ADC scan over
+    nprobe/nlist of the codes + refine*k vector reads.
+    """
+    short = ivfpq_topk(
+        coded, centroids, codebooks, query_vec,
+        k=k * refine, nprobe=nprobe, id_col=id_col, code_col=code_col,
+        cluster_col=cluster_col, l2=l2,
+    )
+    q = [float(x) for x in query_vec]
+    qcol = V.lit_vec(q)
+    return (
+        embeddings.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
     )
 
 

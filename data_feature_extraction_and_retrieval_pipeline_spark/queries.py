@@ -168,82 +168,78 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-4
-# rotation (the plan round 3 wrote): first the five oracled queries
-# with NO official driver row yet (dedup_chunks — the one gap round 3
-# left — plus the four new round-4 certifications: portable PQ,
-# portable IVF-PQ, the sessionize stream drain, and the streaming
-# MinHash collision pass — plus the round-4 sink roundtrips, the four
-# Engine-facade mode queries, the quality-classifier gate, the
-# incremental dedup, and the interval-join pair), then every query
-# whose code round 4 touched (rows must postdate the change), then 26
-# of the 31 position-51+ keepers whose newest rows are r02 (refreshing
-# the oldest evidence; five stay at 51+ because the head is full —
-# etl_row_range_select, join_ext_fallback, zero_shot_topk_tags,
-# nested_tags_two_level, set_ops_users — all untouched, r02 rows
-# current). Position 51+ otherwise holds ONLY r03-green queries
-# untouched since their row — no oracled query anywhere lacks a
-# current row.
+# entries of queries(), so ordering is part of the contract. Round-5
+# rotation (executing the plan round 4 wrote, which the round-4
+# verdict endorsed): first the one new certification
+# (api_pipeline_curate — the CurationPipeline facade chain), then
+# every query whose code round 5 touched (rows must postdate the
+# change: the NULL-identity oracle fix, the scratch-dir/table
+# threading fix shared by the roundtrip family, and the sha1 stream
+# sink names), then the five keepers whose newest rows were r02
+# (etl_row_range_select, join_ext_fallback, zero_shot_topk_tags,
+# nested_tags_two_level, set_ops_users — the round-4 verdict's ask
+# #3), then 35 of the 41 keepers whose newest rows are r03. Six r03
+# keepers stay at position 51+ because the head is full
+# (agg_decade_orders, etl_regex_extract_path, nested_roundtrip,
+# ml_frame_sample, text_token_bpe, text_fingerprint — all untouched
+# since their rows; lead the round-6 backfill with them). After this
+# round no oracled query's newest driver row is older than two
+# rounds.
 _DRIVER_ORDER: list[str] = [
     # -- oracled, no official driver row yet --
-    "dedup_chunks",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    "events_sessionize_stream",
-    "dedup_minhash_stream",
-    "etl_partitioned_roundtrip",
-    "etl_bucketed_roundtrip",
-    "api_engine_whole",
-    "api_engine_segment",
-    "api_engine_hybrid",
-    "api_engine_tags",
-    "dedup_incremental",
-    "text_quality_classifier",
-    "events_interval_join",
-    "events_interval_join_stream",
+    "api_pipeline_curate",
     # -- code touched this round (fresh rows must postdate) --
-    "dedup_ngram_jaccard",      # explode un-persisted, sizes map-only
-    "dedup_cluster_canonical",  # routes through ngram_jaccard_pairs too
-    "ml_multimodal_meta",       # shared decoded-meta artifact
-    "ml_resize_plan",           # shared decoded-meta artifact
-    "etl_csv_roundtrip",        # sha1 scratch dirs + build lock
+    "text_quality_classifier",   # oracle NULL-identity COALESCE
+    "etl_csv_roundtrip",         # scratch dirs keyed by (pid, thread)
+    "etl_partitioned_roundtrip",
+    "etl_bucketed_roundtrip",    # managed-table name + atexit drop
     "etl_json_feature_roundtrip",
     "ml_image_dir_scan",
-    "events_sessionize",        # registration refactor (shared oracle)
-    # -- 26 of the 31 keepers whose newest row was r02: refreshed to
-    #    r04 (the other five stay at 51+, named below — head is full) --
-    "q1_pricing_summary",
-    "vec_mean_per_label",
-    "join_tag_category",
-    "text_quality",
-    "events_tumbling_window",
-    "etl_sentinel_cleanse",
-    "agg_salted_group",
-    "text_lang_id",
-    "text_token_count",
-    "win_global_topk",
-    "etl_upsert_merge",
-    "ann_brute_force",
-    "agg_explode_count",
-    "agg_group_stats",
-    "agg_keyword_scan",
-    "win_topn_per_group",
-    "join_meta_counters",
-    "join_anti_customers",
-    "join_semi_allowlist",
-    "etl_safe_cast",
-    "agg_value_counts",
-    "agg_histogram_chars",
-    "agg_distinct_counts",
-    "agg_bool_flags",
-    "etl_multiformat_date",
-    "etl_prefix_split",
-    # etl_row_range_select / join_ext_fallback / zero_shot_topk_tags /
-    # nested_tags_two_level / set_ops_users stay at 51+ this round
-    # (head is full); their r02 rows remain current — code untouched
-    # since.
-    # -- touched round 4 as well (resident segment artifact) --
-    "ml_segment_portable",
+    "events_sessionize_stream",  # sha1 stream sink names
+    "dedup_minhash_stream",
+    "events_interval_join_stream",
+    # -- the five keepers riding r02 rows, promoted at last --
+    "etl_row_range_select",
+    "join_ext_fallback",
+    "zero_shot_topk_tags",
+    "nested_tags_two_level",
+    "set_ops_users",
+    # -- 35 of the 41 keepers whose newest rows are r03 --
+    "join_revenue_by_nation",
+    "etl_url_basename_join",
+    "knn_whole",
+    "knn_tag_filtered",
+    "knn_batch",
+    "knn_percentage",
+    "segment_search",
+    "segment_search_tag_filtered",
+    "hybrid_search",
+    "hybrid_search_tag_filtered",
+    "tag_search",
+    "tag_search_and",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_range_search",
+    "dedup_exact",
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "dedup_embedding_cosine",
+    "dedup_keep_best_per_source",
+    "text_redact_pii",
+    "text_contamination",
+    "text_gopher_rules",
+    "text_chunk_windows",
+    "text_unigram_logprob",
+    "text_pack_bins",
+    "etl_hash_split",
+    "etl_mixture_sample",
+    "etl_html_scrub",
+    "asof_join_clicks",
+    "events_hopping_window",
+    "agg_rollup_acctbal",
+    "ml_stub_text_embeddings_portable",
+    "ml_zero_shot_tags",
+    "sql_api_revenue",
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other

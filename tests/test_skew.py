@@ -199,3 +199,80 @@ def test_sketch_profile_bounds_vs_exact(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "sketch aggregation must stay one exchange (partial+final)"
     )
+
+
+def test_sketch_mergeability_across_splits(spark, tmp_path):
+    """The 100 TB story for sketch profiling is that per-partition
+    sketch STATE merges losslessly: profile each half of a corpus
+    independently, merge the sketches, and land within the same
+    tolerances as the whole-corpus sketch vs the exact twins.
+
+    Two merge proofs:
+    - HLL: explicit state-level merge — each hash-half aggregates to a
+      serialized DataSketches HLL per group (hll_sketch_agg), the
+      halves' binary sketches are union-merged (hll_union_agg), and
+      the merged estimate must match the whole-corpus exact distinct
+      within the 3-SE tolerance. This is literally the map-side
+      combine a 1000-executor aggregation performs.
+    - KLL-style quantiles (no exposed state in Spark): physical-split
+      merge — the halves are written as separate parquet trees, read
+      back as a two-file union so each half builds its own partial
+      sketch, and the final-merge quantile must stay within the ±2%%
+      rank tolerance of the exact order statistics.
+    """
+    import bisect
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "user_id", "value"
+    )
+    half_a = ev.filter(F.xxhash64("user_id", "value") % 2 == 0)
+    half_b = ev.filter(F.xxhash64("user_id", "value") % 2 != 0)
+
+    # --- HLL: materialize per-half sketches, merge the binary state
+    sk_a = half_a.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    sk_b = half_b.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_est"))
+    )
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    got = {r["event_type"]: r["nd_est"] for r in merged.collect()}
+    assert got.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(got[k] - e["nd"]) <= max(3, 0.15 * e["nd"]), (
+            k, got[k], e["nd"],
+        )
+
+    # --- KLL: separate parquet trees -> union scan -> one aggregation
+    pa, pb = str(tmp_path / "half_a"), str(tmp_path / "half_b")
+    half_a.write.parquet(pa)
+    half_b.write.parquet(pb)
+    both = spark.read.parquet(pa, pb)
+    prof = {
+        r["event_type"]: r
+        for r in both.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        )
+        .collect()
+    }
+    for k in exact:
+        vals = sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == k).collect()
+        )
+        n = len(vals)
+        for q, approx in ((0.5, prof[k]["p50"]), (0.95, prof[k]["p95"])):
+            rank = bisect.bisect_left(vals, approx) / max(n - 1, 1)
+            assert abs(rank - q) <= 0.02, (k, q, approx, rank)
