@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Measured scaling curve for the heaviest headline queries.
+
+SCALING.md argues O(N) per operator family; this tool MEASURES it.
+It synthesizes same-distribution documents/embeddings corpora
+(synth.py — counter-seeded, so the 1x corpus is literally the prefix
+of the 5x/10x corpora) at 1x = the sf0.1 row counts, 5x, and 10x,
+runs the most expensive documents/embeddings-only headline queries at
+each scale through the UNMODIFIED query registry (index cache off, so
+every write-time artifact is rebuilt inside the timing — the build is
+part of the scaling claim), and reports seconds plus the growth
+ratio vs the data ratio.
+
+A query is "linear-or-better" when time(10x)/time(1x) <= 10 with
+slack for fixed per-job overhead; super-linear growth is the red flag
+this report exists to catch (an accidental O(N^2) self-join, a
+broadcast that stopped being broadcast, a collapsed-partition sort).
+
+Results land in the "Measured scaling" section of SCALING.md.
+
+Usage: python tools/scaling_report.py [--scales 1,5,10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE_DOCS = 5000   # sf0.1 documents rows
+BASE_VECS = 2000   # sf0.1 embeddings rows
+OUT_BASE = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/dferp_scale")
+
+# The documents/embeddings-only subset of the expensive headline
+# queries (events-based queries are excluded: the synthetic dirs
+# carry only the two corpus tables).
+QUERIES = [
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "dedup_exact",
+    "dedup_incremental",
+    "text_contamination",
+    "text_gopher_rules",
+    "text_quality",
+    "text_chunk_windows",
+    "text_unigram_logprob",
+    "dedup_keep_best_per_source",
+    "ann_brute_force",
+    "api_pipeline_curate",
+]
+
+
+def ensure_fixture(spark, mult: int) -> str:
+    from data_feature_extraction_and_retrieval_pipeline_spark import synth
+
+    out = f"{OUT_BASE}/x{mult}"
+    marker = Path(out) / "_done"
+    if not marker.exists():
+        synth.write_synth_sf(
+            spark, out, n_docs=BASE_DOCS * mult, n_vecs=BASE_VECS * mult
+        )
+        marker.write_text("ok")
+    return out
+
+
+def main() -> None:
+    from data_feature_extraction_and_retrieval_pipeline_spark import (
+        caching,
+        queries as Q,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.session import (
+        get_spark,
+    )
+
+    scales = [1, 5, 10]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    spark = get_spark(app_name="scaling-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = Q.queries()
+
+    dirs = {m: ensure_fixture(spark, m) for m in scales}
+    results: dict[str, dict[int, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for m in scales:
+            sf_dir = dirs[m]
+            qs[name](spark, sf_dir).collect()  # warm: compile + JIT
+            caching.release()
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                caching.release()
+                best = dt if best is None else min(best, dt)
+            results[name][m] = round(best, 3)
+            print(f"{name} x{m}: {best:.3f}s", file=sys.stderr, flush=True)
+
+    hi = max(scales)
+    lines = [
+        "| query | " + " | ".join(f"x{m} s" for m in scales)
+        + f" | t(x{hi})/t(x1) | linear bound |",
+        "|---|" + "---|" * (len(scales) + 2),
+    ]
+    for name, r in results.items():
+        ratio = round(r[hi] / r[1], 2) if r[1] else float("inf")
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{r[m]}" for m in scales)
+            + f" | {ratio} | {hi} |"
+        )
+    print("\n".join(lines))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
