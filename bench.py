@@ -182,7 +182,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).collect()
-        caching.release()
+        caching.release(name)
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
@@ -190,9 +190,14 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             # intra-query persists (minhash shingles, hybrid phase-1)
-            # are scoped to one execution — drop them, untimed, so a
-            # long-lived session doesn't accumulate dead cache blocks
-            caching.release()
+            # are scoped to one execution — drop THIS query's frames,
+            # untimed, so no run reads a prior run's blocks and the
+            # session doesn't accumulate dead cache blocks. Scoped to
+            # the query (caching.scope) because each unpersist+
+            # re-persist recompiles that frame's InMemoryRelation —
+            # a full-ledger release here costs seconds per call once
+            # the deep curation-chain frames are in the ledger.
+            caching.release(name)
 
     sf = None
     tail = Path(SF_DIR.rstrip("/")).name

@@ -17,9 +17,32 @@ caches (``sources.readers``) untouched.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+# (frame, scope) pairs; scope is the registry name of the query whose
+# plan construction created the persist (None outside any scope)
+_LIVE: list[tuple[DataFrame, str | None]] = []
+
+# Thread-local because bench.py overlaps plan construction across a
+# small thread pool — each thread tags its own persists.
+_SCOPE = threading.local()
+
+
+@contextlib.contextmanager
+def scope(name: str):
+    """Tag every :func:`persist` inside the block with ``name`` (the
+    registry query being constructed), so a harness can later
+    :func:`release` just that query's intra-query caches instead of
+    round-tripping the whole ledger through the JVM cache manager."""
+    prev = getattr(_SCOPE, "name", None)
+    _SCOPE.name = name
+    try:
+        yield
+    finally:
+        _SCOPE.name = prev
 
 # Set by queries.enable_plan_cache: when prepared plans are live, a
 # released persist must be re-MARKED (Spark's cache manager keys the
@@ -34,35 +57,49 @@ RETAIN_ON_RELEASE = False
 def persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for later :func:`release`."""
     out = df.persist()
-    if out not in _LIVE:
-        _LIVE.append(out)
+    if all(out is not live for live, _ in _LIVE):
+        _LIVE.append((out, getattr(_SCOPE, "name", None)))
     return out
 
 
-def release() -> int:
-    """Drop the data blocks of every tracked intra-query cache.
+def release(only: str | None = None) -> int:
+    """Drop the data blocks of tracked intra-query caches.
 
     With ``RETAIN_ON_RELEASE`` (prepared-plan mode) the frames stay in
     the ledger re-marked for caching, so the next execution caches its
     intermediates again and the blocks are dropped again after it; the
     ledger is bounded by the number of prepared plans. Otherwise the
     ledger empties (one-shot harness runs). Returns the released count.
+
+    ``only`` restricts the pass to frames persisted under
+    :func:`scope` ``only`` — the harness calls ``release(name)`` after
+    executing query ``name`` so each release pays for that query's
+    frames, not the whole ledger. This matters in prepared-plan mode:
+    every unpersist+re-persist round-trips the JVM cache manager and
+    re-compiles the frame's InMemoryRelation physical plan, which for
+    deep chained plans (the CurationPipeline stages) costs seconds —
+    a full-ledger release after every timed run turned the bench loop
+    into minutes of cache-manager churn.
     """
-    n = len(_LIVE)
-    survivors: list[DataFrame] = []
-    for df in _LIVE:
+    n = 0
+    survivors: list[tuple[DataFrame, str | None]] = []
+    for df, sc in _LIVE:
         try:
             alive = df.sparkSession.sparkContext._jsc is not None
         except Exception:
             alive = False
         if not alive:
             continue  # dead session: drop the ledger entry entirely
+        if only is not None and sc != only:
+            survivors.append((df, sc))
+            continue
+        n += 1
         try:
             df.unpersist(blocking=False)
             if RETAIN_ON_RELEASE:
                 df.persist()
-                survivors.append(df)
+                survivors.append((df, sc))
         except Exception:
             pass
-    _LIVE[:] = survivors if RETAIN_ON_RELEASE else []
+    _LIVE[:] = survivors
     return n

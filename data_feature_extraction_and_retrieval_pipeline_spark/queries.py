@@ -137,8 +137,11 @@ def enable_plan_cache(enabled: bool = True) -> None:
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from . import caching
+
             if not _PLAN_CACHE_ON:
-                return fn(spark, sf_dir)
+                with caching.scope(name):
+                    return fn(spark, sf_dir)
             key = (id(spark), sf_dir.rstrip("/"), name)
             df = _PLAN_CACHE.get(key)
             if df is None:
@@ -153,7 +156,8 @@ def register(name: str, oracle: str | None = None):
                         alive = False
                     if not alive:
                         _PLAN_CACHE.pop(k, None)
-                df = fn(spark, sf_dir)
+                with caching.scope(name):
+                    df = fn(spark, sf_dir)
                 _PLAN_CACHE[key] = df
             return df.select("*")
 
