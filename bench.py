@@ -4,7 +4,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "cold_total": sec,
+     "oracle_total": sec, "oracle_n": K, "spark_oracled_total": sec,
+     "index_build_total": sec, "detail": "bench_detail.json", "sf": 0.1}
+
+The printed line is kept under the round driver's 2000-char output
+buffer; the per-query DuckDB oracle timings and per-artifact index
+build costs land in bench_detail.json next to this script.
 
 Each query is timed end-to-end (plan + execute + fetch) the same way
 the driver's correctness gate consumes it (collect of a small result).
@@ -248,29 +254,37 @@ def main() -> None:
     # resident during the timed region, and what the cold pass — which
     # DID build every one of them from scratch — cost end-to-end.
     resident = sorted(k[1] for k in indexes._INDEX_CACHE)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": cold_total,
-                "oracle_total": round(sum(oracle_timings.values()), 3),
-                "oracle_n": len(oracle_timings),
-                "oracle_queries": oracle_timings,
-                "spark_oracled_total": spark_oracled,
-                "resident_index_artifacts": resident,
-                # one-time from-scratch build cost of each resident
-                # artifact (indexes.py materializes + times them); the
-                # DuckDB denominator recomputes these inside every
-                # query, so the warm numbers' steady-state assumption
-                # is priced here explicitly
-                "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": cold_total,
+        "oracle_total": round(sum(oracle_timings.values()), 3),
+        "oracle_n": len(oracle_timings),
+        "oracle_queries": oracle_timings,
+        "spark_oracled_total": spark_oracled,
+        "resident_index_artifacts": resident,
+        # one-time from-scratch build cost of each resident
+        # artifact (indexes.py materializes + times them); the
+        # DuckDB denominator recomputes these inside each query, so
+        # the warm numbers' steady-state assumption is priced here
+        "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
+        "sf": sf,
+    }
+    # Full payload → a file (the per-query oracle timings and index
+    # build costs matter for grading but blow past the round driver's
+    # 2000-char output-tail buffer — BENCH_r03/r04 recorded
+    # parsed:null for exactly this reason); stdout gets ONE compact
+    # line that fits the buffer with margin.
+    with open(Path(__file__).resolve().parent / "bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = dict(detail)
+    for k in ("oracle_queries", "resident_index_artifacts", "index_build_s"):
+        del compact[k]
+    compact["index_build_total"] = round(sum(indexes.BUILD_SECONDS.values()), 3)
+    compact["detail"] = "bench_detail.json"
+    print(json.dumps(compact))
     spark.stop()
 
 
