@@ -296,6 +296,42 @@ def test_tracked_persists_release(spark):
     assert caching.release() == 0
 
 
+def test_scoped_release_targets_one_query(spark):
+    """bench.py's per-run release must pay only for the just-executed
+    query's persists: plan construction tags each persist with the
+    registry query under construction (caching.scope), release(name)
+    round-trips only that query's frames through the JVM cache
+    manager (retain mode re-arms them in place), and other scopes'
+    ledger entries survive untouched. Full-ledger releases after
+    every timed run re-compiled every deep-plan InMemoryRelation and
+    stalled the bench loop for minutes once the curation chain's
+    frames entered the ledger."""
+    from data_feature_extraction_and_retrieval_pipeline_spark import (
+        caching,
+        queries as Q,
+    )
+
+    caching.release()  # clean slate (retain mode off: ledger empties)
+    Q.enable_plan_cache(True)
+    try:
+        qs = Q.queries()
+        qs["dedup_minhash_lsh_portable"](spark, SF_DIR).collect()
+        qs["q1_pricing_summary"](spark, SF_DIR).collect()
+        scopes = {sc for _, sc in caching._LIVE}
+        assert "dedup_minhash_lsh_portable" in scopes
+        # a query with no intra-query persists has nothing to release
+        assert caching.release("q1_pricing_summary") == 0
+        # a scoped release touches only its own frames, and retain
+        # mode re-arms them in the ledger (size unchanged)
+        before = len(caching._LIVE)
+        n = caching.release("dedup_minhash_lsh_portable")
+        assert n >= 1
+        assert len(caching._LIVE) == before
+    finally:
+        Q.enable_plan_cache(False)
+        caching.release()
+
+
 def test_label_propagation_matches_union_find(spark, docs_with_dups):
     """The fixed-round min-label propagation must assign every node the
     true connected-component minimum (ground truth via union-find) —
