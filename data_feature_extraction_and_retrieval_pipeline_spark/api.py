@@ -14,6 +14,7 @@ Ingest validations mirror the service's upload constraints
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -329,17 +330,66 @@ class CurationPipeline:
     operators are the same oracle-certified ones the query registry
     exercises (operators/curation.py, operators/dedup.py,
     functions/text.py, sources/writers.py).
+
+    The dedup/decontaminate stages persist their input at the stage
+    boundary (multi-consumer plans). Those persists are registered in
+    a per-chain cache scope so a long-lived caller can drop them after
+    materializing the result — call :meth:`release`, or use the
+    pipeline as a context manager::
+
+        with CurationPipeline(docs) as p:
+            p.dedup_exact().chunks().write.parquet(out)
+        # all stage-boundary caches released here
+
+    A per-ingest-batch service that skips this leaks one corpus-sized
+    cache entry per dedup stage per batch. (Inside the query registry
+    the harness's own scoped release handles it instead.)
     """
 
+    _SEQ = 0
+    _SEQ_LOCK = threading.Lock()
+
     def __init__(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        _cache_scope: str | None = None,
     ):
         self.df = docs
         self.text_col = text_col
         self.id_col = id_col
+        if _cache_scope is None:
+            with CurationPipeline._SEQ_LOCK:
+                CurationPipeline._SEQ += 1
+                _cache_scope = f"_curation_pipeline_{CurationPipeline._SEQ}"
+        self._cache_scope = _cache_scope
 
     def _with(self, df: DataFrame) -> "CurationPipeline":
-        return CurationPipeline(df, self.text_col, self.id_col)
+        return CurationPipeline(
+            df, self.text_col, self.id_col, _cache_scope=self._cache_scope
+        )
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        # inside a harness scope (query registry / bench) the harness
+        # owns the release lifecycle — keep its tag; otherwise tag
+        # with the chain's own scope so release() can find the frames
+        if caching.current_scope() is not None:
+            return caching.persist(df)
+        with caching.scope(self._cache_scope):
+            return caching.persist(df)
+
+    def release(self) -> int:
+        """Drop the stage-boundary caches this chain registered
+        (clones made by the fluent steps share one scope, so one call
+        covers the whole chain). Returns the released count."""
+        return caching.release(only=self._cache_scope)
+
+    def __enter__(self) -> "CurationPipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     def redact(self) -> "CurationPipeline":
         """PII scrub in place (functions/text.py::redact_pii)."""
@@ -366,7 +416,7 @@ class CurationPipeline:
 
         # persist: the input feeds both the flagging pass and the
         # anti-join (see dedup_exact for the stage-boundary policy)
-        src = caching.persist(self.df)
+        src = self._persist(self.df)
         flagged = contamination_flags(
             src, benchmark, n=n, text_col=self.text_col, id_col=self.id_col
         )
@@ -386,7 +436,7 @@ class CurationPipeline:
         # back — persist at the stage boundary so the upstream chain's
         # lineage is not duplicated into each consumer (plan growth is
         # multiplicative across chained self-referencing stages)
-        src = caching.persist(self.df)
+        src = self._persist(self.df)
         keep = exact_dedup(src, text_col=self.text_col, id_col=self.id_col)
         return self._with(
             src.join(keep.select(self.id_col), self.id_col, "left_semi")
@@ -405,7 +455,7 @@ class CurationPipeline:
         # persist: the arriving batch feeds the key projection (twice,
         # via the broadcast collision probe) plus the survivor
         # semi-join (see dedup_exact for the stage-boundary policy)
-        src = caching.persist(self.df)
+        src = self._persist(self.df)
         return self._with(
             incremental_exact_filter(
                 src, corpus, text_col=self.text_col, id_col=self.id_col,
@@ -451,7 +501,7 @@ class CurationPipeline:
         # final anti-join (see dedup_exact for the boundary policy; at
         # cluster scale the banded frame would instead come from the
         # write-time index, but the input still has three consumers)
-        src = caching.persist(self.df)
+        src = self._persist(self.df)
         if portable:
             pairs = minhash_lsh_pairs_portable(
                 src, n=n, num_hashes=num_hashes or 8, bands=bands or 4,

@@ -44,6 +44,13 @@ def scope(name: str):
     finally:
         _SCOPE.name = prev
 
+
+def current_scope() -> str | None:
+    """The scope tag active on this thread, or None outside any
+    :func:`scope` block — lets a facade decide whether a harness
+    already owns the release lifecycle of its persists."""
+    return getattr(_SCOPE, "name", None)
+
 # Set by queries.enable_plan_cache: when prepared plans are live, a
 # released persist must be re-MARKED (Spark's cache manager keys the
 # marking on the logical plan; unpersist deregisters it, and the next

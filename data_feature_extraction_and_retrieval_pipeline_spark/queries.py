@@ -21,7 +21,9 @@ so scores agree bit-for-bit before rounding.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
+import re
 import threading
 
 from collections.abc import Callable
@@ -97,14 +99,55 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_scratch_dirs)
 
 
+# Per-thread token for scratch names. NOT threading.get_ident():
+# CPython recycles idents after a thread exits, so a later thread
+# could inherit a finished thread's ident and overwrite its scratch
+# dir while the read-back scan (which may run on yet another thread)
+# is mid-collect — the exact race the per-thread naming exists to
+# prevent. A monotonic counter is unique for the process lifetime.
+_THREAD_SEQ = itertools.count()
+_THREAD_TOKEN = threading.local()
+
+
+def _thread_token() -> int:
+    tok = getattr(_THREAD_TOKEN, "tok", None)
+    if tok is None:
+        tok = next(_THREAD_SEQ)  # C-level next: atomic under the GIL
+        _THREAD_TOKEN.tok = tok
+    return tok
+
+
+def _reap_orphans(base: str, stem: str) -> None:
+    """Remove ``{stem}_<pid>_<tok>`` dirs under ``base`` left by
+    CRASHED processes (atexit never ran). Names embed the creating
+    pid, so liveness is checkable; live processes' dirs are kept."""
+    import glob
+    import shutil
+
+    for path in glob.glob(os.path.join(base, f"{stem}_*_*")):
+        parts = os.path.basename(path)[len(stem) + 1:].split("_")
+        try:
+            pid = int(parts[0])
+        except (ValueError, IndexError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except Exception:
+            pass  # e.g. PermissionError: pid exists under another uid
+
+
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
     import tempfile
 
     digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"{prefix}_{digest}_{os.getpid()}_{threading.get_ident()}",
-    )
+    base = tempfile.gettempdir()
+    stem = f"{prefix}_{digest}"
+    _reap_orphans(base, stem)
+    d = os.path.join(base, f"{stem}_{os.getpid()}_{_thread_token()}")
     _SCRATCH_DIRS.add(d)
     return d
 
@@ -4709,20 +4752,21 @@ def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
-    # pid + thread id mirror _scratch_dir: a digest-only name would let
-    # a second harness process sharing the warehouse DROP/rmtree the
-    # table while this process's lazily-executed spark.table() read is
-    # mid-collect (and two in-process threads would overwrite each
+    # pid + thread token mirror _scratch_dir: a digest-only name would
+    # let a second harness process sharing the warehouse DROP/rmtree
+    # the table while this process's lazily-executed spark.table() read
+    # is mid-collect (and two in-process threads would overwrite each
     # other the same way). The table is dropped at interpreter exit via
-    # _SCRATCH_TABLES, so nothing accumulates in the warehouse.
-    table = (
-        f"dferp_bkt_rt_{digest}_{os.getpid()}_{threading.get_ident()}"
-    )
+    # _SCRATCH_TABLES; locations left by CRASHED processes (atexit
+    # never ran, and their unique names mean no later run rewrites
+    # them) are reclaimed by the dead-pid reap below.
+    table = f"dferp_bkt_rt_{digest}_{os.getpid()}_{_thread_token()}"
     with _SIDE_EFFECT_LOCK:
-        # a crashed previous run can leave an orphaned location that
-        # survives this session's in-memory catalog — saveAsTable then
-        # refuses the name (LOCATION_ALREADY_EXISTS). Drop both the
-        # catalog entry and any orphaned location before writing.
+        # saveAsTable refuses a name whose location survives in the
+        # warehouse (LOCATION_ALREADY_EXISTS) — possible within this
+        # process if the catalog entry was dropped without its files.
+        # Drop both, then reap crashed-process orphans under the same
+        # digest stem so the shared warehouse never accumulates.
         import shutil
 
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -4733,6 +4777,7 @@ def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
         loc = os.path.join(wh, table)
         shutil.rmtree(loc, ignore_errors=True)
+        _reap_orphans(wh, f"dferp_bkt_rt_{digest}")
         _SCRATCH_TABLES[table] = loc
         write_bucketed_table(
             docs, table, bucket_col="doc_id", num_buckets=8, sort_col="doc_id"
@@ -5367,9 +5412,20 @@ for _cte in (
     "inj", "gate", "docs2", "ptoks", "pkeys", "pbanded", "sh", "sizes",
     "pairs", "edges", "l1", "l2", "kept3",
 ):
-    _CURATE_ORACLE = _CURATE_ORACLE.replace(
-        f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1
+    # word-boundary match: a plain str.replace on "sh AS (" would hit
+    # the earlier "b_sh AS (" declaration and materialize the wrong
+    # (single-referenced) CTE while leaving the doubly-joined one
+    # re-inlined — silently undoing the 142 s -> 3.8 s fix above
+    _CURATE_ORACLE, _n = re.subn(
+        rf"(?<![\w]){_cte} AS \(",
+        f"{_cte} AS MATERIALIZED (",
+        _CURATE_ORACLE,
+        count=1,
     )
+    if _n != 1:
+        raise AssertionError(
+            f"curate oracle: CTE {_cte!r} not found for MATERIALIZED pin"
+        )
 
 
 @register("api_pipeline_curate", _CURATE_ORACLE)

@@ -450,3 +450,54 @@ def test_curation_pipeline_incremental_and_classifier_stages(spark):
     base_plan = base.df._jdf.queryExecution().executedPlan().toString()
     full_plan = p.df._jdf.queryExecution().executedPlan().toString()
     assert full_plan.count("Join") == base_plan.count("Join"), full_plan
+
+
+def test_curation_pipeline_release_scopes_and_drops_caches(spark):
+    """Direct (non-harness) facade use must not leak stage-boundary
+    caches: each chain's persists are tagged with a per-chain scope,
+    release() (or the context manager) drops exactly that chain's
+    frames, and an ambient harness scope still wins so bench's scoped
+    release keeps covering registry-driven runs."""
+    from data_feature_extraction_and_retrieval_pipeline_spark import caching
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+        CurationPipeline,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    before = len(caching._LIVE)
+    p1 = CurationPipeline(batch).dedup_incremental(corpus).dedup_exact()
+    # a fresh frame object: the persist ledger dedupes on frame
+    # identity, so sharing `batch` would fold p2's persist into p1's
+    p2 = CurationPipeline(batch.select("*")).dedup_exact()
+    p1.df.count(), p2.df.count()
+
+    mine1 = [sc for _, sc in caching._LIVE if sc == p1._cache_scope]
+    mine2 = [sc for _, sc in caching._LIVE if sc == p2._cache_scope]
+    # p1's two stages share ONE scope (clones inherit it), p2 has its own
+    assert len(mine1) == 2 and len(mine2) == 1
+    assert p1._cache_scope != p2._cache_scope
+
+    # release() drops only p1's frames; p2's survive until its release
+    assert p1.release() == 2
+    assert [sc for _, sc in caching._LIVE if sc == p1._cache_scope] == []
+    assert len([sc for _, sc in caching._LIVE if sc == p2._cache_scope]) == 1
+    assert p2.release() == 1
+    assert len(caching._LIVE) == before
+
+    # context manager releases on exit
+    with CurationPipeline(batch) as p3:
+        p3.dedup_exact().df.count()
+        assert any(sc == p3._cache_scope for _, sc in caching._LIVE)
+    assert not any(sc == p3._cache_scope for _, sc in caching._LIVE)
+
+    # ambient harness scope wins: the registry/bench release contract
+    with caching.scope("harness-query"):
+        p4 = CurationPipeline(batch).dedup_exact()
+    assert any(sc == "harness-query" for _, sc in caching._LIVE)
+    assert not any(sc == p4._cache_scope for _, sc in caching._LIVE)
+    assert caching.release(only="harness-query") == 1

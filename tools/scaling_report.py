@@ -77,8 +77,11 @@ def main() -> None:
     )
 
     scales = [1, 5, 10]
-    for a in sys.argv[1:]:
-        if a.startswith("--scales"):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--scales" and i + 1 < len(argv):
+            scales = [int(x) for x in argv[i + 1].split(",")]
+        elif a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     spark = get_spark(app_name="scaling-report")
@@ -103,18 +106,18 @@ def main() -> None:
             results[name][m] = round(best, 3)
             print(f"{name} x{m}: {best:.3f}s", file=sys.stderr, flush=True)
 
-    hi = max(scales)
+    hi, lo = max(scales), min(scales)
     lines = [
         "| query | " + " | ".join(f"x{m} s" for m in scales)
-        + f" | t(x{hi})/t(x1) | linear bound |",
+        + f" | t(x{hi})/t(x{lo}) | linear bound |",
         "|---|" + "---|" * (len(scales) + 2),
     ]
     for name, r in results.items():
-        ratio = round(r[hi] / r[1], 2) if r[1] else float("inf")
+        ratio = round(r[hi] / r[lo], 2) if r[lo] else float("inf")
         lines.append(
             f"| {name} | "
             + " | ".join(f"{r[m]}" for m in scales)
-            + f" | {ratio} | {hi} |"
+            + f" | {ratio} | {hi // lo} |"
         )
     print("\n".join(lines))
     print(json.dumps(results))
