@@ -104,6 +104,9 @@ HEADLINE = [
     # passes re-run the stage materializations but not pair mining —
     # the same steady-state convention as the write-time indexes.
     "api_pipeline_curate",
+    # round 5: small-file compaction maintenance (fragment -> byte-
+    # priced coalesce -> scan), certified via its parquet-side oracle
+    "etl_compact_roundtrip",
 ]
 
 

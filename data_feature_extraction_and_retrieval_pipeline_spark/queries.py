@@ -225,16 +225,17 @@ def register(name: str, oracle: str | None = None):
 # sink names), then the five keepers whose newest rows were r02
 # (etl_row_range_select, join_ext_fallback, zero_shot_topk_tags,
 # nested_tags_two_level, set_ops_users — the round-4 verdict's ask
-# #3), then 35 of the 41 keepers whose newest rows are r03. Six r03
+# #3), then 34 of the 41 keepers whose newest rows are r03. Seven r03
 # keepers stay at position 51+ because the head is full
 # (agg_decade_orders, etl_regex_extract_path, nested_roundtrip,
-# ml_frame_sample, text_token_bpe, text_fingerprint — all untouched
-# since their rows; lead the round-6 backfill with them). After this
-# round no oracled query's newest driver row is older than two
-# rounds.
+# ml_frame_sample, text_token_bpe, text_fingerprint, sql_api_revenue
+# — all untouched since their rows; lead the round-6 backfill with
+# them). After this round no oracled query's newest driver row is
+# older than two rounds.
 _DRIVER_ORDER: list[str] = [
     # -- oracled, no official driver row yet --
     "api_pipeline_curate",
+    "etl_compact_roundtrip",     # new in round 5 (compact_shards sink)
     # -- code touched this round (fresh rows must postdate) --
     "text_quality_classifier",   # oracle NULL-identity COALESCE
     "etl_csv_roundtrip",         # scratch dirs keyed by (pid, thread)
@@ -251,7 +252,7 @@ _DRIVER_ORDER: list[str] = [
     "zero_shot_topk_tags",
     "nested_tags_two_level",
     "set_ops_users",
-    # -- 35 of the 41 keepers whose newest rows are r03 --
+    # -- 34 of the 41 keepers whose newest rows are r03 --
     "join_revenue_by_nation",
     "etl_url_basename_join",
     "knn_whole",
@@ -286,7 +287,8 @@ _DRIVER_ORDER: list[str] = [
     "agg_rollup_acctbal",
     "ml_stub_text_embeddings_portable",
     "ml_zero_shot_tags",
-    "sql_api_revenue",
+    # sql_api_revenue displaced to 51+ by etl_compact_roundtrip — its
+    # r03 row stays valid (code untouched since)
 ]
 
 # Position 51+ (implicit middle of _ordered_names): every other
@@ -4833,6 +4835,46 @@ def etl_json_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "etl_compact_roundtrip",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def etl_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance certified end-to-end: documents fragmented
+    into an ingest-tail of tiny parquet shards (8 partitions ×
+    maxRecordsPerFile=64), compacted back to target-sized files by
+    sources/writers.py::compact_shards (byte-priced coalesce — narrow,
+    no shuffle), read back and re-aggregated with per-language content
+    fingerprint sums against the parquet-side oracle. Certifies the
+    whole fragment → compact → scan cycle loses or mangles no rows —
+    the maintenance pass every incrementally ingested 100 TB store
+    runs on its fresh partitions. The rebalance (AQE) variant of the
+    same sink is plan-pinned and value-checked in test_sources."""
+    from .sources.writers import compact_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    frag = _scratch_dir("dferp_cmp_in", sf_dir)
+    comp = _scratch_dir("dferp_cmp_out", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        # the ingest-tail shape: force many tiny files
+        docs.repartition(8).write.mode("overwrite").option(
+            "maxRecordsPerFile", 64
+        ).parquet(frag)
+        compact_shards(spark, frag, comp, target_file_bytes=64 << 20)
+    back = spark.read.parquet(comp)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
     )
 
 

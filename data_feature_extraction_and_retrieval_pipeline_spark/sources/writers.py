@@ -125,6 +125,78 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def compact_shards(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    rebalance: bool = False,
+) -> dict:
+    """Small-file compaction — table maintenance for incrementally
+    ingested stores (S7/S8 at steady state).
+
+    Streaming ingest and per-batch upserts leave a long tail of tiny
+    files; at 100 TB that tail dominates scan cost (a scheduler task
+    per file, broken columnar runs, metadata pressure). Compaction
+    rewrites a directory to ~``target_file_bytes`` files:
+
+    - default (``rebalance=False``): ``coalesce(n)`` with n computed
+      from the ACTUAL input byte size (Hadoop FileSystem listing, so
+      it prices the real on-disk footprint, not row counts). Coalesce
+      is narrow — each output task concatenates whole input files
+      with NO shuffle, which is the right cost model when the input
+      files are uniformly small (the ingest-tail case).
+    - ``rebalance=True``: AQE rebalance (``hint("rebalance")``) —
+      pays one shuffle but sizes every output file to the advisory
+      target even when inputs are skewed (a few huge files + a tail
+      of tiny ones). This is Spark's own OPTIMIZE-shaped path: AQE
+      splits oversized shuffle partitions and merges undersized ones
+      at runtime.
+
+    At 100 TB, run per partition directory (compact only partitions
+    the last ingest window touched) and swap the directory in under a
+    view or manifest — the rewrite is idempotent, so a failed run
+    leaves the source intact. Returns
+    ``{files_in, bytes_in, files_out, target_files}``.
+    """
+    import math
+
+    df = spark.read.format(fmt).load(in_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    files = df.inputFiles()
+    for uri in files:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / float(target_file_bytes)))
+    if rebalance:
+        prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(target_file_bytes),
+        )
+        try:
+            df.hint("rebalance").write.mode("overwrite").format(fmt).save(out_path)
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    else:
+        df.coalesce(n_out).write.mode("overwrite").format(fmt).save(out_path)
+    files_out = len(spark.read.format(fmt).load(out_path).inputFiles())
+    return {
+        "files_in": len(files),
+        "bytes_in": int(total),
+        "files_out": files_out,
+        "target_files": int(n_out),
+    }
+
+
 def upsert_parquet(
     existing: DataFrame,
     updates: DataFrame,

@@ -352,3 +352,133 @@ def test_portable_pq_encode_matches_python(spark, vecs):
                 sims.append(acc)
             codes.append(sims.index(max(sims)))
         assert got[i] == codes, (i, got[i], codes)
+
+
+# ---------------------------------------------------------------------
+# Round-5 additions: properties for the round-4/5 operators
+# ---------------------------------------------------------------------
+
+_WORDS = ["the", "of", "to", "Cat", "dog9", "x!!", "Aa", "42", "zq"]
+doc_text = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+)
+
+
+def _py_logit(text, weights=(-1.25, 2.5, 1.5, 0.875)):
+    import re
+
+    c = text if text is not None else ""
+    toks = [t for t in re.split(r"\s+", c.lower()) if t]
+    stop = {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that"}
+    length_sig = min(len(c) / 200.0, 1.0)
+    alpha = (
+        len(re.sub(r"[^A-Za-z ]", "", c)) / len(c) if len(c) > 0 else 0.0
+    )
+    stop_ratio = (
+        sum(1 for t in toks if t in stop) / len(toks) if toks else 0.0
+    )
+    stop_sig = min(stop_ratio * 10.0, 1.0)
+    w0, w1, w2, w3 = weights
+    return w0 + w1 * length_sig + w2 * alpha + w3 * stop_sig
+
+
+@given(st.lists(doc_text, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_quality_classifier_matches_python(spark, texts):
+    """The linear gate's logit equals the same left-to-right float
+    expression in plain Python (identical op order => identical IEEE
+    result), NULL text scores as empty text, and keep is consistent
+    with the logit/threshold."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.curation import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in quality_classifier(df, threshold=1.0).collect()
+    }
+    for i, t in enumerate(texts):
+        want = round(_py_logit(t), 6)
+        assert abs(got[i][0] - want) <= 1e-9, (t, got[i][0], want)
+        assert got[i][1] == (got[i][0] >= 1.0)
+
+
+@given(
+    st.lists(doc_text, min_size=1, max_size=8),
+    st.lists(doc_text, min_size=0, max_size=8),
+    st.booleans(),
+)
+@settings(**SETTINGS)
+def test_incremental_exact_filter_matches_python(spark, batch, corpus, portable):
+    """Batch-vs-corpus dedup drops exactly the arrivals whose content
+    identity exists in the corpus, where NULL ≡ NULL and NULL ≢ ''
+    (the exact_dedup agreement contract) — on both the xxhash and the
+    portable fingerprint paths."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        incremental_exact_filter,
+    )
+
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id: long, text: string"
+    )
+    cdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus)],
+        "doc_id: long, text: string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_exact_filter(
+            bdf, cdf, portable=portable
+        ).collect()
+    )
+    seen = {(t is None, t or "") for t in corpus}
+    want = sorted(
+        i for i, t in enumerate(batch) if (t is None, t or "") not in seen
+    )
+    assert got == want, (batch, corpus, got, want)
+
+
+ts_int = st.integers(min_value=0, max_value=40)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), ts_int), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), ts_int), min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_python(spark, left_rows, right_rows):
+    """interval_join emits exactly the same-key pairs whose right ts
+    falls in [lts - lower, lts + upper] — ALL in-window matches, the
+    nested-loop reference computed row-by-row in Python."""
+    from datetime import datetime, timedelta
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        interval_join,
+    )
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s)) for k, s in left_rows],
+        "user_id: int, ts: timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s)) for k, s in right_rows],
+        "user_id: int, ts: timestamp",
+    )
+    got = sorted(
+        (r["user_id"], r["lts"], r["rts"])
+        for r in interval_join(
+            ldf, rdf, key="user_id", lower_seconds=5, upper_seconds=3
+        ).collect()
+    )
+    want = sorted(
+        (lk, base + timedelta(seconds=ls), base + timedelta(seconds=rs))
+        for lk, ls in left_rows
+        for rk, rs in right_rows
+        if lk == rk and ls - 5 <= rs <= ls + 3
+    )
+    assert got == want, (left_rows, right_rows)

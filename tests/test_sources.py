@@ -153,3 +153,67 @@ def test_write_sharded_jsonl(spark, tmp_path):
         assert len(lines) <= 10  # the per-file bound
         ids |= {r["doc_id"] for r in lines}
     assert ids == set(range(100))
+
+
+def test_compact_shards_coalesce_and_rebalance(spark, tmp_path):
+    """Small-file compaction: the byte-priced coalesce path merges an
+    ingest-tail of tiny files into the computed target count WITHOUT a
+    shuffle (Coalesce, no Exchange, in the plan), the AQE rebalance
+    path reaches the same data through its one shuffle, and neither
+    loses or mangles rows."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+        compact_shards,
+    )
+
+    df = spark.range(0, 2000, 1, 16).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    frag = str(tmp_path / "frag")
+    df.write.option("maxRecordsPerFile", 50).parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    stats = compact_shards(spark, frag, out, target_file_bytes=64 << 20)
+    assert stats["files_in"] >= 16  # the fragmentation really happened
+    assert stats["files_out"] == stats["target_files"] == 1
+    assert stats["bytes_in"] > 0
+
+    # no shuffle on the coalesce path: the compaction plan is narrow
+    plan = (
+        spark.read.parquet(frag)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Coalesce" in plan and "Exchange" not in plan
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert (
+        back.agg(F.sum(F.crc32("text")).alias("s")).first()["s"]
+        == df.agg(F.sum(F.crc32("text")).alias("s")).first()["s"]
+    )
+
+    # rebalance variant: one AQE shuffle, same data, and the advisory
+    # size conf is restored afterwards
+    prev = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+    )
+    out2 = str(tmp_path / "rebalanced")
+    stats2 = compact_shards(
+        spark, frag, out2, target_file_bytes=64 << 20, rebalance=True
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+        )
+        == prev
+    )
+    back2 = spark.read.parquet(out2)
+    assert back2.count() == 2000
+    assert stats2["files_out"] <= stats["files_in"]
+    assert (
+        back2.agg(F.sum(F.crc32("text")).alias("s")).first()["s"]
+        == df.agg(F.sum(F.crc32("text")).alias("s")).first()["s"]
+    )
