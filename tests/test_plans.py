@@ -245,3 +245,70 @@ def test_curation_map_chain_stays_fused(spark):
     assert "Exchange" not in text, f"map chain must stay fused:\n{text}"
     assert "Join" not in text, f"map chain must not join:\n{text}"
     assert "InMemoryTableScan" not in text
+
+
+def test_runtime_bloom_filter_prunes_keeplist_semi_join(spark, tmp_path):
+    """The 100 TB regime for the keep-list joins (dedup survivors,
+    decontamination drop-lists, allow-lists) once the list outgrows a
+    broadcast: Spark's runtime bloom filter builds a compact filter
+    from the selective creation side and prunes the corpus BEFORE its
+    shuffle. Default thresholds (creation side < 10 MB, application
+    scan > 10 GB) are exactly that shape, so production needs no conf
+    at all — here the app-side threshold is lowered only to make the
+    regime reproducible at test size. Pins injection (bloom_filter_agg
+    on the keep-list side) and that the filter never changes results."""
+    fact = spark.range(0, 50000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    dim = spark.range(0, 50000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("grp")
+    )
+    fact.write.parquet(str(tmp_path / "fact"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    keep = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("grp") == 0
+    ).select("doc_id")
+
+    def semi():
+        return f.join(keep, "doc_id", "left_semi")
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        # the non-broadcastable-keep-list regime
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = semi()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        with_bloom = sorted(r["doc_id"] for r in j.collect())
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        try:
+            j2 = semi()
+            assert "bloom_filter_agg" not in (
+                j2._jdf.queryExecution().optimizedPlan().toString()
+            )
+            assert sorted(r["doc_id"] for r in j2.collect()) == with_bloom
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_thr,
+        )
