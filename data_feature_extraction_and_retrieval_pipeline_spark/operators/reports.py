@@ -79,3 +79,163 @@ def dataset_report(
             .orderBy("label")
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Long-format report assembly — every member flattened to one
+# (section, key, value) frame so the WHOLE bundle is a single
+# DataFrame (and therefore a single driver-certifiable query). Each
+# member stays an independent aggregate job over the shared scans;
+# at 100 TB run them against a persisted projection of the few
+# report columns, not the raw table.
+# ---------------------------------------------------------------------------
+
+
+def _kv(df: DataFrame, section: str, key: F.Column, value: F.Column) -> DataFrame:
+    """One report member → (section, key, value DOUBLE) rows."""
+    return df.select(
+        F.lit(section).alias("section"),
+        key.cast("string").alias("key"),
+        F.round(value.cast("double"), 6).alias("value"),
+    )
+
+
+def _unpivot(
+    df: DataFrame, section: str, metrics: list[str], key_prefix: F.Column | None = None
+) -> DataFrame:
+    """Unpivot metric columns of a stats frame into (section, key,
+    value) rows; key = ``<prefix>:<metric>`` (or bare metric for a
+    single-row summary frame)."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"), F.col(m).cast("double").alias("v")
+                )
+                for m in metrics
+            ]
+        )
+    ).alias("p")
+    if key_prefix is None:
+        out = df.select(pairs).select(
+            F.lit(section).alias("section"),
+            F.col("p.m").alias("key"),
+            F.round("p.v", 6).alias("value"),
+        )
+    else:
+        out = df.select(key_prefix.alias("kp"), pairs).select(
+            F.lit(section).alias("section"),
+            F.concat(F.col("kp"), F.lit(":"), F.col("p.m")).alias("key"),
+            F.round("p.v", 6).alias("value"),
+        )
+    return out
+
+
+def dataset_report_long(
+    documents: DataFrame, events: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """The full `dataset_report` bundle as ONE long frame — the
+    driver-certifiable form (analyze_dataset_distribution.py's report
+    set emitted as section/key/value rows). NULL group keys are made
+    explicit ('<null>') so the key column never drops rows on a join
+    or concat (NULL-identity discipline)."""
+    r = dataset_report(documents, events, embeddings)
+    nn = lambda c: F.coalesce(F.col(c), F.lit("<null>"))  # noqa: E731
+    parts = [
+        _kv(r["source_counts"], "source_counts", nn("source"), F.col("count")),
+        _kv(r["lang_counts"], "lang_counts", nn("lang"), F.col("count")),
+        _kv(r["token_leaderboard"], "token_leaderboard", F.col("value"), F.col("count")),
+        _kv(
+            r["length_histogram"],
+            "length_histogram",
+            F.col("bin").cast("long").cast("string"),
+            F.col("count"),
+        ),
+        _unpivot(
+            r["length_stats_by_lang"],
+            "length_stats_by_lang",
+            ["n", "mean", "median", "min", "max"],
+            key_prefix=nn("lang"),
+        ),
+        _unpivot(r["distinct_counters"], "distinct_counters", ["n_sources", "n_langs", "n_docs"]),
+        _kv(
+            r["coverage_split"],
+            "coverage_split",
+            F.when(F.col("has_long_text"), F.lit("long")).otherwise(F.lit("short")),
+            F.col("count"),
+        ),
+        _kv(r["event_type_counts"], "event_type_counts", nn("event_type"), F.col("count")),
+        _unpivot(
+            r["events_per_user_stats"],
+            "events_per_user_stats",
+            ["n_users", "mean_events", "min_events", "max_events"],
+        ),
+        _unpivot(
+            r["label_vector_stats"],
+            "label_vector_stats",
+            ["n_vectors", "mean_norm"],
+            key_prefix=F.concat(F.lit("label_"), F.col("label").cast("string")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def segment_stats_long(segments: DataFrame, tag_counts: DataFrame) -> DataFrame:
+    """Segment-corpus statistics (visualize_segmented_tags.py:266-277,
+    SAM/test_sam_inference.py:151-155): segments-per-image histogram +
+    summary, and the tags-per-item histogram over a per-item tag-count
+    frame (``item_id``, ``n_tags`` — zero-tag items included, the
+    ``len([]) == 0`` bucket the reference's value_counts reports).
+
+    ``segments``: (filename, segment_area, ...) one row per segment.
+    """
+    per_image = segments.groupBy("filename").agg(
+        F.count("*").alias("n_segments")
+    )
+    parts = [
+        _kv(
+            per_image.groupBy("n_segments").agg(F.count("*").alias("n_images")),
+            "segments_per_image",
+            F.col("n_segments").cast("string"),
+            F.col("n_images"),
+        ),
+        _unpivot(
+            per_image.agg(
+                F.count("*").cast("double").alias("n_images"),
+                F.sum("n_segments").cast("double").alias("n_segments"),
+                F.avg("n_segments").alias("avg_segments_per_image"),
+            ),
+            "segment_summary",
+            ["n_images", "n_segments", "avg_segments_per_image"],
+        ),
+        _unpivot(
+            segments.agg(
+                F.avg("segment_area").alias("mean_area"),
+                F.min("segment_area").cast("double").alias("min_area"),
+                F.max("segment_area").cast("double").alias("max_area"),
+            ),
+            "area_summary",
+            ["mean_area", "min_area", "max_area"],
+        ),
+        _kv(
+            tag_counts.groupBy("n_tags").agg(F.count("*").alias("n_items")),
+            "tags_per_item",
+            F.col("n_tags").cast("string"),
+            F.col("n_items"),
+        ),
+        _unpivot(
+            tag_counts.agg(
+                F.count("*").cast("double").alias("n_items"),
+                F.avg("n_tags").alias("avg_tags_per_item"),
+            ),
+            "tag_summary",
+            ["n_items", "avg_tags_per_item"],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -39,6 +39,7 @@ from .operators import (
     dedup,
     etl,
     multimodal,
+    reports,
     retrieval,
     similarity,
     temporal,
@@ -215,106 +216,83 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-5
-# rotation (executing the plan round 4 wrote, which the round-4
-# verdict endorsed): first the one new certification
-# (api_pipeline_curate — the CurationPipeline facade chain), then
-# every query whose code round 5 touched (rows must postdate the
-# change: the NULL-identity oracle fix, the scratch-dir/table
-# threading fix shared by the roundtrip family, and the sha1 stream
-# sink names), then the five keepers whose newest rows were r02
-# (etl_row_range_select, join_ext_fallback, zero_shot_topk_tags,
-# nested_tags_two_level, set_ops_users — the round-4 verdict's ask
-# #3), then 34 of the 41 keepers whose newest rows are r03. Seven r03
-# keepers stay at position 51+ because the head is full
-# (agg_decade_orders, etl_regex_extract_path, nested_roundtrip,
-# ml_frame_sample, text_token_bpe, text_fingerprint, sql_api_revenue
-# — all untouched since their rows; lead the round-6 backfill with
-# them). After this round no oracled query's newest driver row is
-# older than two rounds.
+# entries of queries(), so ordering is part of the contract. Round-6
+# rotation (executing the round-5 verdict's plan): the two new report
+# bundles, then the EIGHT rows-only entries that have never carried a
+# driver row in any round (the verdict's top ask — rows-only rows are
+# cheap, and after this round every registry entry has at least one
+# CORRECTNESS row), then every query whose code round 6 touches
+# (segstub factoring, curate checkpoint trim, writers conf-round-trip
+# lock, scratch-reaper scoping shared by the roundtrip family, api.py
+# shared-file edits), then the seven keepers whose newest rows are
+# r03, then 21 of the r04 keepers. The remaining 16 r04 keepers and
+# the r05-green keepers ride their untouched rows at position 51+.
+# The full query → newest-row / witness-floor table is generated into
+# COVERAGE.md by tools/freshness_report.py and asserted current by
+# tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- oracled, no official driver row yet --
-    "api_pipeline_curate",
-    "etl_compact_roundtrip",     # new in round 5 (compact_shards sink)
+    # -- new this round (no row yet) --
+    "report_dataset",
+    "report_segment_stats",
+    # -- rows-only entries: first driver rows ever --
+    "ann_pq",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ml_kmeans_clusters",
+    "ml_stub_text_embeddings",
+    "ml_segment_pipeline",
+    "ml_ingest_pipeline",
+    "agg_sketch_profile",
     # -- code touched this round (fresh rows must postdate) --
-    "text_quality_classifier",   # oracle NULL-identity COALESCE
-    "etl_csv_roundtrip",         # scratch dirs keyed by (pid, thread)
+    "ml_segment_portable",       # _segstub factoring (shared w/ report)
+    "api_pipeline_curate",       # checkpoint-cost trim
+    "etl_compact_roundtrip",     # advisory-size conf round-trip lock
+    "etl_csv_roundtrip",         # scratch-reaper scoping
     "etl_partitioned_roundtrip",
-    "etl_bucketed_roundtrip",    # managed-table name + atexit drop
+    "etl_bucketed_roundtrip",
     "etl_json_feature_roundtrip",
     "ml_image_dir_scan",
-    "events_sessionize_stream",  # sha1 stream sink names
-    "dedup_minhash_stream",
-    "events_interval_join_stream",
-    # -- the five keepers riding r02 rows, promoted at last --
-    "etl_row_range_select",
-    "join_ext_fallback",
-    "zero_shot_topk_tags",
-    "nested_tags_two_level",
-    "set_ops_users",
-    # -- 34 of the 41 keepers whose newest rows are r03 --
-    "join_revenue_by_nation",
-    "etl_url_basename_join",
-    "knn_whole",
-    "knn_tag_filtered",
-    "knn_batch",
-    "knn_percentage",
-    "segment_search",
-    "segment_search_tag_filtered",
-    "hybrid_search",
-    "hybrid_search_tag_filtered",
-    "tag_search",
-    "tag_search_and",
-    "ann_ivf",
-    "ann_lsh",
-    "ann_range_search",
-    "dedup_exact",
-    "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable",
-    "dedup_embedding_cosine",
-    "dedup_keep_best_per_source",
-    "text_redact_pii",
-    "text_contamination",
-    "text_gopher_rules",
-    "text_chunk_windows",
-    "text_unigram_logprob",
-    "text_pack_bins",
-    "etl_hash_split",
-    "etl_mixture_sample",
-    "etl_html_scrub",
-    "asof_join_clicks",
-    "events_hopping_window",
-    "agg_rollup_acctbal",
-    "ml_stub_text_embeddings_portable",
-    "ml_zero_shot_tags",
-    # sql_api_revenue displaced to 51+ by etl_compact_roundtrip — its
-    # r03 row stays valid (code untouched since)
+    "api_engine_whole",          # api.py shared-file edits
+    "api_engine_segment",
+    "api_engine_hybrid",
+    "api_engine_tags",
+    # -- the seven keepers riding r03 rows --
+    "sql_api_revenue",
+    "agg_decade_orders",
+    "etl_regex_extract_path",
+    "text_fingerprint",
+    "nested_roundtrip",
+    "text_token_bpe",
+    "ml_frame_sample",
+    # -- 21 of the 37 untouched keepers whose newest rows are r04 --
+    "ml_multimodal_meta",
+    "ml_resize_plan",
+    "q1_pricing_summary",
+    "agg_value_counts",
+    "agg_explode_count",
+    "agg_histogram_chars",
+    "agg_group_stats",
+    "agg_distinct_counts",
+    "agg_bool_flags",
+    "win_topn_per_group",
+    "win_global_topk",
+    "join_meta_counters",
+    "join_semi_allowlist",
+    "join_anti_customers",
+    "etl_sentinel_cleanse",
+    "etl_safe_cast",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "vec_mean_per_label",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
 ]
 
-# Position 51+ (implicit middle of _ordered_names): every other
-# oracled query is green in the newest round that touched it and
-# semantically untouched since — r03 rows for the bulk
-# (sql_api_revenue, the knn/tag-filtered retrieval variants, the
-# curation suite, ann_ivf/ann_lsh/ann_range_search, dedup_exact,
-# dedup_embedding_cosine, the window/join/agg families,
-# dedup_minhash_lsh_portable / dedup_simhash_portable /
-# ml_stub_text_embeddings_portable, hybrid_search / segment_search /
-# knn_whole / tag_search displaced from the head by the round-4
-# additions), and five r02 rows (etl_row_range_select,
-# join_ext_fallback, zero_shot_topk_tags, nested_tags_two_level,
-# set_ops_users). union(r02, r03, r04) covers every oracled query
-# with zero gaps.
-
-# Round-5 rotation plan (assuming r04 certifies the current head):
-# promote into the head any position-51+ query whose code changes in
-# round 5, plus — if slots allow — the position-51+ queries whose
-# newest row is oldest (after this round those are the r03-green
-# middle entries). Keep the union invariant: every oracled query has
-# a green row from the latest round that touched it.
-#
 # Genuinely non-oracle-able entries only — each with its certified
 # twin (same plan body, portable arithmetic) or its impossibility
 # reason. Full mapping in COVERAGE.md "Rows-only registry tail".
+# Members MAY also appear in _DRIVER_ORDER (they do in round 6, to
+# collect their first rows-only driver rows); _ordered_names dedupes.
 #
 #   ann_pq                  numpy-trained float codebooks are fp-order-
 #                           sensitive; the serving ADC scan + IVF-PQ
@@ -351,12 +329,139 @@ _ROWS_ONLY_TAIL: list[str] = [
     "agg_sketch_profile",
 ]
 
+# Witness floor: the earliest driver round whose CORRECTNESS row is
+# acceptable evidence for each query's CURRENT code — i.e. the round
+# of the query's last semantic change (or, for never-rowed entries,
+# the round that first demands a row). The rotation invariant the
+# driver head implements is machine-checked from this map by
+# tests/test_driver_contract.py::test_freshness_invariants:
+#   touched >= next round  → the query MUST sit in the 50-slot head;
+#   otherwise              → some CORRECTNESS_r{N}.json with
+#                            N >= touched must hold a green row.
+# Update the entry whenever a change alters a query's plan or values;
+# leave it alone for non-semantic edits (comments, formatting).
+_TOUCHED: dict[str, int] = {
+    # round 6: new queries, the rows-only first-witness set, and the
+    # queries whose code round 6 touches
+    "report_dataset": 6,
+    "report_segment_stats": 6,
+    "ann_pq": 6,
+    "dedup_minhash_lsh": 6,
+    "dedup_simhash": 6,
+    "ml_kmeans_clusters": 6,
+    "ml_stub_text_embeddings": 6,
+    "ml_segment_pipeline": 6,
+    "ml_ingest_pipeline": 6,
+    "agg_sketch_profile": 6,
+    "ml_segment_portable": 6,
+    "api_pipeline_curate": 6,
+    "etl_compact_roundtrip": 6,
+    "etl_csv_roundtrip": 6,
+    "etl_partitioned_roundtrip": 6,
+    "etl_bucketed_roundtrip": 6,
+    "etl_json_feature_roundtrip": 6,
+    "ml_image_dir_scan": 6,
+    "api_engine_whole": 6,
+    "api_engine_segment": 6,
+    "api_engine_hybrid": 6,
+    "api_engine_tags": 6,
+    # round 5: the NULL-identity oracle fix and stream sink names
+    "text_quality_classifier": 5,
+    "events_sessionize_stream": 5,
+    "dedup_minhash_stream": 5,
+    "events_interval_join_stream": 5,
+    # rounds ≤4: last semantic change per the per-round head notes
+    # (keepers refreshed later without code changes keep older floors)
+    "etl_row_range_select": 2,
+    "join_ext_fallback": 2,
+    "zero_shot_topk_tags": 2,
+    "nested_tags_two_level": 2,
+    "set_ops_users": 2,
+    "sql_api_revenue": 3,
+    "agg_decade_orders": 3,
+    "etl_regex_extract_path": 3,
+    "text_fingerprint": 3,
+    "nested_roundtrip": 3,
+    "text_token_bpe": 3,
+    "ml_frame_sample": 3,
+    "join_revenue_by_nation": 3,
+    "etl_url_basename_join": 3,
+    "knn_whole": 3,
+    "knn_tag_filtered": 3,
+    "knn_batch": 3,
+    "knn_percentage": 3,
+    "segment_search": 3,
+    "segment_search_tag_filtered": 3,
+    "hybrid_search": 3,
+    "hybrid_search_tag_filtered": 3,
+    "tag_search": 3,
+    "tag_search_and": 3,
+    "ann_ivf": 3,
+    "ann_lsh": 3,
+    "ann_range_search": 3,
+    "dedup_exact": 3,
+    "dedup_minhash_lsh_portable": 3,
+    "dedup_simhash_portable": 3,
+    "dedup_embedding_cosine": 3,
+    "dedup_keep_best_per_source": 3,
+    "text_redact_pii": 3,
+    "text_contamination": 3,
+    "text_gopher_rules": 3,
+    "text_chunk_windows": 3,
+    "text_unigram_logprob": 3,
+    "text_pack_bins": 3,
+    "etl_hash_split": 3,
+    "etl_mixture_sample": 3,
+    "etl_html_scrub": 3,
+    "asof_join_clicks": 3,
+    "events_hopping_window": 3,
+    "agg_rollup_acctbal": 3,
+    "ml_stub_text_embeddings_portable": 3,
+    "ml_zero_shot_tags": 3,
+    "q1_pricing_summary": 4,
+    "agg_value_counts": 4,
+    "agg_explode_count": 4,
+    "agg_histogram_chars": 4,
+    "agg_group_stats": 4,
+    "agg_distinct_counts": 4,
+    "agg_bool_flags": 4,
+    "win_topn_per_group": 4,
+    "win_global_topk": 4,
+    "join_meta_counters": 4,
+    "join_semi_allowlist": 4,
+    "join_anti_customers": 4,
+    "etl_sentinel_cleanse": 4,
+    "etl_safe_cast": 4,
+    "etl_multiformat_date": 4,
+    "etl_prefix_split": 4,
+    "vec_mean_per_label": 4,
+    "ann_pq_portable": 4,
+    "ann_ivfpq_portable": 4,
+    "ann_brute_force": 4,
+    "dedup_ngram_jaccard": 4,
+    "dedup_cluster_canonical": 4,
+    "text_quality": 4,
+    "text_lang_id": 4,
+    "text_token_count": 4,
+    "events_sessionize": 4,
+    "join_tag_category": 4,
+    "ml_multimodal_meta": 4,
+    "ml_resize_plan": 4,
+    "agg_salted_group": 4,
+    "etl_upsert_merge": 4,
+    "agg_keyword_scan": 4,
+    "events_tumbling_window": 4,
+    "dedup_chunks": 4,
+    "dedup_incremental": 4,
+    "events_interval_join": 4,
+}
+
 
 def _ordered_names() -> list[str]:
     head = [n for n in _DRIVER_ORDER if n in _QUERIES]
     seen = set(head) | set(_ROWS_ONLY_TAIL)
     mid = [n for n in _QUERIES if n not in seen]
-    tail = [n for n in _ROWS_ONLY_TAIL if n in _QUERIES]
+    tail = [n for n in _ROWS_ONLY_TAIL if n in _QUERIES and n not in head]
     return head + mid + tail
 
 
@@ -4051,6 +4156,13 @@ def ml_segment_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays on the rows-only twin (ml_segment_pipeline). Equal areas
     may swap ranks between engines, but tied rows are identical, so
     the value-hash is stable."""
+    return _segstub(spark, sf_dir)
+
+
+def _segstub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared portable segment corpus (filename, segment_id,
+    segment_area, crop_bytes) — the plan body both ml_segment_portable
+    and report_segment_stats certify against one sha256-replay CTE."""
     def _build() -> DataFrame:
         # stub kernel ≈ free per row → fewer, fatter Arrow batches (see
         # ml_multimodal_meta); a real SAM pass wants the full scan width
@@ -5575,6 +5687,208 @@ def api_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "chunk_fp",
     )
+
+
+# =====================================================================
+# Analytics report bundles (SURVEY.md §7 M7 — the reference's batch
+# analytics jobs, driver-certified as single long-format frames)
+# =====================================================================
+
+
+@register(
+    "report_dataset",
+    r"""
+    WITH tok AS (
+        SELECT value, COUNT(*) AS count FROM (
+            SELECT UNNEST(string_split_regex(LOWER(text), '\s+')) AS value
+            FROM documents
+        )
+        WHERE LENGTH(value) > 0
+        GROUP BY value ORDER BY count DESC, value LIMIT 30
+    ),
+    ls AS (
+        SELECT COALESCE(lang, '<null>') AS lang,
+               COUNT(*)::DOUBLE AS n,
+               AVG(n_chars) AS mean,
+               quantile_cont(n_chars, 0.5) AS median,
+               MIN(n_chars)::DOUBLE AS mn,
+               MAX(n_chars)::DOUBLE AS mx
+        FROM documents GROUP BY 1
+    ),
+    eu AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    lv AS (
+        SELECT label,
+               COUNT(*)::DOUBLE AS n_vectors,
+               AVG(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))) AS mean_norm
+        FROM embeddings GROUP BY label
+    )
+    SELECT 'source_counts' AS section, COALESCE(source, '<null>') AS key,
+           ROUND(COUNT(*)::DOUBLE, 6) AS value
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'lang_counts', COALESCE(lang, '<null>'), ROUND(COUNT(*)::DOUBLE, 6)
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'token_leaderboard', value, ROUND(count::DOUBLE, 6) FROM tok
+    UNION ALL
+    SELECT 'length_histogram',
+           CAST(CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS VARCHAR),
+           ROUND(COUNT(*)::DOUBLE, 6)
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY 2
+    UNION ALL SELECT 'length_stats_by_lang', lang || ':n', ROUND(n, 6) FROM ls
+    UNION ALL SELECT 'length_stats_by_lang', lang || ':mean', ROUND(mean, 6) FROM ls
+    UNION ALL SELECT 'length_stats_by_lang', lang || ':median', ROUND(median, 6) FROM ls
+    UNION ALL SELECT 'length_stats_by_lang', lang || ':min', ROUND(mn, 6) FROM ls
+    UNION ALL SELECT 'length_stats_by_lang', lang || ':max', ROUND(mx, 6) FROM ls
+    UNION ALL
+    SELECT 'distinct_counters', m.key, ROUND(m.value, 6) FROM (
+        SELECT COUNT(DISTINCT source)::DOUBLE AS s,
+               COUNT(DISTINCT lang)::DOUBLE AS l,
+               COUNT(*)::DOUBLE AS d
+        FROM documents
+    ) t, (VALUES ('n_sources'), ('n_langs'), ('n_docs')) dummy(nm),
+    LATERAL (SELECT nm AS key,
+                    CASE nm WHEN 'n_sources' THEN t.s
+                            WHEN 'n_langs' THEN t.l
+                            ELSE t.d END AS value) m
+    UNION ALL
+    SELECT 'coverage_split',
+           CASE WHEN n_chars >= 100 THEN 'long' ELSE 'short' END,
+           ROUND(COUNT(*)::DOUBLE, 6)
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'event_type_counts', COALESCE(event_type, '<null>'),
+           ROUND(COUNT(*)::DOUBLE, 6)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'events_per_user_stats', m.key, ROUND(m.value, 6) FROM (
+        SELECT COUNT(*)::DOUBLE AS nu, AVG(n_events) AS me,
+               MIN(n_events)::DOUBLE AS mi, MAX(n_events)::DOUBLE AS ma
+        FROM eu
+    ) t, (VALUES ('n_users'), ('mean_events'), ('min_events'), ('max_events')) dummy(nm),
+    LATERAL (SELECT nm AS key,
+                    CASE nm WHEN 'n_users' THEN t.nu
+                            WHEN 'mean_events' THEN t.me
+                            WHEN 'min_events' THEN t.mi
+                            ELSE t.ma END AS value) m
+    UNION ALL
+    SELECT 'label_vector_stats', 'label_' || CAST(label AS VARCHAR) || ':n_vectors',
+           ROUND(n_vectors, 6) FROM lv
+    UNION ALL
+    SELECT 'label_vector_stats', 'label_' || CAST(label AS VARCHAR) || ':mean_norm',
+           ROUND(mean_norm, 6) FROM lv
+    """,
+)
+def report_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — the whole analyze_dataset_distribution.py report bundle
+    (operators/reports.py::dataset_report) flattened to one certified
+    (section, key, value) frame: frequency counts (A1), token
+    leaderboard (A2), length histogram (A7), per-lang stats (A6),
+    distinct counters (A8), coverage split (A10), per-user event
+    stats, and per-label embedding count + mean L2 norm
+    (visualize_segmented_tags.py:98-102 analogue). Each member is an
+    independent single-exchange aggregate; the report is a batch job,
+    so members run as parallel jobs over the shared parquet scans."""
+    return reports.dataset_report_long(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "embeddings"),
+    )
+
+
+@register(
+    "report_segment_stats",
+    """
+    WITH imgs AS (
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) || '.jpg' AS filename,
+               sha256(text) AS h,
+               LEAST(64, strlen(text))::INT AS crop_bytes
+        FROM documents
+    ),
+    n AS (
+        SELECT filename, h, crop_bytes,
+               (('0x' || substr(h, 1, 2))::BIGINT % 10 + 1)::INT AS n_seg
+        FROM imgs
+    ),
+    areas AS (
+        SELECT filename, crop_bytes,
+               (500 + CASE WHEN 8 * i + 4 <= 64
+                           THEN ('0x' || substr(h, 8 * i + 1, 4))::BIGINT
+                           ELSE 0 END)::INT AS segment_area
+        FROM (SELECT filename, h, crop_bytes,
+                     UNNEST(generate_series(0, n_seg - 1)) AS i
+              FROM n)
+    ),
+    per_img AS (
+        SELECT filename, COUNT(*) AS n_segments FROM areas GROUP BY filename
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vocab AS (SELECT vec_id AS tid, v AS tv FROM e WHERE vec_id < 8),
+    body AS (SELECT vec_id, v FROM e WHERE vec_id >= 100 AND vec_id < 200),
+    logits AS (
+        SELECT b.vec_id, 100.0 * list_dot_product(b.v, vo.tv) AS logit
+        FROM body b CROSS JOIN vocab vo
+    ),
+    tc AS (
+        SELECT vec_id,
+               SUM(CASE WHEN logit >= 5.0 THEN 1 ELSE 0 END)::BIGINT AS n_tags
+        FROM logits GROUP BY vec_id
+    )
+    SELECT 'segments_per_image' AS section,
+           CAST(n_segments AS VARCHAR) AS key,
+           ROUND(COUNT(*)::DOUBLE, 6) AS value
+    FROM per_img GROUP BY 2
+    UNION ALL SELECT 'segment_summary', 'n_images',
+                     ROUND(COUNT(*)::DOUBLE, 6) FROM per_img
+    UNION ALL SELECT 'segment_summary', 'n_segments',
+                     ROUND(SUM(n_segments)::DOUBLE, 6) FROM per_img
+    UNION ALL SELECT 'segment_summary', 'avg_segments_per_image',
+                     ROUND(AVG(n_segments), 6) FROM per_img
+    UNION ALL SELECT 'area_summary', 'mean_area',
+                     ROUND(AVG(segment_area), 6) FROM areas
+    UNION ALL SELECT 'area_summary', 'min_area',
+                     ROUND(MIN(segment_area)::DOUBLE, 6) FROM areas
+    UNION ALL SELECT 'area_summary', 'max_area',
+                     ROUND(MAX(segment_area)::DOUBLE, 6) FROM areas
+    UNION ALL SELECT 'tags_per_item', CAST(n_tags AS VARCHAR),
+                     ROUND(COUNT(*)::DOUBLE, 6) FROM tc GROUP BY 2
+    UNION ALL SELECT 'tag_summary', 'n_items',
+                     ROUND(COUNT(*)::DOUBLE, 6) FROM tc
+    UNION ALL SELECT 'tag_summary', 'avg_tags_per_item',
+                     ROUND(AVG(n_tags), 6) FROM tc
+    """,
+)
+def report_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — segment-corpus statistics the reference prints after a
+    segmentation run (visualize_segmented_tags.py:266-277 tags-per-
+    segment value_counts; SAM/test_sam_inference.py:151-155 segments-
+    per-image): histogram + summary over the certified SAM-stub
+    segment corpus (same plan body as ml_segment_portable, sha256-
+    replayed by the oracle), and the tags-per-item histogram over the
+    zero-shot logit floor (same dot algebra the zero_shot_topk_tags
+    oracle replays bit-for-bit; logit ≥ 5.0 is the confidence floor).
+    Zero-tag items are counted — the len([]) == 0 bucket — because the
+    count aggregates over ALL body items, not just floor survivors."""
+    segs = _segstub(spark, sf_dir)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vocab = emb.filter(F.col("vec_id") < 8).select(
+        F.col("embedding").alias("tag_vec")
+    )
+    body = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    logits = body.crossJoin(F.broadcast(vocab)).select(
+        "vec_id",
+        (F.lit(100.0) * V.dot(F.col("embedding"), F.col("tag_vec"))).alias("logit"),
+    )
+    tag_counts = logits.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("logit") >= 5.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tags")
+    )
+    return reports.segment_stats_long(segs, tag_counts)
 
 
 # =====================================================================

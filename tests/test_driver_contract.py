@@ -108,9 +108,12 @@ def test_dead_session_caches_pruned():
 
 def test_registry_rotation_invariants():
     """The rotation contract the driver head depends on: exactly the
-    first 50 entries are evaluated, so they must be 50 UNIQUE, all-
-    oracled names; every _DRIVER_ORDER name must exist; rows-only
-    entries stay in the tail; and every registered oracle belongs to a
+    first 50 entries are evaluated, so they must be 50 UNIQUE
+    registered names; a head entry without an oracle is allowed ONLY
+    for documented rows-only queries (_ROWS_ONLY_TAIL members — they
+    rotate into the head to collect rows-only driver rows); every
+    _DRIVER_ORDER name must exist; rows-only entries not in the head
+    stay in the tail; and every registered oracle belongs to a
     registered query."""
     import sys
 
@@ -122,11 +125,79 @@ def test_registry_rotation_invariants():
     head = names[:50]
     assert len(head) == 50
     assert len(set(head)) == 50, "duplicate names in the driver head"
-    missing = [n for n in head if n not in oracles]
-    assert not missing, f"head entries without oracles: {missing}"
+    rows_only = set(Q._ROWS_ONLY_TAIL)
+    missing = [n for n in head if n not in oracles and n not in rows_only]
+    assert not missing, f"undocumented head entries without oracles: {missing}"
     unknown = [n for n in Q._DRIVER_ORDER if n not in Q._QUERIES]
     assert not unknown, f"_DRIVER_ORDER names not registered: {unknown}"
-    tail = names[-len(Q._ROWS_ONLY_TAIL):]
-    assert tail == [n for n in Q._ROWS_ONLY_TAIL if n in Q._QUERIES]
-    assert all(n not in oracles for n in tail), "rows-only entry has an oracle"
+    tail_expected = [
+        n for n in Q._ROWS_ONLY_TAIL if n in Q._QUERIES and n not in head
+    ]
+    if tail_expected:
+        assert names[-len(tail_expected):] == tail_expected
+    assert all(n not in oracles for n in rows_only), "rows-only entry has an oracle"
     assert set(oracles) <= set(Q._QUERIES)
+
+
+def _newest_green_rounds(max_round=None):
+    sys.path.insert(0, str(REPO / "tools"))
+    import freshness_report
+
+    return freshness_report.newest_rounds(max_round)
+
+
+def test_freshness_invariants():
+    """No query rides a driver row older than its last semantic change
+    (queries._TOUCHED, the witness floor): a floor at or past the next
+    driver round means the query must sit in the current 50-slot head
+    (its row arrives this round); any other floor must already be
+    covered by a green CORRECTNESS row from round >= floor. A query
+    with no green row in ANY round must be in the head."""
+    sys.path.insert(0, str(REPO))
+    from data_feature_extraction_and_retrieval_pipeline_spark import queries as Q
+
+    newest, seen_max = _newest_green_rounds()
+    next_round = seen_max + 1
+    names = list(Q.queries())
+    head = set(names[:50])
+
+    assert set(Q._TOUCHED) == set(Q._QUERIES), (
+        "witness-floor map out of sync with the registry: "
+        f"missing={set(Q._QUERIES) - set(Q._TOUCHED)} "
+        f"extra={set(Q._TOUCHED) - set(Q._QUERIES)}"
+    )
+    violations = []
+    for n in names:
+        floor = Q._TOUCHED[n]
+        nr = newest.get(n)
+        if floor >= next_round or nr is None:
+            if n not in head:
+                violations.append(f"{n}: floor r{floor}, no row, not in head")
+        elif nr < floor:
+            violations.append(f"{n}: newest row r{nr} < floor r{floor}")
+    assert not violations, "\n".join(violations)
+
+
+def test_freshness_table_in_coverage_is_current():
+    """COVERAGE.md's generated freshness table matches a regeneration
+    pinned to the max round recorded in its own header (so a NEW
+    CORRECTNESS_r{N}.json landing between rounds doesn't invalidate
+    the committed doc — the next round's regeneration picks it up)."""
+    import re
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import freshness_report
+
+    text = (REPO / "COVERAGE.md").read_text()
+    assert freshness_report.BEGIN in text, "freshness table missing"
+    block = text[
+        text.index(freshness_report.BEGIN):
+        text.index(freshness_report.END) + len(freshness_report.END)
+    ]
+    m = re.search(r"CORRECTNESS_r01\.\.r(\d+)", block)
+    assert m, "freshness header missing the max-round pin"
+    regenerated = freshness_report.build_table(int(m.group(1)))
+    assert block == regenerated, (
+        "COVERAGE.md freshness table is stale — run "
+        "`python tools/freshness_report.py --write`"
+    )

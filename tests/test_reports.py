@@ -1,0 +1,89 @@
+"""Report-bundle operators (operators/reports.py): the long-format
+assembly that the driver-certified report_dataset / report_segment_stats
+queries run. Value-level certification lives in the oracle rows; these
+tests pin the structural semantics the oracle can't explain on failure
+(section completeness, zero-bucket inclusion, NULL-key handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import reports
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dataset_report_long_sections(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = reports.dataset_report_long(docs, events, emb)
+    assert out.columns == ["section", "key", "value"]
+    sections = {r["section"] for r in out.select("section").distinct().collect()}
+    assert sections == {
+        "source_counts",
+        "lang_counts",
+        "token_leaderboard",
+        "length_histogram",
+        "length_stats_by_lang",
+        "distinct_counters",
+        "coverage_split",
+        "event_type_counts",
+        "events_per_user_stats",
+        "label_vector_stats",
+    }
+    # counter identity: source_counts must sum to n_docs
+    rows = {
+        (r["section"], r["key"]): r["value"]
+        for r in out.filter(
+            F.col("section").isin("distinct_counters", "source_counts")
+        ).collect()
+    }
+    n_docs = rows[("distinct_counters", "n_docs")]
+    assert sum(v for (s, _), v in rows.items() if s == "source_counts") == n_docs
+
+
+def test_dataset_report_long_null_keys_explicit(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b", lang=None, source="s", n_chars=3),
+            Row(doc_id=2, text="a", lang="en", source="s", n_chars=1),
+        ]
+    )
+    events = spark.createDataFrame([Row(event_id=1, user_id=1, event_type="t")])
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0], label=0)])
+    out = reports.dataset_report_long(docs, events, emb)
+    langs = {
+        r["key"]
+        for r in out.filter(F.col("section") == "lang_counts").collect()
+    }
+    assert langs == {"<null>", "en"}  # NULL group key is an explicit bucket
+    stats_keys = {
+        r["key"]
+        for r in out.filter(F.col("section") == "length_stats_by_lang").collect()
+    }
+    assert "<null>:mean" in stats_keys  # NULL key never drops unpivoted rows
+
+
+def test_segment_stats_long_zero_tag_bucket(spark):
+    segments = spark.createDataFrame(
+        [
+            Row(filename="a.jpg", segment_area=600),
+            Row(filename="a.jpg", segment_area=700),
+            Row(filename="b.jpg", segment_area=500),
+        ]
+    )
+    tag_counts = spark.createDataFrame(
+        [Row(vec_id=1, n_tags=0), Row(vec_id=2, n_tags=2), Row(vec_id=3, n_tags=2)]
+    )
+    out = reports.segment_stats_long(segments, tag_counts)
+    rows = {(r["section"], r["key"]): r["value"] for r in out.collect()}
+    # the len([]) == 0 bucket the reference's value_counts reports
+    assert rows[("tags_per_item", "0")] == 1.0
+    assert rows[("tags_per_item", "2")] == 2.0
+    assert rows[("tag_summary", "n_items")] == 3.0
+    assert rows[("segments_per_image", "2")] == 1.0
+    assert rows[("segments_per_image", "1")] == 1.0
+    assert rows[("segment_summary", "avg_segments_per_image")] == 1.5
+    assert rows[("area_summary", "min_area")] == 500.0
