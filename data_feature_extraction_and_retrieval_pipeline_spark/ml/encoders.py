@@ -285,9 +285,13 @@ def segment_image(df, content_col: str = "content", filename_col: str = "filenam
 def decode_image_stub(df, content_col: str = "content"):
     """Multimodal decode plumbing: binary → (width, height, n_channels).
 
-    Real decoders (PIL/opencv/av) are absent in this container, so the
-    decode is a deterministic fake over the content hash — schema and
-    batch shape are what the downstream operators contract on.
+    ALWAYS the deterministic fake over the content hash — by contract,
+    not by environment probing: the certified queries hash-match these
+    values, so the stub must not change behavior when codec libraries
+    happen to be installed. The PIL-backed twin with the identical
+    output schema is ``operators/multimodal.py::decode_image_meta_real``
+    (importorskip-tested in tests/test_real_models.py); callers choose
+    explicitly.
     """
     out = T.StructType(
         [
@@ -299,12 +303,6 @@ def decode_image_stub(df, content_col: str = "content"):
 
     @F.pandas_udf(out)
     def decode(contents: pd.Series) -> pd.DataFrame:
-        try:  # pragma: no cover - not installed here
-            from PIL import Image  # type: ignore # noqa: F401
-
-            raise NotImplementedError("real decode path: PIL present, wire it")
-        except ImportError:
-            pass
         ws, hs, cs = [], [], []
         for b in contents:
             h = hashlib.sha256(bytes(b or b"")).digest()

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -183,16 +183,73 @@ def sample_frames(
 
 
 def decode_image_real(content: bytes):
-    """Real image decode — requires PIL, not present in this
-    environment. Swap-in point for ``decode_image_meta``'s stub."""
+    """Real single-payload image decode (PIL). Raises ImportError with
+    install guidance when Pillow is absent; the DataFrame-level twin is
+    ``decode_image_meta_real``. Exercised by tests/test_real_models.py
+    wherever PIL exists (skipped cleanly in codec-free containers)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "Real image decoding needs Pillow; this environment ships "
-            "without codec libraries. Use decode_image_meta (stub) for "
-            "plumbing tests."
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "Real image decoding needs Pillow (`pip install pillow`); "
+            "this container ships without codec libraries. Use "
+            "ml.encoders.decode_image_stub for plumbing tests."
         ) from e
     import io
 
-    return Image.open(io.BytesIO(content))  # pragma: no cover
+    return Image.open(io.BytesIO(content))
+
+
+def decode_image_meta_real(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """PIL-backed twin of ``ml.encoders.decode_image_stub`` — identical
+    output schema (``decoded`` struct of width/height/n_channels), real
+    decoded values. The reference decodes with PIL before CLIP
+    (extract_clip_features.py:10-35, SAM/sam_segment_clip_pipeline.py:
+    157-257); this is that step as an Arrow-batched column so the rest
+    of the pipeline (resize_plan, encoders, segmenters) is source-
+    agnostic.
+
+    The import is probed at PLAN time so a missing codec fails fast on
+    the driver with install guidance instead of as a per-task executor
+    stack trace. Undecodable payloads yield NULL metadata rather than
+    failing the batch — at 100 TB a single corrupt image must not kill
+    a 10k-task stage; filter ``decoded IS NULL`` into a quarantine sink.
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        raise ImportError(
+            "decode_image_meta_real needs Pillow (`pip install pillow`); "
+            "use ml.encoders.decode_image_stub in codec-free environments."
+        )
+
+    out = T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out)
+    def decode(contents: pd.Series) -> pd.DataFrame:
+        import io
+
+        from PIL import Image
+
+        ws, hs, cs = [], [], []
+        for b in contents:
+            try:
+                with Image.open(io.BytesIO(bytes(b or b""))) as img:
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    cs.append(len(img.getbands()))
+            except Exception:
+                ws.append(None)
+                hs.append(None)
+                cs.append(None)
+        return pd.DataFrame({"width": ws, "height": hs, "n_channels": cs})
+
+    return df.withColumn("decoded", decode(F.col(content_col)))

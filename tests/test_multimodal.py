@@ -98,15 +98,16 @@ def test_ingest_pipeline_end_to_end(spark):
 
 
 def test_real_decode_is_gated():
-    """The real decoder is a clearly-marked stub boundary in this
-    environment (no codec libs)."""
+    """The real decoder degrades to an explicit ImportError with
+    install guidance where codecs are absent; the positive path runs
+    in tests/test_real_models.py wherever PIL exists."""
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL unexpectedly present")
+        pytest.skip("PIL present — covered by test_real_models.py")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ImportError, match="pillow"):
         decode_image_real(b"\xff\xd8\xff")
 
 

@@ -1,0 +1,116 @@
+"""Real-model seam: these tests RUN wherever the optional deps
+(Pillow, torch) are installed — e.g. a GPU cluster image — and skip
+cleanly in this codec-free container. They are the executable proof
+that the swap-in points (`decode_image_meta_real`, `decode_image_real`,
+`_TorchClipAdapter`, `_try_real_clip`) produce real decodes/embeddings
+rather than raising, matching the reference's PIL+CLIP path
+(extract_clip_features.py:10-35, SAM/sam_segment_clip_pipeline.py:157-257).
+
+The dep-free tests at the bottom pin the graceful-degradation contract
+that IS exercisable here: explicit ImportError with install guidance,
+and the loader seam returning None (→ stub) without raising.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_feature_extraction_and_retrieval_pipeline_spark.ml import encoders
+from data_feature_extraction_and_retrieval_pipeline_spark.operators import multimodal
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_decode_image_real_single_payload():
+    pytest.importorskip("PIL")
+    img = multimodal.decode_image_real(_png_bytes(17, 9))
+    assert (img.width, img.height) == (17, 9)
+
+
+def test_decode_image_meta_real_dataframe(spark):
+    pytest.importorskip("PIL")
+    rows = [
+        ("a.png", _png_bytes(32, 16)),
+        ("b.png", _png_bytes(8, 8)),
+        ("corrupt.png", b"not an image"),  # must NULL out, not fail the batch
+    ]
+    df = spark.createDataFrame(rows, "filename string, content binary")
+    out = {
+        r["filename"]: r["decoded"]
+        for r in multimodal.decode_image_meta_real(df).collect()
+    }
+    assert (out["a.png"]["width"], out["a.png"]["height"]) == (32, 16)
+    assert out["a.png"]["n_channels"] == 3
+    assert (out["b.png"]["width"], out["b.png"]["height"]) == (8, 8)
+    assert out["corrupt.png"]["width"] is None
+
+
+def test_torch_clip_adapter_protocol():
+    """_TorchClipAdapter's stack/no_grad/numpy glue against real torch
+    with a minimal model object — the adapter is the part the engine
+    owns; CLIP itself is upstream."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("PIL")
+
+    class _Model:
+        def encode_image(self, imgs):
+            # (n, 3, 4, 4) stacked batch → (n, 8) embeddings
+            assert imgs.shape[1:] == (3, 4, 4)
+            return torch.ones(imgs.shape[0], 8)
+
+    adapter = encoders._TorchClipAdapter(
+        _Model(), preprocess=lambda img: torch.zeros(3, 4, 4)
+    )
+    out = adapter.encode_image_batch([_png_bytes(4, 4), _png_bytes(6, 2)])
+    assert out.shape == (2, 8)
+    assert float(out[0][0]) == 1.0
+
+
+def test_real_clip_end_to_end(spark):
+    """Full UDF path with the real loader: only runs where torch AND
+    the OpenAI clip package exist (a GPU cluster image)."""
+    pytest.importorskip("torch")
+    pytest.importorskip("clip")
+    pytest.importorskip("PIL")
+    df = spark.createDataFrame(
+        [("a.png", _png_bytes(32, 32))], "filename string, content binary"
+    )
+    enc = encoders.stub_image_encoder_udf(dim=512)  # loader -> _try_real_clip
+    row = df.select(enc("content").alias("v")).first()
+    assert len(row["v"]) == 512
+
+
+# ---- graceful degradation (runs HERE, no optional deps) ----
+
+
+def test_missing_pil_contract():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — the real-path tests above cover this")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pillow"):
+        multimodal.decode_image_real(b"x")
+    with pytest.raises(ImportError, match="pillow"):
+        multimodal.decode_image_meta_real(None)
+
+
+def test_loader_seam_returns_none_without_torch():
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch installed — real loader may resolve")
+    except ImportError:
+        pass
+    encoders._MODEL_CACHE.pop("clip", None)
+    assert encoders._try_real_clip() is None  # stub branch, no raise
+    encoders._MODEL_CACHE.pop("clip", None)
