@@ -111,7 +111,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from data_feature_extraction_and_retrieval_pipeline_spark import caching, indexes, queries as Q
+    from data_feature_extraction_and_retrieval_pipeline_spark import api, caching, indexes, queries as Q
     from data_feature_extraction_and_retrieval_pipeline_spark.session import get_spark
     from data_feature_extraction_and_retrieval_pipeline_spark.sources import readers
 
@@ -273,6 +273,11 @@ def main() -> None:
         # DuckDB denominator recomputes these inside each query, so
         # the warm numbers' steady-state assumption is priced here
         "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
+        # same convention for the curation facade's one-time eager
+        # pair-mining checkpoint (excluded from warm timings by
+        # construction — priced explicitly instead of hiding in
+        # cold_total)
+        "curate_checkpoint_s": dict(sorted(api.CHECKPOINT_SECONDS.items())),
         "sf": sf,
     }
     # Full payload → a file (the per-query oracle timings and index

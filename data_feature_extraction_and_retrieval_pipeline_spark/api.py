@@ -317,6 +317,14 @@ class Engine:
         }
 
 
+# One-time eager-checkpoint seconds per pipeline scope (the near-dup
+# pair-mining materialization at plan construction) — the excluded
+# build cost bench_detail.json reports as curate_checkpoint_s next to
+# indexes.BUILD_SECONDS, so the warm numbers' steady-state assumption
+# is auditable for the facade too.
+CHECKPOINT_SECONDS: dict[str, float] = {}
+
+
 class CurationPipeline:
     """Composable facade over the training-data suite: the standard
     raw-corpus → training-shards flow (redact → quality filter →
@@ -411,15 +419,30 @@ class CurationPipeline:
         self, benchmark: DataFrame, n: int = 8
     ) -> "CurationPipeline":
         """Remove rows sharing any n-gram with a held-out benchmark
-        (anti-join on the broadcast-flagged ids)."""
-        from .operators.dedup import contamination_flags
+        (anti-join on the flagged ids; the BENCHMARK shingles broadcast
+        inside the flagging pass — that side is genuinely small). The
+        chain consumes only the flagged ID SET, so the pass is the
+        existence-only ``contamination_ids`` (no per-doc shingle
+        distinct, semi-join instead of count — same ids, ~2× cheaper);
+        run ``contamination_flags`` separately when the n_shared audit
+        column is wanted."""
+        from .operators.dedup import contamination_ids
 
         # persist: the input feeds both the flagging pass and the
         # anti-join (see dedup_exact for the stage-boundary policy)
         src = self._persist(self.df)
-        flagged = contamination_flags(
+        flagged = contamination_ids(
             src, benchmark, n=n, text_col=self.text_col, id_col=self.id_col
         )
+        # Broadcast of the flagged IDS is deliberate and differs from
+        # dedup_near's no-hint policy: near-dup drops run 30-50% of a
+        # web corpus, but benchmark contamination is <<1% of N (the
+        # flagged side is bounded by docs sharing an n-gram with a
+        # KB-MB eval suite), so the id list broadcasts safely at any
+        # corpus scale. The broadcast child does run on the exchange
+        # thread at the start of the job — which is why the flagging
+        # pass above is the existence-only semi-join form, not the
+        # counting form (measured ~2× cheaper on the corpus pass).
         return self._with(
             src.join(
                 F.broadcast(flagged.select(self.id_col)),
@@ -523,7 +546,20 @@ class CurationPipeline:
         # string on every runtime re-plan and the render is linear in
         # TREE size, not in work. The pairs frame is collision-bounded
         # (tiny at any corpus scale), so the checkpoint is cheap.
+        # The eager materialization runs ONCE at plan construction —
+        # the build-cost convention the write-time indexes follow —
+        # and is priced in CHECKPOINT_SECONDS so a bench can report it
+        # next to index_build_s instead of folding it invisibly into
+        # cold totals.
+        import time as _time
+
+        _t0 = _time.perf_counter()
         pairs = pairs.localCheckpoint(eager=True)
+        _key = caching.current_scope() or self._cache_scope
+        CHECKPOINT_SECONDS[_key] = (
+            CHECKPOINT_SECONDS.get(_key, 0.0)
+            + round(_time.perf_counter() - _t0, 4)
+        )
         lab = label_propagation_canonical(pairs, rounds=3)
         drops = lab.filter(F.col("node") != F.col("canonical")).select(
             F.col("node").alias(self.id_col)

