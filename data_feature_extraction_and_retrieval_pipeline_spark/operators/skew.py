@@ -56,6 +56,58 @@ def salted_aggregate(
     return phase1.groupBy(*key_cols).agg(*final_aggs)
 
 
+def salted_top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase top-n per group for HOT group keys — the W1/W2 shape
+    (per-image best segments, search_with_segments.py:246-272) where
+    one image with 10⁶ segments would serialize a window into a single
+    task's sort.
+
+    MEASURED FINDING (tools/skew_bench.py, 24M rows / 98% on one key):
+    on Spark >= 3.5 the plain ``row_number() <= n`` filter BEATS this
+    operator (1.84s vs 2.31s) — Catalyst inserts ``WindowGroupLimit
+    Partial`` map-side BEFORE the exchange, collapsing the hot key to
+    <= n rows per map task with no extra shuffle, i.e. the optimizer
+    already applies a better version of this exact technique (pinned
+    in tests/test_skew.py). Prefer ``analytics.top_n_per_group``.
+
+    This operator remains for the window shapes the rule does NOT
+    rewrite (a rank consumed without a <= n filter, engines/versions
+    without WindowGroupLimit): phase 1 ranks within (group, salt) so
+    the hot group sorts in ``salt_buckets`` parallel tasks keeping
+    local top-n; phase 2 re-ranks the <= n x salt_buckets survivors.
+    Row-identical to the plain form (the global top-n is contained in
+    the union of per-salt top-ns; the final rank re-numbers by the
+    same (order desc, tiebreak) total order).
+    """
+    from pyspark.sql import Window
+
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        F.desc(order_col), F.col(tiebreak_col)
+    )
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.col(tiebreak_col)
+    )
+    return (
+        survivors.drop("__salt")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

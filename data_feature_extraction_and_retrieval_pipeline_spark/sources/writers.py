@@ -9,7 +9,13 @@ plain Spark has no MERGE INTO without a lakehouse format.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+# Serializes the advisory-partition-size conf round-trip inside
+# compact_shards(rebalance=True) — see the comment at the use site.
+_REBALANCE_CONF_LOCK = threading.Lock()
 
 
 def write_parquet_table(
@@ -172,20 +178,36 @@ def compact_shards(
         total += p.getFileSystem(conf).getFileStatus(p).getLen()
     n_out = max(1, math.ceil(total / float(target_file_bytes)))
     if rebalance:
-        prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
-        spark.conf.set(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(target_file_bytes),
-        )
-        try:
-            df.hint("rebalance").write.mode("overwrite").format(fmt).save(out_path)
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+        # The advisory-size set/write/restore must be ATOMIC per
+        # session: the conf is session-global, so without the lock a
+        # concurrent query observes the temporary value and two
+        # concurrent rebalance compactions can clobber each other's
+        # save/restore (the registry path is already serialized by its
+        # side-effect lock; this covers direct facade callers too).
+        # Session-scoped tuning like this is the one place a
+        # cluster-side conf pin (per-job conf in the submit) beats the
+        # runtime round-trip.
+        with _REBALANCE_CONF_LOCK:
+            prev = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(target_file_bytes),
+            )
+            try:
+                df.hint("rebalance").write.mode("overwrite").format(fmt).save(
+                    out_path
                 )
-            else:
-                spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            finally:
+                if prev is not None:
+                    spark.conf.set(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+                    )
+                else:
+                    spark.conf.unset(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+                    )
     else:
         df.coalesce(n_out).write.mode("overwrite").format(fmt).save(out_path)
     files_out = len(spark.read.format(fmt).load(out_path).inputFiles())

@@ -276,3 +276,39 @@ def test_sketch_mergeability_across_splits(spark, tmp_path):
         for q, approx in ((0.5, prof[k]["p50"]), (0.95, prof[k]["p95"])):
             rank = bisect.bisect_left(vals, approx) / max(n - 1, 1)
             assert abs(rank - q) <= 0.02, (k, q, approx, rank)
+
+
+def test_window_group_limit_rule_and_salted_topn_identity(spark):
+    """Two pins from the round-6 skew measurement (tools/skew_bench.py):
+
+    1. The plain rank<=n filter — the engine's W1/W2 top-n-per-group
+       form — compiles with a PARTIAL WindowGroupLimit before the
+       exchange, i.e. Catalyst itself collapses a hot group to <= n
+       rows per map task (the reason the plain form beats explicit
+       salting at 24M rows / 98% hot). If this rule ever stops firing,
+       the hot-image window becomes a single-task sort at scale.
+    2. salted_top_n_per_group (the explicit fallback for shapes the
+       rule can't rewrite) stays row-identical to the plain form on a
+       skewed input with score ties.
+    """
+    from pyspark.sql import Window
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.skew import (
+        salted_top_n_per_group,
+    )
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 13).cast("double").alias("score"),  # heavy ties
+        F.col("id").alias("row_id"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.col("row_id"))
+    plain = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    physical = plain._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in physical and "Partial" in physical, physical[:800]
+
+    a = {(r["k"], r["row_id"], r["rank"]) for r in plain.collect()}
+    b = {
+        (r["k"], r["row_id"], r["rank"])
+        for r in salted_top_n_per_group(df, "k", "score", 5, "row_id").collect()
+    }
+    assert a == b
