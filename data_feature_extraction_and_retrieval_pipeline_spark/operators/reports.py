@@ -192,9 +192,27 @@ def segment_stats_long(segments: DataFrame, tag_counts: DataFrame) -> DataFrame:
 
     ``segments``: (filename, segment_area, ...) one row per segment.
     """
-    per_image = segments.groupBy("filename").agg(
-        F.count("*").alias("n_segments")
+    from .. import caching
+
+    # ONE pass over the segment corpus (the UDTF fan-out / expensive
+    # scan): per-image partials carry everything the three segment
+    # sections need — n_segments for the histogram and summary,
+    # sum/min/max area so the global area stats re-aggregate from the
+    # partials (mean = Σsum/Σn, min = min(min), max = max(max)).
+    # Without this the union re-executes the segment source once per
+    # branch (seen in PLANS.md: three MapInPandas subtrees). The
+    # partials frame is persisted through the tracked ledger because
+    # three union branches consume it; same for the per-item tag
+    # counts (two consumers).
+    per_image = caching.persist(
+        segments.groupBy("filename").agg(
+            F.count("*").alias("n_segments"),
+            F.sum("segment_area").alias("sum_area"),
+            F.min("segment_area").alias("min_area"),
+            F.max("segment_area").alias("max_area"),
+        )
     )
+    tag_counts = caching.persist(tag_counts)
     parts = [
         _kv(
             per_image.groupBy("n_segments").agg(F.count("*").alias("n_images")),
@@ -212,10 +230,10 @@ def segment_stats_long(segments: DataFrame, tag_counts: DataFrame) -> DataFrame:
             ["n_images", "n_segments", "avg_segments_per_image"],
         ),
         _unpivot(
-            segments.agg(
-                F.avg("segment_area").alias("mean_area"),
-                F.min("segment_area").cast("double").alias("min_area"),
-                F.max("segment_area").cast("double").alias("max_area"),
+            per_image.agg(
+                (F.sum("sum_area") / F.sum("n_segments")).alias("mean_area"),
+                F.min("min_area").cast("double").alias("min_area"),
+                F.max("max_area").cast("double").alias("max_area"),
             ),
             "area_summary",
             ["mean_area", "min_area", "max_area"],

@@ -86,21 +86,29 @@ def test_incremental_ingest_appends(spark, tmp_path):
         incremental_ingest,
     )
 
+    # cache: limit() without a total order is nondeterministic across
+    # actions — the cache pins ONE materialization so the two
+    # deliveries partition the same 100 rows. Unpersisted in finally
+    # (the session is shared; leaked test caches substitute into later
+    # tests' plans via the cache manager).
     ev = load_table(spark, SF_DIR, "events").limit(100).cache()
-    src = str(tmp_path / "src")
-    idx = str(tmp_path / "index")
-    ckpt = str(tmp_path / "ckpt")
+    try:
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
 
-    ev.limit(60).write.mode("append").parquet(src)
-    q = incremental_ingest(spark, src, ev.schema, idx, ckpt)
-    q.awaitTermination(120)
-    assert spark.read.parquet(idx).count() == 60
+        ev.limit(60).write.mode("append").parquet(src)
+        q = incremental_ingest(spark, src, ev.schema, idx, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(idx).count() == 60
 
-    # second delivery: only the new file is processed
-    ev.limit(100).exceptAll(ev.limit(60)).write.mode("append").parquet(src)
-    q2 = incremental_ingest(spark, src, ev.schema, idx, ckpt)
-    q2.awaitTermination(120)
-    assert spark.read.parquet(idx).count() == 100
+        # second delivery: only the new file is processed
+        ev.limit(100).exceptAll(ev.limit(60)).write.mode("append").parquet(src)
+        q2 = incremental_ingest(spark, src, ev.schema, idx, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(idx).count() == 100
+    finally:
+        ev.unpersist()
 
 
 def test_watermark_drops_too_late_rows(spark, tmp_path):
