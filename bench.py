@@ -107,6 +107,10 @@ HEADLINE = [
     # round 5: small-file compaction maintenance (fragment -> byte-
     # priced coalesce -> scan), certified via its parquet-side oracle
     "etl_compact_roundtrip",
+    # round 6: batch-vs-corpus NEAR-dup (daily-ingest gate; resident
+    # corpus bands stream past broadcast batch bands, zero corpus
+    # shuffle)
+    "dedup_minhash_incremental",
 ]
 
 

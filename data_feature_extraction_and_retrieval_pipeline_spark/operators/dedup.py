@@ -602,6 +602,102 @@ def minhash_lsh_pairs_portable(
         df, banded, n, threshold, text_col, id_col, broadcast_buckets
     )
 
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_banded: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup pairs — the daily-ingest shape
+    (incremental_exact_filter's sibling for boilerplate-variant
+    copies): arriving ``batch`` documents checked against the
+    accumulated ``corpus`` WITHOUT a corpus self-join.
+
+    (id_a = corpus doc, id_b = batch doc, jaccard) for every verified
+    near-dup across the boundary. Pipeline:
+
+    1. corpus band signatures — in steady state pass ``corpus_banded``
+       from the resident write-time index (the same (id, band, key)
+       artifact the full self-join path builds; bucketed by (band,
+       key) at cluster scale). Only computed here when absent.
+    2. batch band signatures — the arriving slice, computed fresh.
+    3. candidates: corpus bands ⋈ BROADCAST(batch bands) on (band,
+       key). The corpus side never shuffles — a broadcast hash join
+       streams the bucketed corpus bands past the batch's keys; the
+       batch is the daily slice, orders of magnitude smaller.
+    4. exact n-gram-Jaccard verify over the pair documents only
+       (broadcast semi-join, same shared stage as every LSH path).
+
+    Batch-internal duplicates are NOT reported (batch ⋈ corpus only)
+    — run the self-join path (minhash_lsh_pairs) within the batch if
+    intra-batch dedup is also wanted. Assumes globally unique ids
+    across batch and corpus (the ingest contract; identity-level
+    re-ingests are the exact-incremental layer's job).
+
+    ``portable=True`` swaps in the polynomial hash family so the
+    DuckDB oracle replays every band key and jaccard bit-for-bit.
+    """
+    sig = portable_banded_signatures if portable else banded_signatures
+    if corpus_banded is None:
+        corpus_banded = sig(
+            corpus, n=n, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
+    batch_banded = sig(
+        batch, n=n, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    a = corpus_banded.alias("a")
+    b = batch_banded.alias("b")
+    cand = caching.persist(
+        a.join(F.broadcast(b), ["band", "key"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    return jaccard_verify_pairs(
+        texts, cand, n=n, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def incremental_near_filter(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_banded: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep-filter over :func:`minhash_incremental_pairs`: the batch
+    rows that near-collide with NO corpus document (the rows safe to
+    append). The drop list is bounded by the batch, so the anti-join's
+    build side is small by construction."""
+    pairs = minhash_incremental_pairs(
+        batch, corpus, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+        corpus_banded=corpus_banded, portable=portable,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return batch.join(F.broadcast(drops), id_col, "left_anti")
+
+
 def simhash_signatures_portable(
     df: DataFrame,
     text_col: str = "text",

@@ -309,7 +309,9 @@ _DRIVER_ORDER: list[str] = [
     "etl_prefix_split",
     "vec_mean_per_label",
     "ann_pq_portable",
-    "ann_ivfpq_portable",
+    # ann_ivfpq_portable displaced to 51+ by dedup_minhash_incremental
+    # (new in round 6) — its r04 row stays valid (code untouched since)
+    "dedup_minhash_incremental",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -389,6 +391,7 @@ _TOUCHED: dict[str, int] = {
     "api_engine_segment": 6,
     "api_engine_hybrid": 6,
     "api_engine_tags": 6,
+    "dedup_minhash_incremental": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
     "events_sessionize_stream": 5,
@@ -2246,6 +2249,128 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_buckets=_docs_small(sf_dir),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' extra' AS text
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 1
+    ),
+    {_PORT_TOKS_CTE},
+    {_PORT_TH_CTE},
+    pshh AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 3
+                    THEN [((th[i] * {dedup._PORT_B} + th[i+1]) % {dedup._PORT_P}
+                           * {dedup._PORT_B} + th[i+2]) % {dedup._PORT_P}
+                          FOR i IN generate_series(1, len(th) - 2)]
+                    ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                      (a, b) -> (a * {dedup._PORT_B} + b)
+                                      % {dedup._PORT_P})]
+               END AS shh
+        FROM pth
+    ),
+    pmins AS (SELECT doc_id, {_PORT_MINS} FROM pshh),
+    pkeys AS (SELECT doc_id, {_PORT_KEYS} FROM pmins),
+    pbanded AS ({_PORT_BAND_ROWS}),
+    -- batch membership is a doc_id predicate: today's %10 slice plus
+    -- the injected near-copies (ids offset by 3,000,000)
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pbanded a JOIN pbanded b
+          ON a.band = b.band AND a.key = b.key
+         AND NOT ((a.doc_id % 10 = 0 AND a.doc_id < 3000000)
+                  OR a.doc_id >= 3000000)
+         AND ((b.doc_id % 10 = 0 AND b.doc_id < 3000000)
+              OR b.doc_id >= 3000000)
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(t) - 2)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+        FROM ptoks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT c.id_b,
+               c.common / (sa.n_shingles + sb.n_shingles - c.common) AS jac
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
+    ),
+    agg AS (
+        SELECT id_b, COUNT(*) AS n_matches, MAX(jac) AS best
+        FROM verified GROUP BY id_b
+    ),
+    batchd AS (
+        SELECT doc_id FROM docs2
+        WHERE (doc_id % 10 = 0 AND doc_id < 3000000) OR doc_id >= 3000000
+    )
+    SELECT b.doc_id,
+           COALESCE(a.n_matches, 0)::BIGINT AS n_matches,
+           ROUND(COALESCE(a.best, 0), 6) AS best_jaccard,
+           (a.id_b IS NULL) AS kept
+    FROM batchd b LEFT JOIN agg a ON a.id_b = b.doc_id
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup dedup — the daily-ingest decision
+    table (operators/dedup.py::minhash_incremental_pairs with the
+    portable hash family): the accumulated corpus is documents with
+    doc_id %10 != 0 (its banded index resident, the write-time
+    artifact); the arriving batch is the %10 slice plus injected
+    near-copies of corpus docs (' extra' appended, ids +3,000,000).
+    Per batch document: how many corpus docs it near-collides with,
+    the best verified jaccard, and the keep decision — the exact
+    output an ingest gate consumes. The corpus NEVER self-joins and
+    never shuffles (bands stream past the broadcast batch bands);
+    the oracle replays every band key and jaccard bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    corpus_banded = indexes.materialized(
+        spark,
+        f"minhash_inc_portable8x4x3:{sf_dir}",
+        lambda: dedup.portable_banded_signatures(
+            corpus, n=3, num_hashes=8, bands=4
+        ),
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        batch, corpus, n=3, num_hashes=8, bands=4, threshold=0.5,
+        corpus_banded=corpus_banded, portable=True,
+    )
+    agg = pairs.groupBy("id_b").agg(
+        F.count("*").alias("n_matches"), F.max("jaccard").alias("best")
+    )
+    return (
+        batch.select("doc_id")
+        .join(agg, batch["doc_id"] == agg["id_b"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias("best_jaccard"),
+            F.col("id_b").isNull().alias("kept"),
+        )
+    )
 
 
 @register(

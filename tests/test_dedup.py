@@ -499,3 +499,59 @@ def test_incremental_exact_filter_null_text_identity(spark):
         # 20 collides with the NULL corpus row; 21 with the text row;
         # '' is NOT null — no corpus '' exists, so 22 survives
         assert got == {22, 23}, (bb, got)
+
+
+def test_minhash_incremental_matches_full_selfjoin_cross_pairs(spark):
+    """The batch-vs-corpus incremental near-dup must find EXACTLY the
+    cross-boundary subset of the full self-join's verified pairs
+    (same hash family, same params) — the invariant that lets a daily
+    ingest replace a full-corpus re-dedup. Also pins the keep-filter:
+    incremental_near_filter drops precisely the flagged batch ids."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        incremental_near_filter,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs_portable,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            batch, corpus, n=3, num_hashes=8, bands=4, threshold=0.5,
+            portable=True,
+        ).collect()
+    }
+
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    full = minhash_lsh_pairs_portable(
+        corpus.unionByName(batch), n=3, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    cross = {
+        # normalize to (corpus_id, batch_id); self-join orders by id
+        (r["id_b"], r["id_a"]) if r["id_a"] in batch_ids else (r["id_a"], r["id_b"])
+        for r in full
+        if (r["id_a"] in batch_ids) != (r["id_b"] in batch_ids)
+    }
+    assert inc == cross and inc, f"{len(inc)} vs {len(cross)}"
+
+    kept = {
+        r["doc_id"]
+        for r in incremental_near_filter(
+            batch, corpus, n=3, num_hashes=8, bands=4, threshold=0.5,
+            portable=True,
+        ).collect()
+    }
+    flagged = {b for _, b in inc}
+    assert kept == batch_ids - flagged
