@@ -111,6 +111,9 @@ HEADLINE = [
     # corpus bands stream past broadcast batch bands, zero corpus
     # shuffle)
     "dedup_minhash_incremental",
+    # round 6: filtered vector search (metadata pre-filter composed
+    # with the IVF probe; shares ann_ivf's resident index)
+    "ann_ivf_filtered",
 ]
 
 

@@ -179,6 +179,7 @@ def ivf_probe(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     l2: bool = False,
+    predicate: F.Column | None = None,
 ) -> DataFrame:
     """IVF probe over an ALREADY-ASSIGNED table: score only vectors
     whose cluster is among the query's ``nprobe`` closest centroids.
@@ -189,13 +190,24 @@ def ivf_probe(
     artifact (``indexes.materialized``). ``l2=True`` matches the
     probe rule to a kmeans-trained (L2-assigned) layout — see
     ``probe_clusters``.
+
+    ``predicate`` is FILTERED vector search (the tag/metadata filter
+    of Q1+P10 at index scale): a metadata condition on the assigned
+    table's columns, applied conjunctively WITH the probe so Catalyst
+    pushes both to the scan — a pre-filter, not a post-filter of the
+    top-k, so the returned k are the best MATCHING vectors. Selective
+    predicates thin every probed cluster; raise ``nprobe`` to hold
+    recall (filtered serving's standard knob — candidate fraction is
+    per-FILTERED-corpus once the predicate applies).
     """
     q = [float(x) for x in query_vec]
     probe = probe_clusters(centroids, q, nprobe, l2=l2)
     qcol = V.lit_vec(q)
+    flt = assigned.filter(F.col(cluster_col).isin(*probe))
+    if predicate is not None:
+        flt = flt.filter(predicate)
     return (
-        assigned.filter(F.col(cluster_col).isin(*probe))
-        .select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
+        flt.select(F.col(id_col), V.dot(F.col(vec_col), qcol).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -211,6 +223,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
     l2: bool = False,
+    predicate: F.Column | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-assign (unless ``assigned`` is a
     pre-built index frame) then probe.
@@ -218,7 +231,8 @@ def ivf_topk(
     Deterministic given fixed centroids (we use seeded/fixed centroid
     lists, mirroring the reference's seed=42 convention). ``l2=True``
     applies the L2 assignment+probe rule end-to-end (kmeans-trained
-    centroid layouts — see probe_clusters).
+    centroid layouts — see probe_clusters). ``predicate`` = filtered
+    vector search (see ivf_probe).
     """
     if assigned is None:
         assigned = assign_clusters_np(
@@ -226,7 +240,7 @@ def ivf_topk(
         )
     return ivf_probe(
         assigned, centroids, query_vec, k=k, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col, l2=l2,
+        id_col=id_col, vec_col=vec_col, l2=l2, predicate=predicate,
     )
 
 

@@ -308,10 +308,11 @@ _DRIVER_ORDER: list[str] = [
     "etl_multiformat_date",
     "etl_prefix_split",
     "vec_mean_per_label",
-    "ann_pq_portable",
-    # ann_ivfpq_portable displaced to 51+ by dedup_minhash_incremental
-    # (new in round 6) — its r04 row stays valid (code untouched since)
+    # ann_pq_portable / ann_ivfpq_portable displaced to 51+ by
+    # dedup_minhash_incremental and ann_ivf_filtered (new in round 6)
+    # — their r04 rows stay valid (code untouched since)
     "dedup_minhash_incremental",
+    "ann_ivf_filtered",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -392,6 +393,7 @@ _TOUCHED: dict[str, int] = {
     "api_engine_hybrid": 6,
     "api_engine_tags": 6,
     "dedup_minhash_incremental": 6,
+    "ann_ivf_filtered": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
     "events_sessionize_stream": 5,
@@ -1740,6 +1742,61 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: similarity.assign_clusters_np(emb, centroids),
     )
     out = similarity.ivf_topk(emb, centroids, q, k=10, nprobe=2, assigned=assigned)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "ann_ivf_filtered",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+    probe AS (
+        SELECT cid FROM c, q
+        ORDER BY list_dot_product(cv, qv) DESC, cid
+        LIMIT 3
+    ),
+    assign AS (
+        SELECT vec_id, v, label, cid AS cluster FROM (
+            SELECT e.vec_id, e.v, e.label, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, ROUND(list_dot_product(a.v, q.qv), 6) AS cosine
+    FROM assign a, q
+    WHERE a.cluster IN (SELECT cid FROM probe)
+      AND a.label % 4 = 1
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (Q1+P10 at index scale): the IVF probe
+    with a metadata predicate (label % 4 = 1, ~25% selectivity)
+    applied conjunctively with the cluster pruning — a PRE-filter, so
+    the returned k are the best MATCHING vectors, and both conditions
+    reach the scan as pushed predicates (at cluster scale: partition
+    pruning on cluster + row-group pruning on the metadata column).
+    nprobe raised 2→3, the standard recall knob under selective
+    filters. Shares the ivf8 resident artifact with ann_ivf — one
+    index serves filtered and unfiltered queries, exactly like the
+    reference's ES filter+knn query (search_test_image.py:63 script
+    score with filter context)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _leading_vectors(spark, sf_dir, 8)
+    q = _query_vector(spark, sf_dir, 42)
+    assigned = indexes.materialized(
+        spark,
+        f"ivf8:{sf_dir}",
+        lambda: similarity.assign_clusters_np(emb, centroids),
+    )
+    out = similarity.ivf_topk(
+        emb, centroids, q, k=10, nprobe=3, assigned=assigned,
+        predicate=F.col("label") % 4 == 1,
+    )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
