@@ -51,6 +51,11 @@ QUERIES = [
     "dedup_keep_best_per_source",
     "ann_brute_force",
     "api_pipeline_curate",
+    # round 6 additions (report_dataset is excluded: it aggregates the
+    # events table, which the two-table synthetic dirs don't carry)
+    "dedup_minhash_incremental",
+    "ann_ivf_filtered",
+    "report_segment_stats",
 ]
 
 
