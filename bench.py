@@ -114,6 +114,11 @@ HEADLINE = [
     # round 6: filtered vector search (metadata pre-filter composed
     # with the IVF probe; shares ann_ivf's resident index)
     "ann_ivf_filtered",
+    # round 6: range-clustered sorted export (write-time range shuffle
+    # -> file/row-group pruning on the read-back) and the lag/lead
+    # cadence window (one reused exchange for window + aggregate)
+    "etl_sorted_export",
+    "win_lag_delta",
 ]
 
 

@@ -304,15 +304,18 @@ _DRIVER_ORDER: list[str] = [
     "join_semi_allowlist",
     "join_anti_customers",
     "etl_sentinel_cleanse",
-    "etl_safe_cast",
-    "etl_multiformat_date",
-    "etl_prefix_split",
-    "vec_mean_per_label",
-    # ann_pq_portable / ann_ivfpq_portable displaced to 51+ by
-    # dedup_minhash_incremental and ann_ivf_filtered (new in round 6)
-    # — their r04 rows stay valid (code untouched since)
+    # etl_safe_cast / etl_multiformat_date / etl_prefix_split /
+    # vec_mean_per_label displaced to 51+ by the four queries new in
+    # round 6's second half (their r04 rows stay valid — code
+    # untouched); ann_pq_portable / ann_ivfpq_portable likewise
+    # displaced earlier by dedup_minhash_incremental / ann_ivf_filtered
     "dedup_minhash_incremental",
     "ann_ivf_filtered",
+    # -- new in round 6, second half (no row yet; floor 6 ⇒ head) --
+    "etl_orc_roundtrip",
+    "etl_sorted_export",
+    "agg_cube_lang_source",
+    "win_lag_delta",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -394,6 +397,10 @@ _TOUCHED: dict[str, int] = {
     "api_engine_tags": 6,
     "dedup_minhash_incremental": 6,
     "ann_ivf_filtered": 6,
+    "etl_orc_roundtrip": 6,
+    "etl_sorted_export": 6,
+    "agg_cube_lang_source": 6,
+    "win_lag_delta": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
     "events_sessionize_stream": 5,
@@ -3491,6 +3498,96 @@ def agg_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube_lang_source",
+    """
+    SELECT COALESCE(lang, 'ALL') AS lang_grp,
+           COALESCE(source, 'ALL') AS source_grp,
+           (2 * GROUPING(lang) + GROUPING(source))::INT AS gid,
+           COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    """,
+)
+def agg_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source) — all four grouping sets of the corpus
+    composition report in one pass (the cube sibling of
+    agg_rollup_acctbal; SURVEY.md §2.4's grouping-sets surface). The
+    GROUPING() flags disambiguate a data NULL from a subtotal NULL, so
+    the output is unambiguous even on corpora where lang/source can be
+    missing. One shuffle: Spark expands each input row once per
+    grouping set and partially aggregates map-side, so the exchange
+    carries group partials, not row multiples — the same scale shape
+    as a plain groupBy with a 4× key-space constant."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            (
+                2 * F.grouping("lang").cast("int")
+                + F.grouping("source").cast("int")
+            ).alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_grp"),
+            F.coalesce("source", F.lit("ALL")).alias("source_grp"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+@register(
+    "win_lag_delta",
+    """
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(AVG(gap_us) / 1e6, 6) AS avg_gap_s,
+           ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
+    FROM d GROUP BY user_id
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps — the lag/lead window shape behind
+    every sessionization and cadence report (operators/temporal.py
+    uses the same primitive inside sessionize; this certifies it
+    standalone). Gap arithmetic runs on unix MICROSECONDS (bigint) so
+    both engines accumulate identical integers before the one
+    float division at the end; ties on ts break on event_id, so the
+    lag assignment is total-ordered and deterministic.
+
+    Scale: one shuffle. The window partitions by user_id and the
+    follow-up groupBy keys on the same column, so Catalyst reuses the
+    window's hash partitioning for the aggregate (no second
+    exchange); per-user state is a sort of that user's events — the
+    skew-prone hot-user case is the documented salted-aggregate
+    territory (operators/skew.py), not this query's 10k-row fixture."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
+
+
+@register(
     "set_ops_users",
     """
     WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
@@ -5191,6 +5288,83 @@ def etl_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(comp)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_orc_roundtrip",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC face of the S7 index sink certified end-to-end:
+    documents → ORC (sources/writers.py::write_table, fmt="orc",
+    Spark's native vectorized ORC writer) → read back → per-language
+    counters plus portable content-fingerprint sums, checked against
+    the same aggregate computed straight off the parquet. Any
+    encoding/compression corruption in the ORC layer breaks the
+    fingerprint sum; the oracle never sees the ORC files. Same
+    pushdown and partition-pruning story as parquet (both scans go
+    through the vectorized columnar readers), so the format axis is a
+    deployment choice, not a plan change."""
+    from .sources.writers import write_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = _scratch_dir("dferp_orc_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        write_table(docs, tmp, fmt="orc")
+    back = spark.read.orc(tmp)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_sorted_export",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(doc_id)::BIGINT AS id_checksum,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
+    FROM documents WHERE doc_id BETWEEN 10 AND 40 GROUP BY lang
+    """,
+)
+def etl_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sorted export certified end-to-end: documents →
+    sources/writers.py::write_range_sorted (repartitionByRange on
+    doc_id + sortWithinPartitions — globally disjoint per-file key
+    ranges, sorted rows inside each file) → read back UNDER A RANGE
+    PREDICATE → re-aggregate with fingerprint sums against the same
+    predicate applied to the source parquet. This is the
+    scan-pruning layout for 100 TB range queries: the pushed
+    BETWEEN skips every file whose footer min/max misses the range
+    and most row groups of the one file it hits (layout disjointness
+    + in-file sort are pinned in test_sources; the pushed filter in
+    test_plans)."""
+    from .sources.writers import write_range_sorted
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = _scratch_dir("dferp_sort_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        write_range_sorted(
+            docs, tmp, range_col="doc_id", extra_sort_cols=("lang",),
+            num_files=8,
+        )
+    back = spark.read.parquet(tmp).filter(F.col("doc_id").between(10, 40))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
     )

@@ -18,22 +18,70 @@ from pyspark.sql import DataFrame, functions as F
 _REBALANCE_CONF_LOCK = threading.Lock()
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append/overwrite sink (S7, S9) with a format axis.
+
+    ``partition_by`` is the scale lever: at 100 TB the index tables are
+    partitioned by a coarse key (e.g. ingest date) so queries prune
+    whole directories. ``fmt`` selects the columnar container —
+    parquet is the canonical store; ORC is the interchange sibling
+    (same pushdown/pruning story through Spark's native vectorized ORC
+    reader, different ecosystem). Both go through the identical
+    DataFrameWriter path, so everything said about partitioning holds
+    per-format.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def write_parquet_table(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
-    """Append/overwrite sink (S7, S9).
+    """The canonical parquet index sink — see :func:`write_table`."""
+    write_table(df, path, fmt="parquet", mode=mode, partition_by=partition_by)
 
-    ``partition_by`` is the scale lever: at 100 TB the index tables are
-    partitioned by a coarse key (e.g. ingest date) so queries prune
-    whole directories.
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    extra_sort_cols: tuple[str, ...] = (),
+    num_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted export — the scan-pruning layout for
+    selective range predicates (the one-dimensional slice of what
+    lakehouse OPTIMIZE ZORDER buys).
+
+    ``repartitionByRange`` samples the column and assigns each output
+    file a GLOBALLY DISJOINT value range; ``sortWithinPartitions``
+    orders rows inside each file. Two pruning levers fall out at read
+    time, both free: (a) parquet footer min/max statistics per file
+    are tight and non-overlapping, so a pushed range predicate skips
+    whole files; (b) row-group statistics inside the touched file are
+    tight because the rows are sorted, so the reader skips most row
+    groups of that file too. At 100 TB a predicate covering 1% of the
+    key space reads ~1% of the bytes instead of scanning every file's
+    every row group. The range exchange is one shuffle paid at write
+    time — the same trade as bucketing, applied to ORDER instead of
+    HASH.
     """
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    out = df.repartitionByRange(num_files, F.col(range_col)).sortWithinPartitions(
+        range_col, *extra_sort_cols
+    )
+    out.write.mode(mode).format(fmt).save(path)
 
 
 def write_json_export(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -312,3 +312,58 @@ def test_runtime_bloom_filter_prunes_keeplist_semi_join(spark, tmp_path):
             "applicationSideScanSizeThreshold",
             prev_thr,
         )
+
+
+def test_sorted_export_readback_pushes_range_predicate(spark, qs):
+    """etl_sorted_export's read-back: the doc_id BETWEEN predicate must
+    reach the parquet scan — with the range-disjoint sorted layout,
+    that pushed filter is what turns footer/row-group min-max stats
+    into skipped files and row groups at 100 TB."""
+    df = qs["etl_sorted_export"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "doc_id" in pf and ("GreaterThan" in pf or "IsNotNull" in pf), (
+        f"range predicate should reach the sorted-export scan:\n{pf}"
+    )
+
+
+def test_orc_readback_pushes_filters_like_parquet(spark):
+    """The ORC face of the index sink keeps the parquet scan story:
+    filters reach Spark's native vectorized ORC reader."""
+    import tempfile
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import (
+        load_table,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+        write_table,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        write_table(docs, td, fmt="orc")
+        back = spark.read.orc(td).filter(F.col("doc_id") > 10)
+        pf = pushed_filters(back)
+        assert "doc_id" in pf, f"ORC scan should receive the filter:\n{pf}"
+
+
+def test_lag_delta_single_exchange(spark, qs):
+    """win_lag_delta: the window partitions by user_id and the
+    follow-up aggregate groups by the same key — Catalyst must reuse
+    the window's hash partitioning, so the whole plan carries exactly
+    ONE shuffle of the events table."""
+    text = _plan_text(qs["win_lag_delta"](spark, SF_DIR))
+    n_exchanges = text.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected one exchange, got {n_exchanges}:\n{text[:2000]}"
+
+
+def test_cube_has_partial_aggregation(spark, qs):
+    """agg_cube_lang_source: the 4-way grouping-set expand must still
+    combine map-side (partial_count/partial_sum before the exchange),
+    so the shuffle carries group partials, not expanded input rows."""
+    text = _plan_text(qs["agg_cube_lang_source"](spark, SF_DIR))
+    assert "Expand" in text, "cube should plan an Expand"
+    assert "partial_count" in text or "partial" in text.lower(), (
+        f"cube aggregate should have a partial phase:\n{text[:2000]}"
+    )

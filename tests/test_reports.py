@@ -87,3 +87,27 @@ def test_segment_stats_long_zero_tag_bucket(spark):
     assert rows[("segments_per_image", "1")] == 1.0
     assert rows[("segment_summary", "avg_segments_per_image")] == 1.5
     assert rows[("area_summary", "min_area")] == 500.0
+
+
+def test_cube_grouping_sets_consistent(spark, sf_dir):
+    """agg_cube_lang_source: the gid flags partition the output into
+    the four grouping sets, the gid=3 grand total equals the corpus
+    row count, and each subtotal level re-aggregates to it."""
+    from data_feature_extraction_and_retrieval_pipeline_spark import queries as Q
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import (
+        load_table,
+    )
+
+    rows = Q.queries()["agg_cube_lang_source"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    [grand] = by_gid[3]
+    assert (grand.lang_grp, grand.source_grp) == ("ALL", "ALL")
+    assert grand.n_docs == total
+    # every marginal re-aggregates to the grand total
+    for gid in (0, 1, 2):
+        assert sum(r.n_docs for r in by_gid[gid]) == total
+        assert sum(r.sum_chars for r in by_gid[gid]) == grand.sum_chars

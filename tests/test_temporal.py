@@ -167,3 +167,42 @@ def test_interval_join_matches_python(spark):
         (r.user_id, r.lts, r.rts, round(r.value, 9)) for r in got.collect()
     )
     assert got_rows == want and len(want) > 0
+
+
+def test_win_lag_delta_semantics(spark, tmp_path):
+    """win_lag_delta on a hand-built events dir: known gaps, a
+    single-event user (NULL avg/max, zero gaps), and a same-timestamp
+    tie broken by event_id."""
+    from datetime import datetime as dt
+
+    from data_feature_extraction_and_retrieval_pipeline_spark import queries as Q
+
+    rows = [
+        # user 1: gaps of 10s and 20s
+        (1, dt(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),
+        (2, dt(2024, 1, 1, 0, 0, 10), 1, "click", 0.0, "{}"),
+        (3, dt(2024, 1, 1, 0, 0, 30), 1, "click", 0.0, "{}"),
+        # user 2: one event — no gaps at all
+        (4, dt(2024, 1, 1, 0, 0, 0), 2, "view", 0.0, "{}"),
+        # user 3: tied timestamps — ordered by event_id, both gaps 0
+        (5, dt(2024, 1, 1, 0, 1, 0), 3, "view", 0.0, "{}"),
+        (6, dt(2024, 1, 1, 0, 1, 0), 3, "view", 0.0, "{}"),
+        (7, dt(2024, 1, 1, 0, 1, 0), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+
+    out = {
+        r.user_id: r
+        for r in Q.queries()["win_lag_delta"](spark, sf).collect()
+    }
+    assert (out[1].n_events, out[1].n_gaps) == (3, 2)
+    assert out[1].avg_gap_s == 15.0 and out[1].max_gap_s == 20.0
+    assert (out[2].n_events, out[2].n_gaps) == (1, 0)
+    assert out[2].avg_gap_s is None and out[2].max_gap_s is None
+    assert (out[3].n_events, out[3].n_gaps) == (3, 2)
+    assert out[3].avg_gap_s == 0.0 and out[3].max_gap_s == 0.0

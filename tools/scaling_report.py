@@ -56,6 +56,10 @@ QUERIES = [
     "dedup_minhash_incremental",
     "ann_ivf_filtered",
     "report_segment_stats",
+    # round 6 second half: the range-clustered sorted export (its cost
+    # is the write-time range shuffle, which must scale with rows);
+    # win_lag_delta is excluded like report_dataset (events-based)
+    "etl_sorted_export",
 ]
 
 
