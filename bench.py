@@ -119,6 +119,10 @@ HEADLINE = [
     # cadence window (one reused exchange for window + aggregate)
     "etl_sorted_export",
     "win_lag_delta",
+    # round 6: true BM25 relevance (shuffle-free scoring path) and
+    # per-doc tf-idf keyword extraction (the full-token shuffle shape)
+    "text_bm25_topk",
+    "text_tfidf_keywords",
 ]
 
 

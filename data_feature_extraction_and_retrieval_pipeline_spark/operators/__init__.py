@@ -1,4 +1,11 @@
-from .retrieval import knn, knn_batch, segment_search, hybrid_search, tag_search  # noqa: F401
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    hybrid_search,
+    knn,
+    knn_batch,
+    segment_search,
+    tag_search,
+)
 from .etl import clean_metadata, prefix_split, url_basename  # noqa: F401
 from .dedup import exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, simhash_buckets  # noqa: F401
 from .analytics import value_counts, explode_counts, histogram, group_stats  # noqa: F401

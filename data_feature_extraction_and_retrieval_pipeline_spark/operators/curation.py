@@ -25,7 +25,7 @@ exactly (functions/text.py::portable_token_hashes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text as X
 from .dedup import _PORT_B, _PORT_P
@@ -238,6 +238,77 @@ def unigram_logprob(
             ),
             "avg_nll",
         )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_n`` tokens ranked by
+    tf-idf — the metadata tagger a training-data pipeline runs to give
+    every document searchable topic keys (the corpus-statistics
+    sibling of the reference's per-image CLIP tag vocabulary,
+    SAM/sam_segment_clip_pipeline.py:219-257, with corpus idf standing
+    in for the model).
+
+        tfidf(d, t) = (tf/dl) · ln((N + 1) / (df(t) + 1))
+
+    (smoothed idf, never negative; tf length-normalized so long
+    documents don't dominate).
+
+    Scale shape: explode → groupBy(id, token) is the one unavoidable
+    full-token shuffle (map-side combine collapses repeats); document
+    frequency re-aggregates THAT frame by token (vocab-sized, Heaps-
+    law sublinear — broadcast back when ``broadcast_vocab``, the right
+    call for natural-language vocabularies even at 100 TB; set False
+    to shuffle-join unbounded token domains); dl comes from a window
+    SUM over the same id partitioning the rank window needs, so both
+    window passes share one exchange; the per-doc top-n is a
+    rank-limit window (WindowGroupLimit pushes the ≤n cut map-side).
+    Ranking compares the ROUNDED score with a token tiebreak, so the
+    kept set is engine-exact.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = df.groupBy().agg(F.count("*").alias("__n"))
+
+    w_doc = Window.partitionBy(id_col)
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .select(
+            F.col(id_col),
+            F.col("tok").alias("term"),
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                * F.log(
+                    (F.col("__n") + 1).cast("double")
+                    / (F.col("dfc") + 1).cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(top_n))
+        .select(id_col, "rank", "term", "tfidf")
     )
 
 

@@ -479,3 +479,114 @@ def tag_search(
     return scored.orderBy(
         F.desc("matched_tags"), F.desc("max_confidence"), F.col(image_col)
     ).limit(top_k)
+
+
+def _term_eq(term: str):
+    # Closure factory: Spark reads HOF-lambda arity from the Python
+    # signature, so a default-arg capture (``lambda t, term=term:``)
+    # would be mis-read as a 2-arg lambda.
+    return lambda t: t == F.lit(term)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    keep_cols: Sequence[str] = (),
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """True BM25 relevance — the scoring the reference's Q4 actually
+    ranks by: ES ``_score`` over a terms match IS Lucene BM25
+    (search_with_segments.py:304-342 sorts by ``_score``;
+    app.py:256-293 returns it). SURVEY.md §2.9 scoped exact parity out
+    in favour of a proxy; this closes that gap with the Lucene 8+
+    formula (the ``(k1+1)`` numerator constant dropped, as Lucene
+    dropped it — it rescales every score identically):
+
+        score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+    Plan shape (the reason this scales): the query is a literal
+    handful of terms, so per-document ``tf_i = size(filter(toks, =
+    term_i))`` is a MAP-ONLY Catalyst expression — no explode, no
+    (doc, term) shuffle, no posting-list join. The corpus statistics
+    (N, Σdl, df per term) are ONE single-row aggregate (partial
+    map-side, a 1-row exchange) broadcast back via crossJoin. Scoring
+    is then map-only again and top-k is TakeOrderedAndProject. Two
+    corpus scans total; a real deployment persists the stats row at
+    index-build time exactly like ES does — pass it as ``stats_df``
+    and the plan drops to one scan.
+
+    Only matching documents (≥1 query-term hit) are returned, like an
+    ES OR-match. NULL text scores as the empty document (coalesced
+    before tokenization). Deterministic: contributions are added
+    left-to-right in query-term order, ties break on (rounded score
+    DESC, id ASC).
+    """
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    from ..functions import text as X
+
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+    else:
+        toks = X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    tf_names = [f"__tf_{i}" for i in range(len(terms))]
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size(toks).alias("__dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).alias(n)
+            for t, n in zip(terms, tf_names)
+        ],
+    )
+
+    if stats_df is None:
+        stats_df = base.agg(
+            F.count("*").alias("__n"),
+            F.sum("__dl").alias("__sumdl"),
+            *[
+                F.sum((F.col(n) > 0).cast("long")).alias(f"__df_{i}")
+                for i, n in enumerate(tf_names)
+            ],
+        )
+
+    scored = base.crossJoin(F.broadcast(stats_df))
+    nd = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / nd
+    dld = F.col("__dl").cast("double")
+    contribs = []
+    for i in range(len(terms)):
+        dfd = F.col(f"__df_{i}").cast("double")
+        tfd = F.col(tf_names[i]).cast("double")
+        idf = F.log(
+            F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        )
+        norm = tfd / (
+            tfd + F.lit(float(k1)) * (F.lit(1.0 - b) + F.lit(float(b)) * (dld / avgdl))
+        )
+        contribs.append(idf * norm)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    matched = F.col(tf_names[0]) > 0
+    n_matched = (F.col(tf_names[0]) > 0).cast("int")
+    for n in tf_names[1:]:
+        matched = matched | (F.col(n) > 0)
+        n_matched = n_matched + (F.col(n) > 0).cast("int")
+
+    out = scored.filter(matched).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        n_matched.alias("n_matched_terms"),
+        F.round(score, 6).alias("bm25"),
+    )
+    return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(top_k)

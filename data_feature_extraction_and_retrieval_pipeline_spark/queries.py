@@ -301,12 +301,10 @@ _DRIVER_ORDER: list[str] = [
     "win_topn_per_group",
     "win_global_topk",
     "join_meta_counters",
-    "join_semi_allowlist",
-    "join_anti_customers",
-    "etl_sentinel_cleanse",
     # etl_safe_cast / etl_multiformat_date / etl_prefix_split /
-    # vec_mean_per_label displaced to 51+ by the four queries new in
-    # round 6's second half (their r04 rows stay valid — code
+    # vec_mean_per_label / join_semi_allowlist / join_anti_customers /
+    # etl_sentinel_cleanse displaced to 51+ by the seven queries new
+    # in round 6's second half (their r04 rows stay valid — code
     # untouched); ann_pq_portable / ann_ivfpq_portable likewise
     # displaced earlier by dedup_minhash_incremental / ann_ivf_filtered
     "dedup_minhash_incremental",
@@ -316,6 +314,9 @@ _DRIVER_ORDER: list[str] = [
     "etl_sorted_export",
     "agg_cube_lang_source",
     "win_lag_delta",
+    "text_bm25_topk",
+    "tag_search_bm25",
+    "text_tfidf_keywords",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -401,6 +402,9 @@ _TOUCHED: dict[str, int] = {
     "etl_sorted_export": 6,
     "agg_cube_lang_source": 6,
     "win_lag_delta": 6,
+    "text_bm25_topk": 6,
+    "tag_search_bm25": 6,
+    "text_tfidf_keywords": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
     "events_sessionize_stream": 5,
@@ -1701,6 +1705,108 @@ def tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").alias("doc_id"),
         "matched_tags",
         F.round(F.col("max_confidence").cast("double"), 6).alias("max_confidence"),
+    )
+
+
+def _bm25_sql(
+    terms: list[str],
+    toks_expr: str,
+    keep: str = "",
+    top_k: int = 10,
+) -> str:
+    """SQL-text twin of ``retrieval.bm25_topk`` — same Lucene-8 BM25
+    formula (k1=1.2, b=0.75), same left-to-right per-term
+    accumulation, same parenthesization, so the doubles agree
+    bit-for-bit before the ROUND."""
+    idx = range(len(terms))
+    tfs = ",\n               ".join(
+        f"LEN(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in idx
+    )
+    contrib = "\n             + ".join(
+        f"LN(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) / (CAST(tf{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        for i in idx
+    )
+    matchsum = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in idx
+    )
+    any_match = " OR ".join(f"tf{i} > 0" for i in idx)
+    return f"""
+    WITH base AS (
+        SELECT doc_id{keep}, {toks_expr} AS toks FROM documents
+    ),
+    tf AS (
+        SELECT doc_id{keep}, LEN(toks) AS dl,
+               {tfs}
+        FROM base
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {dfs}
+        FROM tf
+    )
+    SELECT doc_id{keep}, ({matchsum})::INT AS n_matched_terms,
+           ROUND({contrib}, 6) AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE {any_match}
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+_BM25_DOC_TERMS = ["data", "table", "vector", "join"]
+_BM25_TAG_TERMS = ["data", "table", "row"]
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_sql(
+        _BM25_DOC_TERMS,
+        "list_filter(string_split_regex(LOWER(COALESCE(text, '')), '\\s+'),"
+        " t -> LENGTH(t) > 0)",
+        keep=", lang",
+    ),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 top-k over the corpus — the reference's actual
+    Q4 ranking signal (ES ``_score`` = Lucene BM25;
+    search_with_segments.py:304-342, app.py:256-293) as a first-class
+    operator instead of the proxy. Literal query terms ⇒ per-doc tf is
+    map-only (no posting shuffle); corpus stats are one 1-row
+    aggregate broadcast back; top-k is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    return retrieval.bm25_topk(
+        docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text",
+        top_k=10, keep_cols=("lang",),
+    )
+
+
+@register(
+    "tag_search_bm25",
+    _bm25_sql(
+        _BM25_TAG_TERMS,
+        "list_sort(list_distinct(list_filter("
+        "string_split_regex(LOWER(text), '\\s+'), t -> LENGTH(t) > 0)))[1:5]",
+    ),
+)
+def tag_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 with the proxy replaced by the real thing: BM25 relevance
+    over the per-image ``tag_list`` index column (the ES keyword-field
+    scoring of search_with_segments.py:304-342 — tf∈{0,1} per tag, dl
+    = #tags, idf from the corpus tag distribution). Same write-time
+    tag artifact `_doc_tag_list` the proxy query uses; only the
+    ranking changes."""
+    tagged = _doc_tag_list(spark, sf_dir)
+    return retrieval.bm25_topk(
+        tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list",
+        top_k=10,
     )
 
 
@@ -4780,6 +4886,46 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
     )
+
+
+@register(
+    "text_tfidf_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(
+            string_split_regex(LOWER(COALESCE(text, '')), '\\s+'),
+            t -> LENGTH(t) > 0)) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, tok AS term,
+               ROUND((CAST(tf AS DOUBLE)
+                      / CAST(SUM(tf) OVER (PARTITION BY doc_id) AS DOUBLE))
+                     * LN(CAST(n + 1 AS DOUBLE) / CAST(dfc + 1 AS DOUBLE)),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               )::INT AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf-idf
+    (operators/curation.py::tfidf_keywords) — searchable topic keys
+    for every document, the corpus-statistics analogue of the
+    reference's per-image tag vocabulary. One full-token shuffle, a
+    broadcast vocab join, and a shared-exchange window pair (dl sum +
+    rank limit)."""
+    docs = _t(spark, sf_dir, "documents", wide=True)
+    return curation.tfidf_keywords(docs, top_n=3)
 
 
 @register(

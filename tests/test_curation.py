@@ -219,3 +219,44 @@ def test_quality_classifier_null_text_rejected(spark):
     assert rows[1].logit == rows[2].logit == -1.25
     assert not rows[1].keep and not rows[2].keep
     assert rows[3].keep
+
+
+class TestTfidfKeywords:
+    def test_hand_corpus(self, spark):
+        """tf-idf on a 3-doc corpus vs by-hand values: N=3,
+        df(apple)=1, df(banana)=2, df(cherry)=2, df(durian)=1."""
+        df = _docs(
+            spark,
+            [
+                "apple apple banana",
+                "banana cherry",
+                "cherry cherry cherry durian",
+            ],
+        )
+        rows = curation.tfidf_keywords(df, top_n=2).collect()
+        got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in rows}
+
+        def tfidf(tf, dl, dfc, n=3):
+            return round((tf / dl) * math.log((n + 1) / (dfc + 1)), 6)
+
+        # doc 0: apple (2/3)·ln2 beats banana (1/3)·ln(4/3)
+        assert got[(0, 1)] == ("apple", pytest.approx(tfidf(2, 3, 1)))
+        assert got[(0, 2)] == ("banana", pytest.approx(tfidf(1, 3, 2)))
+        # doc 2: durian (1/4)·ln2 vs cherry (3/4)·ln(4/3) — cherry wins
+        assert got[(2, 1)] == ("cherry", pytest.approx(tfidf(3, 4, 2)))
+        assert got[(2, 2)] == ("durian", pytest.approx(tfidf(1, 4, 1)))
+        # every doc emits at most top_n rows, ranks are 1..n dense
+        assert all(r.rank in (1, 2) for r in rows)
+
+    def test_tie_breaks_on_term_and_null_text(self, spark):
+        """Equal scores break alphabetically; a NULL-text doc emits no
+        keyword rows (nothing to extract) but still counts toward N."""
+        df = spark.createDataFrame(
+            [(0, "zebra apple"), (1, None)], "doc_id long, text string"
+        )
+        rows = curation.tfidf_keywords(df, top_n=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+        assert sorted(by_doc[0]) == [(1, "apple"), (2, "zebra")]
+        assert 1 not in by_doc

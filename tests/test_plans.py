@@ -367,3 +367,37 @@ def test_cube_has_partial_aggregation(spark, qs):
     assert "partial_count" in text or "partial" in text.lower(), (
         f"cube aggregate should have a partial phase:\n{text[:2000]}"
     )
+
+
+def test_bm25_scoring_path_has_no_hash_shuffle(spark, qs):
+    """text_bm25_topk: literal query terms make per-doc tf MAP-ONLY —
+    the plan must contain no explode (Generate) and no hash-partition
+    exchange at all. The only exchanges are the 1-row corpus-stats
+    SinglePartition aggregate and its broadcast back; top-k is
+    TakeOrderedAndProject. This is the shape that survives 100 TB:
+    scan-bound, zero data shuffled."""
+    df = qs["text_bm25_topk"](spark, SF_DIR)
+    text = _plan_text(df)
+    assert "Generate" not in text, "bm25 tf must not explode tokens"
+    assert "hashpartitioning" not in text, (
+        f"bm25 must not hash-shuffle anything:\n{text[:1500]}"
+    )
+    assert "SinglePartition" in text  # the 1-row stats aggregate
+    assert "BroadcastNestedLoopJoin" in text  # stats row broadcast back
+    assert has_take_ordered(df)
+
+
+def test_tfidf_windows_share_one_doc_exchange(spark, qs):
+    """text_tfidf_keywords: the dl-sum window and the rank-limit
+    window both partition by doc_id and must share ONE exchange; the
+    rank cut must plan WindowGroupLimit (map-side ≤n pruning); the
+    vocabulary joins back as a BroadcastHashJoin."""
+    import re
+
+    text = _plan_text(qs["text_tfidf_keywords"](spark, SF_DIR))
+    assert "WindowGroupLimit" in text
+    assert "BroadcastHashJoin" in text
+    doc_only = re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", text)
+    assert len(doc_only) == 1, (
+        f"both windows should reuse one doc_id exchange:\n{doc_only}"
+    )

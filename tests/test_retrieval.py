@@ -197,3 +197,90 @@ def test_knn_batch_crossjoin_fallback_equals_batched(spark, emb, emb_np):
         )
 
     assert norm(batched) == norm(fallback)
+
+
+class TestBM25:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "apple"),
+                (4, "durian elderberry fig grape"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_hand_corpus_scores(self, spark):
+        """Lucene-8 BM25 on a 5-doc corpus vs a by-hand computation:
+        N=5, Σdl=10 (NULL text = empty doc, counted in N, adds 0 to
+        Σdl), avgdl=2, df(apple)=2, df(cherry)=1."""
+        import math
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+            bm25_topk,
+        )
+
+        out = bm25_topk(self._corpus(spark), ["apple", "cherry"], top_k=10)
+        rows = out.collect()
+        got = {r.doc_id: r for r in rows}
+
+        def idf(dfc):
+            return math.log(1 + (5 - dfc + 0.5) / (dfc + 0.5))
+
+        def tfnorm(tf, dl):
+            return tf / (tf + 1.2 * (0.25 + 0.75 * (dl / 2.0)))
+
+        assert set(got) == {1, 2, 3}  # non-matching + NULL docs dropped
+        assert got[1].bm25 == pytest.approx(
+            round(idf(2) * tfnorm(2, 3), 6), abs=1e-9
+        )
+        assert got[2].bm25 == pytest.approx(
+            round(idf(1) * tfnorm(1, 2), 6), abs=1e-9
+        )
+        assert got[3].bm25 == pytest.approx(
+            round(idf(2) * tfnorm(1, 1), 6), abs=1e-9
+        )
+        assert got[1].n_matched_terms == 1
+        # rarer term (cherry) outscores the commoner apple docs
+        assert [r.doc_id for r in rows] == sorted(
+            got, key=lambda d: (-got[d].bm25, d)
+        )
+        assert rows[0].doc_id == 2
+
+    def test_multi_term_sums_and_topk_cut(self, spark):
+        """A doc matching both terms accumulates both contributions;
+        top_k truncates after the (score DESC, id ASC) order."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+            bm25_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "apple cherry"), (2, "apple"), (3, "cherry")],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(df, ["apple", "cherry"], top_k=2).collect()
+        assert len(rows) == 2
+        assert rows[0].doc_id == 1 and rows[0].n_matched_terms == 2
+
+    def test_precomputed_stats_df_matches_inline(self, spark):
+        """The one-scan serving path (stats_df persisted at index
+        time) returns the identical ranking."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+            bm25_topk,
+        )
+        from data_feature_extraction_and_retrieval_pipeline_spark.operators.retrieval import (
+            bm25_topk as _b,
+        )
+
+        corpus = self._corpus(spark)
+        inline = bm25_topk(corpus, ["apple", "cherry"], top_k=10).collect()
+        stats = spark.createDataFrame(
+            [(5, 10, 2, 1)], "__n long, __sumdl long, __df_0 long, __df_1 long"
+        )
+        served = _b(
+            corpus, ["apple", "cherry"], top_k=10, stats_df=stats
+        ).collect()
+        key = lambda rows: [(r.doc_id, r.bm25, r.n_matched_terms) for r in rows]
+        assert key(inline) == key(served)

@@ -60,6 +60,11 @@ QUERIES = [
     # is the write-time range shuffle, which must scale with rows);
     # win_lag_delta is excluded like report_dataset (events-based)
     "etl_sorted_export",
+    # round 6 second half: BM25 (scan-bound, zero-shuffle scoring —
+    # should scale linearly with corpus bytes) and tf-idf keywords
+    # (the full-token-shuffle shape, the steepest text curve here)
+    "text_bm25_topk",
+    "text_tfidf_keywords",
 ]
 
 
