@@ -482,3 +482,109 @@ def test_interval_join_matches_python(spark, left_rows, right_rows):
         if lk == rk and ls - 5 <= rs <= ls + 3
     )
     assert got == want, (left_rows, right_rows)
+
+
+def _round6(x: float) -> float:
+    """Spark F.round HALF_UP on the shortest decimal repr of the
+    double — Decimal(repr(x)) matches BigDecimal.valueOf(double)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(token, min_size=0, max_size=10)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(token, min_size=1, max_size=3, unique=True),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python(spark, docs, terms):
+    """bm25_topk vs a plain-Python Lucene-8 BM25 on generated corpora:
+    same left-to-right per-term accumulation, NULL text = empty doc
+    (counted in N, dl 0), only matching docs returned, ties broken on
+    (rounded score desc, id)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d) if d is not None else None) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.n_matched_terms, r.bm25)
+        for r in bm25_topk(df, terms, top_k=len(docs)).collect()
+    ]
+
+    toks = [d if d is not None else [] for d in docs]
+    n = len(toks)
+    sumdl = sum(len(t) for t in toks)
+    dfc = [sum(1 for t in toks if q in t) for q in terms]
+    want = []
+    for i, t in enumerate(toks):
+        tfs = [t.count(q) for q in terms]
+        matched = sum(1 for tf in tfs if tf)
+        if not matched:
+            # a matching doc implies sumdl >= 1; skipping first keeps
+            # the reference free of the 0/0 the Spark filter never hits
+            continue
+        score = 0.0
+        for tf, dfq in zip(tfs, dfc):
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            score = score + idf * (
+                tf / (tf + 1.2 * (0.25 + 0.75 * (len(t) / (sumdl / n))))
+            )
+        want.append((i, matched, _round6(score)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want, (docs, terms)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(token, min_size=0, max_size=8)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_tfidf_keywords_matches_python(spark, docs):
+    """tfidf_keywords vs plain Python: length-normalized tf · smoothed
+    idf, N counts every doc (NULL text included), per-doc top-2 ranked
+    by (rounded score desc, term asc)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        curation,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d) if d is not None else None) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.rank, r.term, r.tfidf)
+        for r in curation.tfidf_keywords(df, top_n=2).collect()
+    )
+
+    toks = [d if d is not None else [] for d in docs]
+    n = len(toks)
+    dfc: dict[str, int] = {}
+    for t in toks:
+        for term in set(t):
+            dfc[term] = dfc.get(term, 0) + 1
+    want = []
+    for i, t in enumerate(toks):
+        if not t:
+            continue
+        dl = len(t)
+        scored = sorted(
+            (
+                -_round6((t.count(term) / dl) * math.log((n + 1) / (dfc[term] + 1))),
+                term,
+            )
+            for term in set(t)
+        )
+        for rank, (neg, term) in enumerate(scored[:2], start=1):
+            want.append((i, rank, term, -neg))
+    assert got == sorted(want), docs
