@@ -300,13 +300,13 @@ _DRIVER_ORDER: list[str] = [
     "agg_bool_flags",
     "win_topn_per_group",
     "win_global_topk",
-    "join_meta_counters",
     # etl_safe_cast / etl_multiformat_date / etl_prefix_split /
     # vec_mean_per_label / join_semi_allowlist / join_anti_customers /
-    # etl_sentinel_cleanse displaced to 51+ by the seven queries new
-    # in round 6's second half (their r04 rows stay valid — code
-    # untouched); ann_pq_portable / ann_ivfpq_portable likewise
-    # displaced earlier by dedup_minhash_incremental / ann_ivf_filtered
+    # etl_sentinel_cleanse / join_meta_counters displaced to 51+ by
+    # the eight queries new in round 6's second half (their r04 rows
+    # stay valid — code untouched); ann_pq_portable / ann_ivfpq_portable
+    # likewise displaced earlier by dedup_minhash_incremental /
+    # ann_ivf_filtered
     "dedup_minhash_incremental",
     "ann_ivf_filtered",
     # -- new in round 6, second half (no row yet; floor 6 ⇒ head) --
@@ -317,6 +317,7 @@ _DRIVER_ORDER: list[str] = [
     "text_bm25_topk",
     "tag_search_bm25",
     "text_tfidf_keywords",
+    "percolate_stream",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -405,6 +406,7 @@ _TOUCHED: dict[str, int] = {
     "text_bm25_topk": 6,
     "tag_search_bm25": 6,
     "text_tfidf_keywords": 6,
+    "percolate_stream": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
     "events_sessionize_stream": 5,
@@ -3399,6 +3401,131 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Percolation: standing-query terms (union), registered queries, and
+# the SQL twin generator. Module-level so the Spark path and the
+# oracle are built from ONE definition of the queries.
+_PERC_TERMS = ["data", "table", "vector", "join", "row"]
+_PERC_QUERIES = [
+    ("q_pipeline", ("data", "table"), 0.3),
+    ("q_vector", ("vector", "join"), 0.32),
+    ("q_rows", ("row",), 0.15),
+]
+
+
+def _percolate_sql(
+    union_terms: list[str],
+    queries: list[tuple[str, tuple[str, ...], float]],
+) -> str:
+    """SQL-text twin of ``streaming.percolate`` — the same Lucene-8
+    BM25 accumulation as ``_bm25_sql`` with the stats computed from
+    the same corpus the stream drains, a per-query UNION ALL over one
+    shared stats CTE, and the threshold compared on the RAW
+    left-to-right accumulated double (bit-identical across engines)
+    before the 6-digit display round."""
+    idx = {t: i for i, t in enumerate(union_terms)}
+    tfs = ",\n               ".join(
+        f"LEN(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(union_terms)
+    )
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(union_terms))
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"LN(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf{i} AS DOUBLE) / (CAST(tf{i} AS DOUBLE)"
+            f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+            f" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        )
+
+    selects = []
+    for qid, terms, min_score in queries:
+        score = "\n             + ".join(contrib(idx[t]) for t in terms)
+        nm = " + ".join(
+            f"(CASE WHEN tf{idx[t]} > 0 THEN 1 ELSE 0 END)" for t in terms
+        )
+        any_match = " OR ".join(f"tf{idx[t]} > 0" for t in terms)
+        selects.append(
+            f"""SELECT doc_id, '{qid}' AS query_id,
+           ({nm})::INT AS n_matched_terms,
+           ROUND({score}, 6) AS bm25
+    FROM scored WHERE ({any_match}) AND ({score}) >= {min_score}"""
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(COALESCE(text, '')),
+                                              '\\s+'),
+                           t -> LENGTH(t) > 0) AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, LEN(toks) AS dl,
+               {tfs}
+        FROM base
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {dfs}
+        FROM tf
+    ),
+    scored AS (SELECT * FROM tf CROSS JOIN stats)
+    {body}
+    """
+
+
+@register("percolate_stream", _percolate_sql(_PERC_TERMS, _PERC_QUERIES))
+def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing queries matched against documents at ingest — the ES
+    percolator shape (queries are indexed, each arriving document is
+    scored against all of them; the reference's ingest loop
+    bulk_index_with_features.py composed with its BM25-scored search
+    search_with_segments.py:304-342). The documents table is drained
+    availableNow through ``streaming.percolate``: BM25 against a
+    FROZEN corpus-stats row (built batch-side like an index artifact),
+    idf computed in-engine, map-only per micro-batch — stateless, so
+    no watermark and exact restart semantics. The drained output IS
+    the batch scoring (asserted in test_streaming), which is what the
+    oracle replays."""
+    import tempfile
+
+    from .streaming import StandingQuery, bm25_stats, percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = bm25_stats(docs, _PERC_TERMS)
+    standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    matched = percolate(
+        src.select("doc_id", "text"), standing, stats, _PERC_TERMS
+    )
+    name = "perc_stream_" + hashlib.sha1(
+        sf_dir.rstrip("/").encode()
+    ).hexdigest()[:10]
+    ckpt = tempfile.mkdtemp(prefix="dferp_perc_ckpt_")
+    q = (
+        matched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
+    return spark.table(name)
+
+
 @register("events_sessionize_stream", _SESSIONIZE_ORACLE)
 def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState sessionizer (streaming/sessionize.py)
@@ -3659,7 +3786,7 @@ def agg_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            COUNT(gap_us) AS n_gaps,
-           ROUND(AVG(gap_us) / 1e6, 6) AS avg_gap_s,
+           (SUM(gap_us) // COUNT(gap_us))::BIGINT AS avg_gap_us,
            ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
     FROM d GROUP BY user_id
     """,
@@ -3671,7 +3798,16 @@ def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone). Gap arithmetic runs on unix MICROSECONDS (bigint) so
     both engines accumulate identical integers before the one
     float division at the end; ties on ts break on event_id, so the
-    lag assignment is total-ordered and deterministic.
+    lag assignment is total-ordered and deterministic. The mean gap is
+    emitted as EXACT integer microseconds (SUM div COUNT) — NOT a
+    rounded AVG seconds — for two scale-dependent reasons found at
+    sf0.1: AVG sums doubles in partition order (order-dependent
+    rounding at ~1e15 partials), and even with an exact integer sum
+    the true quotient can land on a .5 at the rounding digit, where
+    Spark's decimal-string HALF_UP and DuckDB's binary rounding
+    legitimately disagree. Integer division has no such boundary at
+    any scale. max_gap keeps the seconds display: a single integer /
+    1e6 is an exact 6-decimal value, tie-free to round.
 
     Scale: one shuffle. The window partitions by user_id and the
     follow-up groupBy keys on the same column, so Catalyst reuses the
@@ -3688,7 +3824,7 @@ def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.count("gap_us").alias("n_gaps"),
-        F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.expr("sum(gap_us) div count(gap_us)").alias("avg_gap_us"),
         F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
     )
 

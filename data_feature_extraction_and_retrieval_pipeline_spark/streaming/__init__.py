@@ -12,3 +12,4 @@ from .dedup import (  # noqa: F401
     minhash_collision_stream,
 )
 from .join import interval_join_stream  # noqa: F401
+from .percolate import StandingQuery, bm25_stats, percolate  # noqa: F401

@@ -1,0 +1,182 @@
+"""Percolation — standing queries matched against incoming documents.
+
+The reference serves retrieval through Elasticsearch, and ES reverses
+search with its percolator: queries are registered in an index, and
+each document arriving at ingest is matched against every registered
+query (the alerting / routing primitive behind "tell me when a doc
+matching X lands"). The reference's ingest loop
+(bulk_index_with_features.py) plus its BM25-scored search
+(search_with_segments.py:304-342) compose into exactly that standing
+shape once the corpus statistics are frozen.
+
+This is the Spark twin: standing BM25 term queries scored against a
+FROZEN corpus-statistics row (the ``stats_df`` serving artifact of
+``operators.retrieval.bm25_topk`` — built once at index time, like
+ES's segment statistics) as a pure map-only Catalyst expression. No
+state store, no watermark, no shuffle: the identical column logic
+runs on a batch frame or on every readStream micro-batch in append
+mode, which is what makes the operator trivially correct under
+restart (stateless) and embarrassingly parallel across a
+1000-executor ingest stream.
+
+Scale shape: queries are the SMALL side — ES percolator indexes hold
+thousands of queries against billions of documents, and the same
+asymmetry holds here — so each query's terms are inlined as literal
+expressions (per-doc work is O(|queries| x |terms|) token scans inside
+whole-stage codegen). The stats row joins back as a broadcast; at 100
+TB nothing about this plan changes except the number of input splits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class StandingQuery(NamedTuple):
+    """A registered percolator query: match any of ``terms``, alert
+    when the BM25 score (under the frozen stats) clears ``min_score``."""
+
+    query_id: str
+    terms: tuple[str, ...]
+    min_score: float
+
+
+def _term_eq(term: str):
+    # Closure factory: Spark reads HOF-lambda arity from the Python
+    # signature, so a default-arg capture would be mis-read as 2-arg.
+    return lambda t: t == F.lit(term)
+
+
+def bm25_stats(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The frozen corpus-statistics artifact: one row with the corpus
+    size, total token count, and per-term document frequency for the
+    union of all standing-query terms. One aggregate job (partial
+    map-side, 1-row exchange); built at index time, reused by every
+    percolation micro-batch — the exact ``stats_df`` contract of
+    ``bm25_topk``. Column names are positional (``__df_<i>`` follows
+    ``terms`` order), so pass the SAME term list to ``percolate``.
+    """
+    from ..functions import text as X
+
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    sized = docs.select(
+        F.size(toks).alias("__dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return sized.agg(
+        F.count("*").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: Sequence[StandingQuery],
+    stats_df: DataFrame,
+    stats_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Match every document in ``docs`` (batch OR streaming frame)
+    against every standing query; emit one row per (doc, query) hit:
+    ``(doc_id, query_id, n_matched_terms, bm25)``.
+
+    A hit means >= 1 query term present AND raw BM25 >= the query's
+    ``min_score`` (the threshold compares the UNROUNDED left-to-right
+    accumulation, which is bit-identical across engines — the rounded
+    score is emitted for display). idf is computed IN-ENGINE from the
+    stats columns (``F.log`` here = ``LN`` in the oracle, the same
+    certified pairing ``text_bm25_topk`` uses).
+
+    Plan: scan -> broadcast the 1-row stats -> per-query scores as
+    literal-term expressions -> explode a |queries|-element struct
+    array -> filter. Map-only after the broadcast; on a stream this
+    needs append mode only.
+    """
+    from ..functions import text as X
+
+    stats_idx = {t: i for i, t in enumerate(stats_terms)}
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks_expr).alias("__dl"),
+        *[
+            F.size(F.filter(toks_expr, _term_eq(t))).alias(
+                f"__tf_{stats_idx[t]}"
+            )
+            for t in sorted(
+                {t for q in queries for t in q.terms}, key=stats_idx.__getitem__
+            )
+        ],
+    ).crossJoin(F.broadcast(stats_df))
+
+    nd = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / nd
+    dld = F.col("__dl").cast("double")
+
+    def _query_struct(q: StandingQuery):
+        contribs = []
+        n_matched = None
+        for t in q.terms:
+            i = stats_idx[t]
+            tfd = F.col(f"__tf_{i}").cast("double")
+            dfd = F.col(f"__df_{i}").cast("double")
+            idf = F.log(
+                F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+            )
+            norm = tfd / (
+                tfd
+                + F.lit(float(k1))
+                * (F.lit(1.0 - b) + F.lit(float(b)) * (dld / avgdl))
+            )
+            contribs.append(idf * norm)
+            hit = (F.col(f"__tf_{i}") > 0).cast("int")
+            n_matched = hit if n_matched is None else n_matched + hit
+        score = contribs[0]
+        for c in contribs[1:]:
+            score = score + c
+        return F.struct(
+            F.lit(q.query_id).alias("query_id"),
+            n_matched.alias("n_matched_terms"),
+            score.alias("__score"),
+            (
+                (n_matched > 0) & (score >= F.lit(float(q.min_score)))
+            ).alias("__hit"),
+        )
+
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(F.array(*[_query_struct(q) for q in queries])).alias("m"),
+    )
+    return exploded.filter(F.col("m.__hit")).select(
+        F.col(id_col),
+        F.col("m.query_id").alias("query_id"),
+        F.col("m.n_matched_terms").alias("n_matched_terms"),
+        F.round(F.col("m.__score"), 6).alias("bm25"),
+    )

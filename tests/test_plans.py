@@ -401,3 +401,38 @@ def test_tfidf_windows_share_one_doc_exchange(spark, qs):
     assert len(doc_only) == 1, (
         f"both windows should reuse one doc_id exchange:\n{doc_only}"
     )
+
+
+def test_percolate_scoring_is_map_only_after_stats_broadcast(spark):
+    """Percolation (streaming/percolate.py): per-document scoring of
+    ALL standing queries must be map-only — the only exchanges are the
+    1-row frozen-stats aggregate (SinglePartition) and its broadcast
+    back (BroadcastNestedLoopJoin); the per-query fan-out is a Generate
+    over a literal-built struct array, never a join against a queries
+    table. Zero hash shuffle is what lets the same plan run on every
+    ingest micro-batch statelessly."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import (
+        load_table,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        StandingQuery,
+        bm25_stats,
+        percolate,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    terms = ["data", "row"]
+    stats = bm25_stats(docs, terms)
+    out = percolate(
+        docs.select("doc_id", "text"),
+        [StandingQuery("q", ("data", "row"), 0.1)],
+        stats,
+        terms,
+    )
+    text = _plan_text(out)
+    assert "hashpartitioning" not in text, (
+        f"percolate must not hash-shuffle anything:\n{text[:1500]}"
+    )
+    assert "SinglePartition" in text  # the 1-row stats aggregate
+    assert "BroadcastNestedLoopJoin" in text  # stats row broadcast back
+    assert "Generate" in text  # per-query struct fan-out

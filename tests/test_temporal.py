@@ -201,8 +201,8 @@ def test_win_lag_delta_semantics(spark, tmp_path):
         for r in Q.queries()["win_lag_delta"](spark, sf).collect()
     }
     assert (out[1].n_events, out[1].n_gaps) == (3, 2)
-    assert out[1].avg_gap_s == 15.0 and out[1].max_gap_s == 20.0
+    assert out[1].avg_gap_us == 15_000_000 and out[1].max_gap_s == 20.0
     assert (out[2].n_events, out[2].n_gaps) == (1, 0)
-    assert out[2].avg_gap_s is None and out[2].max_gap_s is None
+    assert out[2].avg_gap_us is None and out[2].max_gap_s is None
     assert (out[3].n_events, out[3].n_gaps) == (3, 2)
-    assert out[3].avg_gap_s == 0.0 and out[3].max_gap_s == 0.0
+    assert out[3].avg_gap_us == 0 and out[3].max_gap_s == 0.0
