@@ -3498,11 +3498,20 @@ def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     stats = bm25_stats(docs, _PERC_TERMS)
     standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    # single-file fixture layout: glob-filter the table out of the
+    # shared dir; Spark-written DIRECTORY layout (the synth scale
+    # corpora): point the file source at the part-file dir itself —
+    # a leaf-name glob filter would match nothing there. Stateless
+    # scoring is batch-count-invariant, so both layouts drain equal.
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(table_path):
+        src = spark.readStream.schema(docs.schema).parquet(table_path)
+    else:
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
     matched = percolate(
         src.select("doc_id", "text"), standing, stats, _PERC_TERMS
     )

@@ -10,6 +10,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -55,9 +56,17 @@ def main() -> int:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        # partial fixture dirs (e.g. the synth documents+embeddings
+        # scale corpora) register only the tables they carry; a query
+        # over a missing table then fails loudly at run time. Spark-
+        # written tables are DIRECTORIES of part files — glob those.
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'"
+            )
+        elif os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
