@@ -137,7 +137,13 @@ def percolate(
     ).crossJoin(F.broadcast(stats_df))
 
     nd = F.col("__n").cast("double")
-    avgdl = F.col("__sumdl").cast("double") / nd
+    # Degenerate-corpus guard: with zero tokens anywhere, avgdl would
+    # be 0 and ANSI Spark throws on dl/avgdl during evaluation even
+    # though every row is filtered (tf=0 ⇒ no match). Any positive
+    # stand-in is value-identical whenever a token exists.
+    avgdl = F.when(
+        F.col("__sumdl") > 0, F.col("__sumdl").cast("double") / nd
+    ).otherwise(F.lit(1.0))
     dld = F.col("__dl").cast("double")
 
     def _query_struct(q: StandingQuery):

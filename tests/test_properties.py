@@ -588,3 +588,56 @@ def test_tfidf_keywords_matches_python(spark, docs):
         for rank, (neg, term) in enumerate(scored[:2], start=1):
             want.append((i, rank, term, -neg))
     assert got == sorted(want), docs
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(token, min_size=0, max_size=8)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(token, min_size=1, max_size=2, unique=True),
+    st.floats(min_value=0.0, max_value=1.5, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_percolate_matches_python(spark, docs, terms, min_score):
+    """streaming.percolate vs plain Python on generated corpora: the
+    threshold compares the RAW left-to-right accumulation (bit-
+    identical), matches require >= 1 term hit, NULL text is an empty
+    doc counted in N."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        StandingQuery,
+        bm25_stats,
+        percolate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d) if d is not None else None) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    stats = bm25_stats(df, terms)
+    q = StandingQuery("q", tuple(terms), min_score)
+    got = sorted(
+        (r.doc_id, r.query_id, r.n_matched_terms, r.bm25)
+        for r in percolate(df, [q], stats, terms).collect()
+    )
+
+    toks = [d if d is not None else [] for d in docs]
+    n = len(toks)
+    sumdl = sum(len(t) for t in toks)
+    dfc = [sum(1 for t in toks if w in t) for w in terms]
+    want = []
+    for i, t in enumerate(toks):
+        tfs = [t.count(w) for w in terms]
+        matched = sum(1 for tf in tfs if tf)
+        if not matched:
+            continue
+        score = 0.0
+        for tf, dfq in zip(tfs, dfc):
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            score = score + idf * (
+                tf / (tf + 1.2 * (0.25 + 0.75 * (len(t) / (sumdl / n))))
+            )
+        if score >= min_score:
+            want.append((i, "q", matched, _round6(score)))
+    assert got == sorted(want), (docs, terms, min_score)
