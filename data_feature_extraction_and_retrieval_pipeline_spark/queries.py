@@ -280,10 +280,14 @@ _DRIVER_ORDER: list[str] = [
     "api_engine_segment",
     "api_engine_hybrid",
     "api_engine_tags",
-    # -- the seven keepers riding r03 rows --
-    "sql_api_revenue",
-    "agg_decade_orders",
-    "etl_regex_extract_path",
+    # -- stream sources switched to the layout-correct helper this
+    # round (floor 6 ⇒ head; three r03 keepers — sql_api_revenue,
+    # agg_decade_orders, etl_regex_extract_path — displaced to 51+,
+    # their untouched r03 rows remain the evidence) --
+    "events_sessionize_stream",
+    "dedup_minhash_stream",
+    "events_interval_join_stream",
+    # -- the remaining keepers riding r03 rows --
     "text_fingerprint",
     "nested_roundtrip",
     "text_token_bpe",
@@ -407,11 +411,14 @@ _TOUCHED: dict[str, int] = {
     "tag_search_bm25": 6,
     "text_tfidf_keywords": 6,
     "percolate_stream": 6,
+    # round 6 second half: layout-correct stream sources (the
+    # _stream_table_src dir-vs-file branch; single-file driver
+    # fixtures take the identical code path, but the touch is a touch)
+    "events_sessionize_stream": 6,
+    "dedup_minhash_stream": 6,
+    "events_interval_join_stream": 6,
     # round 5: the NULL-identity oracle fix and stream sink names
     "text_quality_classifier": 5,
-    "events_sessionize_stream": 5,
-    "dedup_minhash_stream": 5,
-    "events_interval_join_stream": 5,
     # rounds ≤4: last semantic change per the per-round head notes
     # (keepers refreshed later without code changes keep older floors)
     "etl_row_range_select": 2,
@@ -3353,11 +3360,7 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import minhash_collision_stream
 
     docs = _t(spark, sf_dir, "documents")
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    src = _stream_table_src(spark, sf_dir, "documents", docs.schema)
     flagged = minhash_collision_stream(src.select("doc_id", "text"))
     name = f"mh_stream_" + hashlib.sha1(
         sf_dir.rstrip("/").encode()
@@ -3398,6 +3401,25 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bucket_hits"),
             F.min("anchor_id").alias("min_anchor"),
         )
+    )
+
+
+def _stream_table_src(spark: SparkSession, sf_dir: str, table: str, schema):
+    """File-source stream over one fixture table, correct for BOTH
+    layouts: the driver fixtures store each table as a single
+    ``<table>.parquet`` FILE inside the shared sf_dir (glob-filter it
+    out by leaf name), while Spark-written corpora (the synth scale
+    fixtures) store a ``<table>.parquet`` DIRECTORY of part files —
+    where a leaf-name glob matches NOTHING and the stream silently
+    drains zero rows (caught by tools/scale_check.py at x10). Point
+    the source at the directory itself in that case."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
     )
 
 
@@ -3498,20 +3520,9 @@ def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     stats = bm25_stats(docs, _PERC_TERMS)
     standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
-    # single-file fixture layout: glob-filter the table out of the
-    # shared dir; Spark-written DIRECTORY layout (the synth scale
-    # corpora): point the file source at the part-file dir itself —
-    # a leaf-name glob filter would match nothing there. Stateless
-    # scoring is batch-count-invariant, so both layouts drain equal.
-    table_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(table_path):
-        src = spark.readStream.schema(docs.schema).parquet(table_path)
-    else:
-        src = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
+    # layout-correct source (single-file fixture vs part-file dir);
+    # stateless scoring is batch-count-invariant, both drain equal
+    src = _stream_table_src(spark, sf_dir, "documents", docs.schema)
     matched = percolate(
         src.select("doc_id", "text"), standing, stats, _PERC_TERMS
     )
@@ -3550,13 +3561,8 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import sessionize_stream
 
     ev = _t(spark, sf_dir, "events")
-    # the streaming file source wants a directory; glob-filter the
-    # events table out of the shared sf_dir
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # layout-correct source (single-file fixture vs part-file dir)
+    src = _stream_table_src(spark, sf_dir, "events", ev.schema)
     sessions = sessionize_stream(src, "30 minutes", emit_open=True)
     name = f"sessions_stream_" + hashlib.sha1(
         sf_dir.rstrip("/").encode()
@@ -5795,10 +5801,8 @@ def events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import interval_join_stream
 
     ev = _t(spark, sf_dir, "events")
-    src = lambda: (  # noqa: E731 — two independent stream readers
-        spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    src = lambda: _stream_table_src(  # noqa: E731 — two independent readers
+        spark, sf_dir, "events", ev.schema
     )
     errors = src().filter(F.col("event_type") == "error").select("user_id", "ts")
     clicks = src().filter(F.col("event_type") == "click").select(
