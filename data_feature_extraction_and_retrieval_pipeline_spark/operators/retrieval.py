@@ -534,7 +534,12 @@ def bm25_topk(
     from ..functions import text as X
 
     if tokens_col is not None:
-        toks = F.col(tokens_col)
+        # NULL-array identity: a missing token list is the empty doc —
+        # without the coalesce, F.size(NULL) is -1 and the dl/tf
+        # arithmetic silently skews instead of scoring zero
+        toks = F.coalesce(
+            F.col(tokens_col), F.array().cast("array<string>")
+        )
     else:
         toks = X.tokens(F.coalesce(F.col(text_col), F.lit("")))
 

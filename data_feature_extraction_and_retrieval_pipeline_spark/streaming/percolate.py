@@ -65,8 +65,10 @@ def bm25_stats(
     """
     from ..functions import text as X
 
+    # NULL-array identity: a missing token list is the empty doc —
+    # without the coalesce, F.size(NULL) is -1 and dl/tf skew silently
     toks = (
-        F.col(tokens_col)
+        F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
         if tokens_col is not None
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
@@ -117,8 +119,9 @@ def percolate(
     from ..functions import text as X
 
     stats_idx = {t: i for i, t in enumerate(stats_terms)}
+    # same NULL-array identity as bm25_stats (empty doc, not size -1)
     toks_expr = (
-        F.col(tokens_col)
+        F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
         if tokens_col is not None
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )

@@ -284,3 +284,23 @@ class TestBM25:
         ).collect()
         key = lambda rows: [(r.doc_id, r.bm25, r.n_matched_terms) for r in rows]
         assert key(inline) == key(served)
+
+
+def test_bm25_tokens_col_null_array_is_empty_doc(spark):
+    """A NULL token array scores as the empty document (counted in N,
+    dl 0, never matched) — without the coalesce F.size(NULL) is -1 and
+    the dl/tf arithmetic silently skews."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["apple", "pear"]), (2, None), (3, ["apple"])],
+        "doc_id long, toks array<string>",
+    )
+    rows = bm25_topk(df, ["apple"], tokens_col="toks", top_k=10).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    # N=3 and sumdl=3 include the NULL doc as an empty one: doc 3
+    # (tf=1, dl=1, avgdl=1) must outscore doc 1 (tf=1, dl=2)
+    by_id = {r.doc_id: r.bm25 for r in rows}
+    assert by_id[3] > by_id[1] > 0
