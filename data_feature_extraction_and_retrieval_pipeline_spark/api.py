@@ -632,3 +632,68 @@ class CurationPipeline:
             self.df, path, max_records_per_file=max_records_per_file,
             shard_by=shard,
         )
+
+
+class Percolator:
+    """Standing-query serving facade — the ES percolator client shape
+    (register queries once against an index, then ask "which registered
+    queries match this document?" for every arriving batch; the
+    reference's ES deployment exposes exactly this reversed-search
+    primitive next to the search endpoints the Engine facade mirrors).
+
+    Construction freezes the corpus statistics (one aggregate over the
+    reference corpus — the index-build-time artifact, like ES segment
+    stats) for the union of all registered queries' terms. ``matches``
+    then scores ANY batch or streaming frame of documents against every
+    standing query as a stateless map (streaming/percolate.py — zero
+    hash shuffle, plan-pinned), so one Percolator serves both the
+    backfill path and the ingest stream. Registered queries are fixed
+    at construction: at 100 TB the query set is the SMALL side
+    (thousands), re-freezing on registry change is one cheap aggregate.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        queries: Sequence,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tokens_col: str | None = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        from .streaming.percolate import StandingQuery, bm25_stats
+
+        self.queries = [StandingQuery(*q) for q in queries]
+        if not self.queries:
+            raise ValueError("Percolator needs at least one standing query")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.k1 = float(k1)
+        self.b = float(b)
+        # stable term order: first appearance across registered queries
+        self.terms = list(
+            dict.fromkeys(t for q in self.queries for t in q.terms)
+        )
+        self.stats = bm25_stats(
+            corpus, self.terms, text_col=text_col, tokens_col=tokens_col
+        )
+
+    def matches(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, query_id, n_matched_terms, bm25) for every standing
+        query a document clears — ``docs`` may be a batch frame or a
+        readStream frame (append mode, stateless)."""
+        from .streaming.percolate import percolate
+
+        return percolate(
+            docs,
+            self.queries,
+            self.stats,
+            self.terms,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            tokens_col=self.tokens_col,
+            k1=self.k1,
+            b=self.b,
+        )

@@ -287,8 +287,8 @@ _DRIVER_ORDER: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_stream",
     "events_interval_join_stream",
-    # -- the remaining keepers riding r03 rows --
-    "text_fingerprint",
+    # -- the remaining keepers riding r03 rows (text_fingerprint
+    # displaced to 51+ by api_percolate; its r03 row remains) --
     "nested_roundtrip",
     "text_token_bpe",
     "ml_frame_sample",
@@ -322,6 +322,7 @@ _DRIVER_ORDER: list[str] = [
     "tag_search_bm25",
     "text_tfidf_keywords",
     "percolate_stream",
+    "api_percolate",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -411,6 +412,7 @@ _TOUCHED: dict[str, int] = {
     "tag_search_bm25": 6,
     "text_tfidf_keywords": 6,
     "percolate_stream": 6,
+    "api_percolate": 6,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -3544,6 +3546,23 @@ def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
     return spark.table(name)
+
+
+@register("api_percolate", _percolate_sql(_PERC_TERMS, _PERC_QUERIES))
+def api_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the ``Percolator`` serving facade (api.py) certified
+    end-to-end on the BATCH path: construction freezes the corpus
+    stats for the registered standing queries (term order = first
+    appearance, matching the module-level registry), ``matches``
+    scores the same corpus as a backfill batch. Shares ONE oracle with
+    `percolate_stream` — the facade, the raw stream drain, and the SQL
+    twin must agree row-for-row, which pins the facade's term-ordering
+    and parameter threading, not just the operator underneath."""
+    from .api import Percolator
+
+    docs = _t(spark, sf_dir, "documents")
+    p = Percolator(docs, _PERC_QUERIES)
+    return p.matches(docs.select("doc_id", "text"))
 
 
 @register("events_sessionize_stream", _SESSIONIZE_ORACLE)

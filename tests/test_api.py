@@ -501,3 +501,47 @@ def test_curation_pipeline_release_scopes_and_drops_caches(spark):
     assert any(sc == "harness-query" for _, sc in caching._LIVE)
     assert not any(sc == p4._cache_scope for _, sc in caching._LIVE)
     assert caching.release(only="harness-query") == 1
+
+
+class TestPercolator:
+    def test_facade_equals_operator_and_serves_new_batches(self, spark):
+        """Percolator.matches on the corpus equals the raw operator
+        composition; a NEW batch is scored against the FROZEN stats
+        (no recompute), and construction rejects an empty registry."""
+        import pytest
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            bm25_stats,
+            percolate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana"), (2, "banana"), (3, None)],
+            "doc_id long, text string",
+        )
+        qspec = [("qa", ("apple",), 0.0), ("qb", ("banana",), 0.0)]
+        p = Percolator(docs, qspec)
+
+        terms = ["apple", "banana"]
+        want = percolate(
+            docs,
+            [StandingQuery(*q) for q in qspec],
+            bm25_stats(docs, terms),
+            terms,
+        )
+        assert sorted(map(tuple, p.matches(docs).collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        fresh = spark.createDataFrame(
+            [(9, "apple apple")], "doc_id long, text string"
+        )
+        got = {r.query_id: r.bm25 for r in p.matches(fresh).collect()}
+        assert set(got) == {"qa"} and got["qa"] > 0
+
+        with pytest.raises(ValueError):
+            Percolator(docs, [])
