@@ -119,10 +119,13 @@ HEADLINE = [
     # cadence window (one reused exchange for window + aggregate)
     "etl_sorted_export",
     "win_lag_delta",
-    # round 6: true BM25 relevance (shuffle-free scoring path) and
-    # per-doc tf-idf keyword extraction (the full-token shuffle shape)
+    # round 6: true BM25 relevance (shuffle-free scoring path),
+    # per-doc tf-idf keyword extraction (the full-token shuffle
+    # shape), and the percolator facade's batch path (standing
+    # queries scored map-only against frozen stats)
     "text_bm25_topk",
     "text_tfidf_keywords",
+    "api_percolate",
 ]
 
 

@@ -65,6 +65,8 @@ QUERIES = [
     # (the full-token-shuffle shape, the steepest text curve here)
     "text_bm25_topk",
     "text_tfidf_keywords",
+    # percolator facade: standing-query scoring, scan-bound like bm25
+    "api_percolate",
 ]
 
 
