@@ -436,3 +436,23 @@ def test_percolate_scoring_is_map_only_after_stats_broadcast(spark):
     assert "SinglePartition" in text  # the 1-row stats aggregate
     assert "BroadcastNestedLoopJoin" in text  # stats row broadcast back
     assert "Generate" in text  # per-query struct fan-out
+
+
+def test_no_cartesian_product_anywhere_in_the_registry(spark, qs):
+    """Registry-wide safety net: NO registered query may plan a
+    CartesianProduct — the one join strategy that cannot survive any
+    scale (every crossJoin in the engine must resolve to a broadcast
+    against a literal/1-row frame, i.e. BroadcastNestedLoopJoin).
+    Stream queries are excluded (calling them executes the drain);
+    their batch twins are all covered. ~1 min: builds every plan at
+    sf0.001, which also smoke-checks that each registry entry
+    ANALYZES — a broken column reference fails here before the
+    driver sees it."""
+    bad = []
+    for name, fn in qs.items():
+        if "_stream" in name:
+            continue
+        text = _plan_text(fn(spark, SF_DIR))
+        if "CartesianProduct" in text:
+            bad.append(name)
+    assert not bad, f"cartesian products planned by: {bad}"
