@@ -439,20 +439,29 @@ def test_percolate_scoring_is_map_only_after_stats_broadcast(spark):
 
 
 def test_no_cartesian_product_anywhere_in_the_registry(spark, qs):
-    """Registry-wide safety net: NO registered query may plan a
-    CartesianProduct — the one join strategy that cannot survive any
-    scale (every crossJoin in the engine must resolve to a broadcast
-    against a literal/1-row frame, i.e. BroadcastNestedLoopJoin).
+    """Registry-wide safety net, one pass over every non-stream
+    query's physical plan at sf0.001 (~1 min):
+
+    - NO CartesianProduct — the one join strategy that cannot survive
+      any scale (every crossJoin in the engine must resolve to a
+      broadcast against a literal/1-row frame, i.e.
+      BroadcastNestedLoopJoin);
+    - NO BatchEvalPython — row-at-a-time Python UDFs are banned
+      engine-wide; any Python in a plan must be Arrow-batched
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+
     Stream queries are excluded (calling them executes the drain);
-    their batch twins are all covered. ~1 min: builds every plan at
-    sf0.001, which also smoke-checks that each registry entry
-    ANALYZES — a broken column reference fails here before the
-    driver sees it."""
-    bad = []
+    their batch twins are all covered. The pass also smoke-checks that
+    each registry entry ANALYZES — a broken column reference fails
+    here before the driver sees it."""
+    cartesian, rowpython = [], []
     for name, fn in qs.items():
         if "_stream" in name:
             continue
         text = _plan_text(fn(spark, SF_DIR))
         if "CartesianProduct" in text:
-            bad.append(name)
-    assert not bad, f"cartesian products planned by: {bad}"
+            cartesian.append(name)
+        if "BatchEvalPython" in text:
+            rowpython.append(name)
+    assert not cartesian, f"cartesian products planned by: {cartesian}"
+    assert not rowpython, f"row-at-a-time Python UDFs planned by: {rowpython}"
