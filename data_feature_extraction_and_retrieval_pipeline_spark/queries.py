@@ -287,9 +287,9 @@ _DRIVER_ORDER: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_stream",
     "events_interval_join_stream",
-    # -- the remaining keepers riding r03 rows (text_fingerprint
-    # displaced to 51+ by api_percolate; its r03 row remains) --
-    "nested_roundtrip",
+    # -- the remaining keepers riding r03 rows (text_fingerprint /
+    # nested_roundtrip displaced to 51+ by api_percolate /
+    # etl_zorder_roundtrip; their r03 rows remain) --
     "text_token_bpe",
     "ml_frame_sample",
     # -- 21 of the 37 untouched keepers whose newest rows are r04 --
@@ -323,6 +323,7 @@ _DRIVER_ORDER: list[str] = [
     "text_tfidf_keywords",
     "percolate_stream",
     "api_percolate",
+    "etl_zorder_roundtrip",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -413,6 +414,7 @@ _TOUCHED: dict[str, int] = {
     "text_tfidf_keywords": 6,
     "percolate_stream": 6,
     "api_percolate": 6,
+    "etl_zorder_roundtrip": 6,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -5678,6 +5680,51 @@ def etl_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_files=8,
         )
     back = spark.read.parquet(tmp).filter(F.col("doc_id").between(10, 40))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "etl_zorder_roundtrip",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(doc_id)::BIGINT AS id_checksum,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           SUM({_ROLLING_FP_SQL})::BIGINT AS fp_sum
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 400 AND doc_id BETWEEN 50 AND 200
+    GROUP BY lang
+    """,
+)
+def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered export certified end-to-end: documents →
+    sources/writers.py::write_zorder on (n_chars, doc_id) — the Morton
+    bit-interleave computed as a pure Catalyst expression, range-
+    shuffled and sorted on the z key — → read back under a TWO-
+    dimensional rectangle predicate → re-aggregate with fingerprint
+    sums against the same predicate on the source parquet. This is the
+    MULTI-column data-skipping layout (lakehouse OPTIMIZE ZORDER):
+    after z-clustering, BOTH columns' per-file min/max are tight, so a
+    conjunctive 2-D predicate prunes files the 1-D sorted layout
+    cannot (measured in test_sources: the z layout reads strictly
+    fewer files for the rectangle than the doc_id-sorted layout). The
+    clustering is layout-only — row values are untouched, which is
+    exactly what the oracle certifies."""
+    from .sources.writers import write_zorder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = _scratch_dir("dferp_zord_rt", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        write_zorder(docs, tmp, cols=("n_chars", "doc_id"), num_files=8)
+    back = spark.read.parquet(tmp).filter(
+        F.col("n_chars").between(100, 400) & F.col("doc_id").between(50, 200)
+    )
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),

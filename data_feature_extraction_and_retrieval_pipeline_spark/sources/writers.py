@@ -296,3 +296,79 @@ def upsert_parquet(
         if c not in existing_cols:
             out.append(F.col(f"__u_{c}").alias(c))
     return merged.select(*keys, *out)
+
+
+def zorder_value(
+    cols: tuple,
+    mins: tuple,
+    maxs: tuple,
+    bits: int = 8,
+):
+    """Z-order (Morton) key as a pure Catalyst expression: each column
+    is scaled to a ``bits``-bit integer against the write-time min/max
+    (collected once — bounded driver state, like kmeans centroids),
+    then the bits are interleaved so nearby (a, b) pairs get nearby z
+    values. NULL scales to bucket 0.
+
+    The interleave is a sum of shift/mask terms (ncols x bits of them)
+    — whole-stage-codegen'd, no UDF."""
+    ncols = len(cols)
+    maxv = (1 << bits) - 1
+    scaled = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = float(mx) - float(mn)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - F.lit(float(mn)))
+            / F.lit(span)
+            * F.lit(float(maxv))
+        ).cast("long")
+        scaled.append(F.least(F.lit(maxv).cast("long"), F.greatest(F.lit(0).cast("long"), q)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)).cast("long"),
+                b * ncols + i,
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: tuple,
+    bits: int = 8,
+    num_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered export — the MULTI-column data-skipping layout
+    (lakehouse OPTIMIZE ZORDER): ``write_range_sorted`` makes ONE
+    column's per-file min/max tight; interleaving the bits of two or
+    more columns makes EVERY indexed column's per-file min/max tight
+    at once, so a conjunctive predicate on any subset of them skips
+    files and row groups. At 100 TB this is the difference between a
+    2-D rectangle query reading ~its selectivity in bytes and reading
+    every file that matches only one of the two predicates.
+
+    One pass: a 1-row min/max aggregate per indexed column (driver
+    state = 2 x ncols doubles), then the same range-shuffle +
+    in-file sort as the 1-D writer, keyed on the Morton value. The z
+    key is layout-only and not written."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"mn_{i}"] for i in range(len(cols))]
+    maxs = [stats[f"mx_{i}"] for i in range(len(cols))]
+    z = zorder_value(tuple(cols), tuple(mins), tuple(maxs), bits=bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).format(fmt).save(path)

@@ -280,3 +280,48 @@ def test_orc_roundtrip_values(spark, sf_dir, tmp_path):
         F.sum(F.crc32("text")).alias("t"), F.sum("doc_id").alias("i")
     ).first()
     assert (a["t"], a["i"]) == (b["t"], b["i"])
+
+
+def test_write_zorder_two_dim_pruning(spark, tmp_path):
+    """write_zorder on (a, b): values round-trip intact, and a
+    conjunctive 2-D rectangle predicate touches STRICTLY fewer files
+    than on the 1-D a-sorted layout — the multi-column data-skipping
+    claim, measured via the files a filtered scan actually reads.
+
+    Synthetic grid so the geometry is exact: (a, b) is the full
+    64x64 grid; the rectangle is WIDE in a (everything) and NARROW in
+    b (1/16) — the shape 1-D a-sorting can never prune (every a-file
+    spans all of b, so all 16 files qualify), while z-ordered files
+    are ~squares in (a, b) and only those touching the low-b band
+    qualify."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources.writers import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    rows = [(i % 64, i // 64, i) for i in range(4096)]  # full 64x64 grid
+    df = spark.createDataFrame(rows, "a long, b long, payload long")
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder(df, zdir, cols=("a", "b"), num_files=16)
+    write_range_sorted(df, sdir, range_col="a", num_files=16)
+
+    pred = (F.col("a").between(0, 63)) & (F.col("b").between(0, 3))
+
+    def files_read(path):
+        scanned = spark.read.parquet(path).filter(pred)
+        return (
+            scanned.select(F.input_file_name().alias("f")).distinct().count(),
+            sorted(
+                map(tuple, scanned.select("a", "b", "payload").collect())
+            ),
+        )
+
+    want = sorted((a, b, p) for a, b, p in rows if b <= 3)
+    z_files, z_rows = files_read(zdir)
+    s_files, s_rows = files_read(sdir)
+    assert z_rows == want and s_rows == want  # layout never changes values
+    assert z_files < s_files, (
+        f"z-order should touch fewer files for the 2-D rectangle "
+        f"(z={z_files}, sorted={s_files})"
+    )
