@@ -257,3 +257,98 @@ def segment_stats_long(segments: DataFrame, tag_counts: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def constraint_report(
+    df: DataFrame,
+    not_null: tuple[str, ...] = (),
+    unique: tuple[str, ...] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
+    values_in: dict[str, tuple[str, ...]] | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate — the validation pass a training
+    pipeline runs before accepting a corpus for a run (the Deequ /
+    expectations shape): every constraint compiles to an aggregate
+    expression, ALL evaluated in ONE pass over the table, and the
+    result is a long frame ``(check_name, metric, passed)`` a CI gate
+    can assert on. Metrics are exact integers (violation counts,
+    observed min/max), so the report is engine-exact.
+
+    Scale shape: the null/bounds/membership checks are plain
+    map-side-combined aggregates (one 1-row exchange regardless of
+    table size); each ``unique`` column adds a count(distinct) —
+    Spark plans the distincts via Expand, still one job. At 100 TB
+    this is exactly one scan of the table per gate invocation.
+    """
+    bounds = bounds or {}
+    values_in = values_in or {}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in not_null:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+    for c in unique:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+    for c, (lo, hi) in bounds.items():
+        aggs.append(
+            F.sum(
+                (
+                    F.col(c).isNull()
+                    | (F.col(c) < F.lit(lo))
+                    | (F.col(c) > F.lit(hi))
+                ).cast("long")
+            ).alias(f"__oob_{c}")
+        )
+    for c, allowed in values_in.items():
+        cond = ~F.col(c).isin(*[str(v) for v in allowed]) | F.col(c).isNull()
+        aggs.append(F.sum(cond.cast("long")).alias(f"__bad_{c}"))
+
+    one = df.agg(*aggs)
+
+    rows = []
+    if min_rows is not None:
+        rows.append(
+            F.struct(
+                F.lit(f"row_count_min({min_rows})").alias("check_name"),
+                F.col("__rows").cast("long").alias("metric"),
+                (F.col("__rows") >= F.lit(int(min_rows))).alias("passed"),
+            )
+        )
+    for c in not_null:
+        rows.append(
+            F.struct(
+                F.lit(f"not_null({c})").alias("check_name"),
+                F.col(f"__nulls_{c}").cast("long").alias("metric"),
+                (F.col(f"__nulls_{c}") == 0).alias("passed"),
+            )
+        )
+    for c in unique:
+        rows.append(
+            F.struct(
+                F.lit(f"unique({c})").alias("check_name"),
+                F.col(f"__dist_{c}").cast("long").alias("metric"),
+                (F.col(f"__dist_{c}") == F.col("__rows")).alias("passed"),
+            )
+        )
+    for c, (lo, hi) in bounds.items():
+        rows.append(
+            F.struct(
+                F.lit(f"bounds({c},[{lo},{hi}])").alias("check_name"),
+                F.col(f"__oob_{c}").cast("long").alias("metric"),
+                (F.col(f"__oob_{c}") == 0).alias("passed"),
+            )
+        )
+    for c, allowed in values_in.items():
+        rows.append(
+            F.struct(
+                F.lit(f"values_in({c})").alias("check_name"),
+                F.col(f"__bad_{c}").cast("long").alias("metric"),
+                (F.col(f"__bad_{c}") == 0).alias("passed"),
+            )
+        )
+    if not rows:
+        raise ValueError("constraint_report needs at least one constraint")
+    return one.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.check_name", "r.metric", "r.passed")

@@ -288,9 +288,9 @@ _DRIVER_ORDER: list[str] = [
     "dedup_minhash_stream",
     "events_interval_join_stream",
     # -- the remaining keepers riding r03 rows (text_fingerprint /
-    # nested_roundtrip displaced to 51+ by api_percolate /
-    # etl_zorder_roundtrip; their r03 rows remain) --
-    "text_token_bpe",
+    # nested_roundtrip / text_token_bpe displaced to 51+ by
+    # api_percolate / etl_zorder_roundtrip /
+    # report_quality_constraints; their r03 rows remain) --
     "ml_frame_sample",
     # -- 21 of the 37 untouched keepers whose newest rows are r04 --
     "ml_multimodal_meta",
@@ -324,6 +324,7 @@ _DRIVER_ORDER: list[str] = [
     "percolate_stream",
     "api_percolate",
     "etl_zorder_roundtrip",
+    "report_quality_constraints",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -415,6 +416,7 @@ _TOUCHED: dict[str, int] = {
     "percolate_stream": 6,
     "api_percolate": 6,
     "etl_zorder_roundtrip": 6,
+    "report_quality_constraints": 6,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -5730,6 +5732,56 @@ def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(X.rolling_hash_fingerprint(F.col("text"))).alias("fp_sum"),
+    )
+
+
+@register(
+    "report_quality_constraints",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls_text,
+               COUNT(DISTINCT doc_id) AS dist_doc_id,
+               SUM(CASE WHEN n_chars IS NULL OR n_chars < 0.0
+                             OR n_chars > 500.0
+                        THEN 1 ELSE 0 END) AS oob_n_chars,
+               SUM(CASE WHEN lang IS NULL
+                             OR lang NOT IN ('de', 'en', 'es', 'fr')
+                        THEN 1 ELSE 0 END) AS bad_lang
+        FROM documents
+    )
+    SELECT 'row_count_min(100)' AS check_name, n_rows::BIGINT AS metric,
+           n_rows >= 100 AS passed FROM s
+    UNION ALL
+    SELECT 'not_null(text)', nulls_text::BIGINT, nulls_text = 0 FROM s
+    UNION ALL
+    SELECT 'unique(doc_id)', dist_doc_id::BIGINT, dist_doc_id = n_rows FROM s
+    UNION ALL
+    SELECT 'bounds(n_chars,[0.0,500.0])', oob_n_chars::BIGINT,
+           oob_n_chars = 0 FROM s
+    UNION ALL
+    SELECT 'values_in(lang)', bad_lang::BIGINT, bad_lang = 0 FROM s
+    """,
+)
+def report_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/reports.py::
+    constraint_report) — the pre-training corpus validation pass: one
+    scan evaluates every constraint as an aggregate, emitting a
+    ``(check_name, metric, passed)`` frame a CI gate asserts on. The
+    fixture mixes outcomes deliberately: row-count / not-null /
+    uniqueness PASS; the n_chars upper bound and the lang allow-list
+    FAIL with exact violation counts — proving the gate reports
+    violations rather than merely detecting presence."""
+    from .operators.reports import constraint_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return constraint_report(
+        docs,
+        not_null=("text",),
+        unique=("doc_id",),
+        bounds={"n_chars": (0.0, 500.0)},
+        values_in={"lang": ("de", "en", "es", "fr")},
+        min_rows=100,
     )
 
 

@@ -111,3 +111,50 @@ def test_cube_grouping_sets_consistent(spark, sf_dir):
     for gid in (0, 1, 2):
         assert sum(r.n_docs for r in by_gid[gid]) == total
         assert sum(r.sum_chars for r in by_gid[gid]) == grand.sum_chars
+
+
+def test_constraint_report_hand_corpus(spark):
+    """Every constraint type on a corpus built to violate each one
+    exactly once: NULL text, duplicated id, out-of-bounds length,
+    disallowed lang, and a row-count floor set above the table size."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.reports import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", "en", 10),
+            (1, None, "en", 20),     # dup id + NULL text
+            (2, "ok", "xx", 999),    # bad lang + oob n_chars
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {
+        r.check_name: (r.metric, r.passed)
+        for r in constraint_report(
+            df,
+            not_null=("text",),
+            unique=("doc_id",),
+            bounds={"n_chars": (0.0, 100.0)},
+            values_in={"lang": ("en",)},
+            min_rows=5,
+        ).collect()
+    }
+    assert got["row_count_min(5)"] == (3, False)
+    assert got["not_null(text)"] == (1, False)
+    assert got["unique(doc_id)"] == (2, False)      # 2 distinct of 3 rows
+    assert got["bounds(n_chars,[0.0,100.0])"] == (1, False)
+    assert got["values_in(lang)"] == (1, False)
+
+    all_pass = constraint_report(
+        df.filter("doc_id = 2"),
+        not_null=("lang",),
+        unique=("doc_id",),
+        min_rows=1,
+    ).collect()
+    assert all(r.passed for r in all_pass)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        constraint_report(df)
