@@ -352,3 +352,92 @@ def constraint_report(
     return one.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.check_name", "r.metric", "r.passed")
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_cols: tuple[str, ...] = (),
+    bucket_col: str | None = None,
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Corpus drift detection between two snapshots — "does today's
+    ingest look like yesterday's?", the monitoring sibling of
+    :func:`constraint_report`. Compares the categorical composition
+    (per value) and a bucketed numeric histogram between a reference
+    corpus and a current one.
+
+    Engine-exact by construction: every number emitted is an exact
+    BIGINT. Shares are never divided out — the per-key drift term is
+    the cross-multiplied numerator ``|ref_n·M − cur_n·N|`` (N, M =
+    snapshot row counts), i.e. the L1 distance scaled by N·M, so two
+    engines can never disagree on a rounded float (the win_lag_delta
+    lesson applied at design time). A per-section TOTAL row carries
+    the summed numerator; the monitor alarms on
+    ``drift_num / (N·M)`` driver-side if it wants the [0,2] L1.
+
+    Scale shape: one value-counts aggregate per side per section
+    (map-side combined; categorical domains and histograms are
+    Heaps/bounded-small), a full-outer join on the tiny count frames,
+    and a UNION of section frames. The snapshot row counts ride in as
+    a broadcast 1-row cross join.
+    """
+    sections = []
+
+    def _counted(df, keyexpr):
+        return df.groupBy(keyexpr.alias("key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def _section(name, keyexpr):
+        a = _counted(ref, keyexpr)
+        b = _counted(cur, keyexpr)
+        joined = a.alias("a").join(
+            b.alias("b"), F.col("a.key").eqNullSafe(F.col("b.key")), "outer"
+        ).select(
+            F.lit(name).alias("section"),
+            F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+            F.coalesce(F.col("a.n"), F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce(F.col("b.n"), F.lit(0)).cast("long").alias("cur_n"),
+        )
+        return joined
+
+    for c in cat_cols:
+        sections.append(_section(f"cat:{c}", F.col(c).cast("string")))
+    if bucket_col is not None:
+        sections.append(
+            _section(
+                f"hist:{bucket_col}/{bucket_width}",
+                F.floor(F.col(bucket_col) / F.lit(int(bucket_width)))
+                .cast("long")
+                .cast("string"),
+            )
+        )
+    if not sections:
+        raise ValueError("drift_report needs at least one section")
+
+    keyed = sections[0]
+    for s in sections[1:]:
+        keyed = keyed.unionByName(s)
+
+    totals = (
+        ref.groupBy()
+        .agg(F.count(F.lit(1)).alias("__N"))
+        .crossJoin(cur.groupBy().agg(F.count(F.lit(1)).alias("__M")))
+    )
+    scored = keyed.crossJoin(F.broadcast(totals)).select(
+        "section",
+        "key",
+        "ref_n",
+        "cur_n",
+        F.abs(
+            F.col("ref_n") * F.col("__M") - F.col("cur_n") * F.col("__N")
+        ).cast("long").alias("drift_num"),
+    )
+    total_rows = scored.groupBy("section").agg(
+        F.lit("__TOTAL__").alias("key"),
+        F.sum("ref_n").cast("long").alias("ref_n"),
+        F.sum("cur_n").cast("long").alias("cur_n"),
+        F.sum("drift_num").cast("long").alias("drift_num"),
+    )
+    return scored.unionByName(total_rows)

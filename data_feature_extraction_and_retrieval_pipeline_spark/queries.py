@@ -287,11 +287,9 @@ _DRIVER_ORDER: list[str] = [
     "events_sessionize_stream",
     "dedup_minhash_stream",
     "events_interval_join_stream",
-    # -- the remaining keepers riding r03 rows (text_fingerprint /
-    # nested_roundtrip / text_token_bpe displaced to 51+ by
-    # api_percolate / etl_zorder_roundtrip /
-    # report_quality_constraints; their r03 rows remain) --
-    "ml_frame_sample",
+    # (all seven r03 keepers now displaced to 51+ by round-6
+    # second-half queries — text_fingerprint / nested_roundtrip /
+    # text_token_bpe / ml_frame_sample last; their r03 rows remain)
     # -- 21 of the 37 untouched keepers whose newest rows are r04 --
     "ml_multimodal_meta",
     "ml_resize_plan",
@@ -325,6 +323,7 @@ _DRIVER_ORDER: list[str] = [
     "api_percolate",
     "etl_zorder_roundtrip",
     "report_quality_constraints",
+    "report_corpus_drift",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -417,6 +416,7 @@ _TOUCHED: dict[str, int] = {
     "api_percolate": 6,
     "etl_zorder_roundtrip": 6,
     "report_quality_constraints": 6,
+    "report_corpus_drift": 6,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -5782,6 +5782,77 @@ def report_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds={"n_chars": (0.0, 500.0)},
         values_in={"lang": ("de", "en", "es", "fr")},
         min_rows=100,
+    )
+
+
+@register(
+    "report_corpus_drift",
+    """
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    nm AS (
+        SELECT (SELECT COUNT(*) FROM ref) AS n,
+               (SELECT COUNT(*) FROM cur) AS m
+    ),
+    keyed AS (
+        SELECT 'cat:lang' AS section, CAST(lang AS VARCHAR) AS key,
+               COUNT(*) AS n, 0 AS side FROM ref GROUP BY lang
+        UNION ALL
+        SELECT 'cat:lang', CAST(lang AS VARCHAR), COUNT(*), 1
+        FROM cur GROUP BY lang
+        UNION ALL
+        SELECT 'cat:source', CAST(source AS VARCHAR), COUNT(*), 0
+        FROM ref GROUP BY source
+        UNION ALL
+        SELECT 'cat:source', CAST(source AS VARCHAR), COUNT(*), 1
+        FROM cur GROUP BY source
+        UNION ALL
+        SELECT 'hist:n_chars/50',
+               CAST(CAST(FLOOR(n_chars / 50) AS BIGINT) AS VARCHAR),
+               COUNT(*), 0
+        FROM ref GROUP BY 2
+        UNION ALL
+        SELECT 'hist:n_chars/50',
+               CAST(CAST(FLOOR(n_chars / 50) AS BIGINT) AS VARCHAR),
+               COUNT(*), 1
+        FROM cur GROUP BY 2
+    ),
+    pivoted AS (
+        SELECT section, key,
+               SUM(CASE WHEN side = 0 THEN n ELSE 0 END)::BIGINT AS ref_n,
+               SUM(CASE WHEN side = 1 THEN n ELSE 0 END)::BIGINT AS cur_n
+        FROM keyed GROUP BY section, key
+    ),
+    scored AS (
+        SELECT section, key, ref_n, cur_n,
+               ABS(ref_n * m - cur_n * n)::BIGINT AS drift_num
+        FROM pivoted CROSS JOIN nm
+    )
+    SELECT * FROM scored
+    UNION ALL
+    SELECT section, '__TOTAL__', SUM(ref_n)::BIGINT, SUM(cur_n)::BIGINT,
+           SUM(drift_num)::BIGINT
+    FROM scored GROUP BY section
+    """,
+)
+def report_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection (operators/reports.py::drift_report):
+    the even-id half of documents as the reference snapshot, the
+    odd-id half as the new ingest — per-value categorical composition
+    (lang, source) and a 50-char length histogram compared side by
+    side, with the exact cross-multiplied L1 numerator
+    |ref_n·M − cur_n·N| per key and a per-section total. Every emitted
+    number is an exact BIGINT — shares are never divided out, so the
+    report cannot hit a cross-engine rounding boundary at any scale
+    (the win_lag_delta lesson applied at design time)."""
+    from .operators.reports import drift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return drift_report(
+        ref, cur, cat_cols=("lang", "source"),
+        bucket_col="n_chars", bucket_width=50,
     )
 
 

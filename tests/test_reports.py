@@ -158,3 +158,45 @@ def test_constraint_report_hand_corpus(spark):
 
     with pytest.raises(ValueError):
         constraint_report(df)
+
+
+def test_drift_report_hand_values(spark):
+    """Exact drift arithmetic on a hand corpus: ref = 3 rows
+    (en,en,de), cur = 2 rows (en,zh). N=3, M=2. Per-key numerators
+    |ref_n*M - cur_n*N|: en |2*2-1*3|=1, de |1*2-0|=2, zh |0-1*3|=3;
+    section total 6. A key present on only one side appears with the
+    other side's count 0 (the disappearing/new-category case drift
+    monitoring exists for)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.reports import (
+        drift_report,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "en", 10), (2, "en", 60), (4, "de", 110)],
+        "doc_id long, lang string, n_chars long",
+    )
+    cur = spark.createDataFrame(
+        [(1, "en", 10), (3, "zh", 10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = drift_report(
+        ref, cur, cat_cols=("lang",), bucket_col="n_chars", bucket_width=50
+    )
+    got = {
+        (r.section, r.key): (r.ref_n, r.cur_n, r.drift_num)
+        for r in out.collect()
+    }
+    assert got[("cat:lang", "en")] == (2, 1, 1)
+    assert got[("cat:lang", "de")] == (1, 0, 2)
+    assert got[("cat:lang", "zh")] == (0, 1, 3)
+    assert got[("cat:lang", "__TOTAL__")] == (3, 2, 6)
+    # histogram: bucket 0 holds ref 1 + cur 2, bucket 1 ref 1, bucket 2 ref 1
+    assert got[("hist:n_chars/50", "0")] == (1, 2, 4)  # |1*2 - 2*3| = 4
+    assert got[("hist:n_chars/50", "1")] == (1, 0, 2)
+    assert got[("hist:n_chars/50", "2")] == (1, 0, 2)
+    assert got[("hist:n_chars/50", "__TOTAL__")] == (3, 2, 8)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        drift_report(ref, cur)
