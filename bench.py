@@ -126,6 +126,9 @@ HEADLINE = [
     "text_bm25_topk",
     "text_tfidf_keywords",
     "api_percolate",
+    # data-ops pair: one-pass constraint gate and exact-integer drift
+    "report_quality_constraints",
+    "report_corpus_drift",
 ]
 
 
