@@ -643,7 +643,11 @@ class Percolator:
 
     Construction freezes the corpus statistics (one aggregate over the
     reference corpus — the index-build-time artifact, like ES segment
-    stats) for the union of all registered queries' terms. ``matches``
+    stats) for the union of all registered queries' terms, and
+    MATERIALIZES the 1-row result into driver literals: matches()
+    calls and streaming micro-batches replay the frozen row without
+    rescanning the corpus, and a corpus source that later gains files
+    cannot silently shift registered thresholds. ``matches``
     then scores ANY batch or streaming frame of documents against every
     standing query as a stateless map (streaming/percolate.py — zero
     hash shuffle, plan-pinned), so one Percolator serves both the
@@ -667,6 +671,11 @@ class Percolator:
         self.queries = [StandingQuery(*q) for q in queries]
         if not self.queries:
             raise ValueError("Percolator needs at least one standing query")
+        for q in self.queries:
+            if not q.terms:
+                raise ValueError(
+                    f"standing query {q.query_id!r} has no terms"
+                )
         self.text_col = text_col
         self.id_col = id_col
         self.tokens_col = tokens_col
@@ -676,8 +685,19 @@ class Percolator:
         self.terms = list(
             dict.fromkeys(t for q in self.queries for t in q.terms)
         )
-        self.stats = bm25_stats(
+        # MATERIALIZE the index-time artifact: bm25_stats returns a
+        # lazy frame, and leaving it lazy would re-run the full-corpus
+        # aggregate on every matches() action (every micro-batch!) and
+        # silently re-freeze if the corpus source gained files —
+        # breaking the "built once at index time" contract. One
+        # bounded collect (a single row) turns it into literals; the
+        # replayed local frame costs nothing to broadcast per batch.
+        stats_lazy = bm25_stats(
             corpus, self.terms, text_col=text_col, tokens_col=tokens_col
+        )
+        frozen = stats_lazy.collect()
+        self.stats = corpus.sparkSession.createDataFrame(
+            frozen, schema=stats_lazy.schema
         )
 
     def matches(self, docs: DataFrame) -> DataFrame:

@@ -275,6 +275,15 @@ def constraint_report(
     can assert on. Metrics are exact integers (violation counts,
     observed min/max), so the report is engine-exact.
 
+    NULL semantics, explicitly: ``unique`` certifies the NON-NULL
+    values are pairwise distinct — its metric is the exact duplicate
+    count among non-null rows (``count(c) − count(distinct c)``, both
+    of which ignore NULLs), so NULLs are neither duplicates nor
+    violations here. A column that must be both present and unique
+    (a key) lists in BOTH ``not_null`` and ``unique``; the two
+    metrics then separate "how many missing" from "how many repeated"
+    instead of conflating them.
+
     Scale shape: the null/bounds/membership checks are plain
     map-side-combined aggregates (one 1-row exchange regardless of
     table size); each ``unique`` column adds a count(distinct) —
@@ -289,6 +298,9 @@ def constraint_report(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
         )
     for c in unique:
+        # count(c) and count(distinct c) both skip NULLs, so the
+        # difference is the exact duplicate count among non-null rows
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
     for c, (lo, hi) in bounds.items():
         aggs.append(
@@ -324,11 +336,12 @@ def constraint_report(
             )
         )
     for c in unique:
+        dups = F.col(f"__nn_{c}") - F.col(f"__dist_{c}")
         rows.append(
             F.struct(
                 F.lit(f"unique({c})").alias("check_name"),
-                F.col(f"__dist_{c}").cast("long").alias("metric"),
-                (F.col(f"__dist_{c}") == F.col("__rows")).alias("passed"),
+                dups.cast("long").alias("metric"),
+                (dups == 0).alias("passed"),
             )
         )
     for c, (lo, hi) in bounds.items():
@@ -367,77 +380,135 @@ def drift_report(
     (per value) and a bucketed numeric histogram between a reference
     corpus and a current one.
 
-    Engine-exact by construction: every number emitted is an exact
-    BIGINT. Shares are never divided out — the per-key drift term is
-    the cross-multiplied numerator ``|ref_n·M − cur_n·N|`` (N, M =
+    Engine-exact by construction: ``ref_n``/``cur_n`` are exact
+    BIGINTs and shares are never divided out — the per-key drift term
+    is the cross-multiplied numerator ``|ref_n·M − cur_n·N|`` (N, M =
     snapshot row counts), i.e. the L1 distance scaled by N·M, so two
     engines can never disagree on a rounded float (the win_lag_delta
-    lesson applied at design time). A per-section TOTAL row carries
-    the summed numerator; the monitor alarms on
+    lesson applied at design time). The cross-multiplication runs in
+    DECIMAL — long·long silently wraps past 2^63 with ANSI off, and
+    per-key counts near 1e10 against a 1e9-row snapshot are exactly
+    the regime this report targets — so ``drift_num`` is emitted as
+    DECIMAL(38,0): exact for snapshots up to 1e18 rows each
+    (DECIMAL(18,0) operands ⇒ a 37-digit product), and past even that
+    Spark raises under ANSI instead of wrapping. A per-section TOTAL
+    row carries the summed numerator; the monitor alarms on
     ``drift_num / (N·M)`` driver-side if it wants the [0,2] L1.
 
-    Scale shape: one value-counts aggregate per side per section
-    (map-side combined; categorical domains and histograms are
-    Heaps/bounded-small), a full-outer join on the tiny count frames,
-    and a UNION of section frames. The snapshot row counts ride in as
-    a broadcast 1-row cross join.
+    Scale shape: ONE value-counts aggregate per side for ALL sections
+    — each row explodes a literal array of (section, key) structs
+    (map-only) and a single (section, key) groupBy counts every
+    section in one pass, so adding sections adds zero scans and zero
+    exchanges (categorical domains and histograms are Heaps/bounded-
+    small, so the aggregated frames are tiny). One full-outer join on
+    the tiny count frames; the snapshot row counts are derived from
+    the first section of the SAME aggregated frames (every row lands
+    in exactly one key per section), so the canonicalized aggregate
+    subtree appears twice in one plan and Spark's ReuseExchange
+    computes it once — no separate count-star scan per side.
     """
-    sections = []
+    key_structs = []
+    for c in cat_cols:
+        key_structs.append(
+            F.struct(
+                F.lit(f"cat:{c}").alias("section"),
+                F.col(c).cast("string").alias("key"),
+            )
+        )
+    if bucket_col is not None:
+        key_structs.append(
+            F.struct(
+                F.lit(f"hist:{bucket_col}/{bucket_width}").alias("section"),
+                F.floor(F.col(bucket_col) / F.lit(int(bucket_width)))
+                .cast("long")
+                .cast("string")
+                .alias("key"),
+            )
+        )
+    if not key_structs:
+        raise ValueError("drift_report needs at least one section")
+    first_section = (
+        f"cat:{cat_cols[0]}"
+        if cat_cols
+        else f"hist:{bucket_col}/{bucket_width}"
+    )
 
-    def _counted(df, keyexpr):
-        return df.groupBy(keyexpr.alias("key")).agg(
-            F.count(F.lit(1)).alias("n")
+    def _counted(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(F.array(*key_structs)).alias("sk"))
+            .groupBy(
+                F.col("sk.section").alias("section"),
+                F.col("sk.key").alias("key"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    def _section(name, keyexpr):
-        a = _counted(ref, keyexpr)
-        b = _counted(cur, keyexpr)
-        joined = a.alias("a").join(
-            b.alias("b"), F.col("a.key").eqNullSafe(F.col("b.key")), "outer"
-        ).select(
-            F.lit(name).alias("section"),
+    a, b = _counted(ref), _counted(cur)
+    keyed = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.section") == F.col("b.section"))
+            & F.col("a.key").eqNullSafe(F.col("b.key")),
+            "outer",
+        )
+        .select(
+            F.coalesce(F.col("a.section"), F.col("b.section")).alias(
+                "section"
+            ),
             F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
             F.coalesce(F.col("a.n"), F.lit(0)).cast("long").alias("ref_n"),
             F.coalesce(F.col("b.n"), F.lit(0)).cast("long").alias("cur_n"),
         )
-        return joined
+    )
 
-    for c in cat_cols:
-        sections.append(_section(f"cat:{c}", F.col(c).cast("string")))
-    if bucket_col is not None:
-        sections.append(
-            _section(
-                f"hist:{bucket_col}/{bucket_width}",
-                F.floor(F.col(bucket_col) / F.lit(int(bucket_width)))
-                .cast("long")
-                .cast("string"),
+    # snapshot totals from the already-aggregated frames (one section
+    # partitions the snapshot, so its counts sum to the row count)
+    totals = (
+        a.filter(F.col("section") == first_section)
+        .agg(F.sum("n").cast("long").alias("__N"))
+        .crossJoin(
+            b.filter(F.col("section") == first_section).agg(
+                F.sum("n").cast("long").alias("__M")
             )
         )
-    if not sections:
-        raise ValueError("drift_report needs at least one section")
-
-    keyed = sections[0]
-    for s in sections[1:]:
-        keyed = keyed.unionByName(s)
-
-    totals = (
-        ref.groupBy()
-        .agg(F.count(F.lit(1)).alias("__N"))
-        .crossJoin(cur.groupBy().agg(F.count(F.lit(1)).alias("__M")))
     )
+    dec = "decimal(18,0)"
     scored = keyed.crossJoin(F.broadcast(totals)).select(
         "section",
         "key",
         "ref_n",
         "cur_n",
         F.abs(
-            F.col("ref_n") * F.col("__M") - F.col("cur_n") * F.col("__N")
-        ).cast("long").alias("drift_num"),
+            F.col("ref_n").cast(dec) * F.col("__M").cast(dec)
+            - F.col("cur_n").cast(dec) * F.col("__N").cast(dec)
+        ).cast("decimal(38,0)").alias("drift_num"),
     )
-    total_rows = scored.groupBy("section").agg(
-        F.lit("__TOTAL__").alias("key"),
-        F.sum("ref_n").cast("long").alias("ref_n"),
-        F.sum("cur_n").cast("long").alias("cur_n"),
-        F.sum("drift_num").cast("long").alias("drift_num"),
+    # per-key rows AND per-section totals from ONE aggregate over the
+    # tiny scored frame — GROUPING SETS ((section,key),(section))
+    # instead of a UNION whose total branch would recompute the whole
+    # pipeline. scored is 1 row per (section,key), so the finest
+    # grouping set reproduces it exactly; grouping(key) (not key IS
+    # NULL — a null category is a real key) marks the subtotal rows.
+    return (
+        scored.groupingSets(
+            [["section", "key"], ["section"]], "section", "key"
+        )
+        .agg(
+            # grouping() is only legal inside the grouping-sets
+            # aggregate itself — resolve the marker here, rename after
+            F.grouping("key").alias("__g"),
+            F.sum("ref_n").cast("long").alias("ref_n"),
+            F.sum("cur_n").cast("long").alias("cur_n"),
+            F.sum("drift_num").cast("decimal(38,0)").alias("drift_num"),
+        )
+        .select(
+            "section",
+            F.when(F.col("__g") == 1, F.lit("__TOTAL__"))
+            .otherwise(F.col("key"))
+            .alias("key"),
+            "ref_n",
+            "cur_n",
+            "drift_num",
+        )
     )
-    return scored.unionByName(total_rows)

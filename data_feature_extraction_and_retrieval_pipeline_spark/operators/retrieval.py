@@ -500,13 +500,18 @@ def bm25_topk(
     keep_cols: Sequence[str] = (),
     stats_df: DataFrame | None = None,
 ) -> DataFrame:
-    """True BM25 relevance — the scoring the reference's Q4 actually
-    ranks by: ES ``_score`` over a terms match IS Lucene BM25
-    (search_with_segments.py:304-342 sorts by ``_score``;
-    app.py:256-293 returns it). SURVEY.md §2.9 scoped exact parity out
-    in favour of a proxy; this closes that gap with the Lucene 8+
-    formula (the ``(k1+1)`` numerator constant dropped, as Lucene
-    dropped it — it rescales every score identically):
+    """True Lucene BM25 relevance — the scoring an analyzed ES
+    ``match`` query would rank the reference's corpus by. Precision on
+    the parity claim: the reference's Q4 endpoint
+    (search_with_segments.py:304-342, surfaced by app.py:256-293)
+    issues an ES ``terms`` query, which Lucene scores CONSTANT (1.0
+    per matching clause, no tf/idf) — its ``_score`` ordering is the
+    match-count proxy ``tag_search`` already certifies. This operator
+    is the capability EXTENSION past that endpoint: the full-text
+    relevance an analyzed ``match``/``match_or`` query against the
+    same index computes, using the exact Lucene 8+ formula (the
+    ``(k1+1)`` numerator constant dropped, as Lucene dropped it — it
+    rescales every score identically):
 
         score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
         idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))

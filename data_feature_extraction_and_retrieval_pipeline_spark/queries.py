@@ -67,18 +67,21 @@ _ORACLES: dict[str, str] = {}
 # dir could still overwrite (mode=overwrite deletes files first)
 # while the other thread's scan is running. Per-thread dirs make the
 # overwrite race structurally impossible: the only writer of a dir is
-# the thread that also runs its reads. Retired threads' dirs are NOT
-# reaped before interpreter exit, deliberately: a plan-cached
-# DataFrame built by thread T keeps referencing T's dir and may be
-# re-executed from ANY thread long after T exits (bench.py builds
-# plans on a 4-thread pool, then times them from the main thread), so
-# reap-on-thread-death would delete files under a live plan's scan.
-# The accumulation is bounded at one dir per (query, sf_dir,
-# CONSTRUCTING thread), and construction threads are bounded by the
-# harness (the pool size), not by serving-thread churn — a resident
-# server that constructs on rotating worker threads with the plan
-# cache OFF should pass its own bounded pool or call
-# _cleanup_scratch_dirs at a quiesce point.
+# the thread that also runs its reads.
+#
+# Retired threads' dirs ARE reaped (round 7) — but ONLY while the
+# plan cache is OFF: with the cache ON, a cached DataFrame built by
+# thread T keeps referencing T's dir and may be re-executed from ANY
+# thread long after T exits (bench.py builds plans on a 4-thread
+# pool, then times them from the main thread), so reap-on-thread-
+# death would delete files under a live plan's scan. Cache OFF is the
+# resident-server regime the reap exists for: every call constructs,
+# executes, and discards its frame on ONE worker thread, so a retired
+# thread's dirs are unreferenced by construction and rotating worker
+# threads no longer accumulate one roundtrip dir per retired thread.
+# (A caller that constructs cache-OFF on one thread and lazily
+# executes on another is outside this contract — use the plan cache
+# or a bounded pool for cross-thread handoff.)
 # The lock remains to serialize catalog/warehouse side effects (the
 # bucketed managed table below) and to bound concurrent write jobs
 # during the bench's overlapped cold pass.
@@ -118,6 +121,14 @@ atexit.register(_cleanup_scratch_dirs)
 # prevent. A monotonic counter is unique for the process lifetime.
 _THREAD_SEQ = itertools.count()
 _THREAD_TOKEN = threading.local()
+# token -> issuing Thread object / scratch dirs it created, so dirs
+# of RETIRED threads can be reclaimed before interpreter exit (a
+# resident server with rotating worker threads would otherwise hold
+# one roundtrip dir per retired thread until atexit). Guarded by its
+# own lock: bookkeeping is touched at plan-construction time only.
+_SCRATCH_BOOK_LOCK = threading.Lock()
+_TOKEN_THREADS: dict[int, threading.Thread] = {}
+_DIRS_BY_TOKEN: dict[int, set[str]] = {}
 
 
 def _thread_token() -> int:
@@ -125,7 +136,34 @@ def _thread_token() -> int:
     if tok is None:
         tok = next(_THREAD_SEQ)  # C-level next: atomic under the GIL
         _THREAD_TOKEN.tok = tok
+        with _SCRATCH_BOOK_LOCK:
+            _TOKEN_THREADS[tok] = threading.current_thread()
     return tok
+
+
+def _reap_retired_tokens() -> None:
+    """Reclaim scratch dirs whose constructing thread has exited.
+    No-op while the plan cache is on (cached plans built by a retired
+    thread legitimately re-execute from other threads — their dirs
+    must outlive the thread; atexit still cleans them)."""
+    import shutil
+
+    if _PLAN_CACHE_ON:
+        return
+    with _SCRATCH_BOOK_LOCK:
+        dead = [
+            tok
+            for tok, thr in _TOKEN_THREADS.items()
+            if not thr.is_alive()
+        ]
+        doomed: list[str] = []
+        for tok in dead:
+            del _TOKEN_THREADS[tok]
+            for d in _DIRS_BY_TOKEN.pop(tok, ()):
+                _SCRATCH_DIRS.discard(d)
+                doomed.append(d)
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # Host tag embedded in scratch dir / managed-table names: orphan
@@ -170,10 +208,12 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     base = tempfile.gettempdir()
     stem = f"{prefix}_{digest}"
     _reap_orphans(base, stem)
-    d = os.path.join(
-        base, f"{stem}_{_HOST_TAG}_{os.getpid()}_{_thread_token()}"
-    )
-    _SCRATCH_DIRS.add(d)
+    _reap_retired_tokens()
+    tok = _thread_token()
+    d = os.path.join(base, f"{stem}_{_HOST_TAG}_{os.getpid()}_{tok}")
+    with _SCRATCH_BOOK_LOCK:
+        _SCRATCH_DIRS.add(d)
+        _DIRS_BY_TOKEN.setdefault(tok, set()).add(d)
     return d
 
 # Prepared-plan cache: a query over the immutable driver tables is a
@@ -413,10 +453,13 @@ _TOUCHED: dict[str, int] = {
     "tag_search_bm25": 6,
     "text_tfidf_keywords": 6,
     "percolate_stream": 6,
-    "api_percolate": 6,
     "etl_zorder_roundtrip": 6,
-    "report_quality_constraints": 6,
-    "report_corpus_drift": 6,
+    # round 7: Percolator stats materialization (api_percolate plan),
+    # unique-NULL semantics + new unique(lang) row (constraints), and
+    # the fused single-scan + DECIMAL(38,0) drift report
+    "api_percolate": 7,
+    "report_quality_constraints": 7,
+    "report_corpus_drift": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -1790,12 +1833,13 @@ _BM25_TAG_TERMS = ["data", "table", "row"]
     ),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-text BM25 top-k over the corpus — the reference's actual
-    Q4 ranking signal (ES ``_score`` = Lucene BM25;
-    search_with_segments.py:304-342, app.py:256-293) as a first-class
-    operator instead of the proxy. Literal query terms ⇒ per-doc tf is
-    map-only (no posting shuffle); corpus stats are one 1-row
-    aggregate broadcast back; top-k is TakeOrderedAndProject."""
+    """Full-text BM25 top-k over the corpus — the Lucene relevance an
+    analyzed ES ``match`` query against the reference's index computes
+    (a capability extension past the Q4 endpoint, whose ``terms``
+    query Lucene scores constant — see retrieval.bm25_topk's parity
+    note). Literal query terms ⇒ per-doc tf is map-only (no posting
+    shuffle); corpus stats are one 1-row aggregate broadcast back;
+    top-k is TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents", wide=True)
     return retrieval.bm25_topk(
         docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text",
@@ -1812,12 +1856,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def tag_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 with the proxy replaced by the real thing: BM25 relevance
-    over the per-image ``tag_list`` index column (the ES keyword-field
-    scoring of search_with_segments.py:304-342 — tf∈{0,1} per tag, dl
-    = #tags, idf from the corpus tag distribution). Same write-time
-    tag artifact `_doc_tag_list` the proxy query uses; only the
-    ranking changes."""
+    """Q4 upgraded past the endpoint's ranking: BM25 relevance over
+    the per-image ``tag_list`` index column. The reference's Q4 issues
+    an ES ``terms`` query (search_with_segments.py:304-342), which
+    Lucene scores CONSTANT per matching clause — that proxy ordering
+    is what ``tag_search`` certifies; this variant scores the same
+    keyword field the way an analyzed ``match`` query would (tf∈{0,1}
+    per tag, dl = #tags, idf from the corpus tag distribution). Same
+    write-time tag artifact `_doc_tag_list`; only the ranking
+    changes."""
     tagged = _doc_tag_list(spark, sf_dir)
     return retrieval.bm25_topk(
         tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list",
@@ -3511,8 +3558,10 @@ def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing queries matched against documents at ingest — the ES
     percolator shape (queries are indexed, each arriving document is
     scored against all of them; the reference's ingest loop
-    bulk_index_with_features.py composed with its BM25-scored search
-    search_with_segments.py:304-342). The documents table is drained
+    bulk_index_with_features.py composed with analyzed-match BM25
+    relevance over its index — see retrieval.bm25_topk's parity note
+    on the endpoint's constant-scored terms query). The documents
+    table is drained
     availableNow through ``streaming.percolate``: BM25 against a
     FROZEN corpus-stats row (built batch-side like an index artifact),
     idf computed in-engine, map-only per micro-batch — stateless, so
@@ -5741,7 +5790,8 @@ def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT COUNT(*) AS n_rows,
                SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls_text,
-               COUNT(DISTINCT doc_id) AS dist_doc_id,
+               COUNT(doc_id) - COUNT(DISTINCT doc_id) AS dups_doc_id,
+               COUNT(lang) - COUNT(DISTINCT lang) AS dups_lang,
                SUM(CASE WHEN n_chars IS NULL OR n_chars < 0.0
                              OR n_chars > 500.0
                         THEN 1 ELSE 0 END) AS oob_n_chars,
@@ -5755,7 +5805,9 @@ def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'not_null(text)', nulls_text::BIGINT, nulls_text = 0 FROM s
     UNION ALL
-    SELECT 'unique(doc_id)', dist_doc_id::BIGINT, dist_doc_id = n_rows FROM s
+    SELECT 'unique(doc_id)', dups_doc_id::BIGINT, dups_doc_id = 0 FROM s
+    UNION ALL
+    SELECT 'unique(lang)', dups_lang::BIGINT, dups_lang = 0 FROM s
     UNION ALL
     SELECT 'bounds(n_chars,[0.0,500.0])', oob_n_chars::BIGINT,
            oob_n_chars = 0 FROM s
@@ -5769,16 +5821,19 @@ def report_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan evaluates every constraint as an aggregate, emitting a
     ``(check_name, metric, passed)`` frame a CI gate asserts on. The
     fixture mixes outcomes deliberately: row-count / not-null /
-    uniqueness PASS; the n_chars upper bound and the lang allow-list
-    FAIL with exact violation counts — proving the gate reports
-    violations rather than merely detecting presence."""
+    unique(doc_id) PASS; the n_chars upper bound and the lang
+    allow-list FAIL with exact violation counts; and unique(lang)
+    FAILS with the exact DUPLICATE count among non-null values —
+    certifying the round-7 NULL-explicit unique semantics (metric =
+    count(c) − count(distinct c), NULLs are neither duplicates nor
+    violations; pair with not_null for key columns)."""
     from .operators.reports import constraint_report
 
     docs = _t(spark, sf_dir, "documents")
     return constraint_report(
         docs,
         not_null=("text",),
-        unique=("doc_id",),
+        unique=("doc_id", "lang"),
         bounds={"n_chars": (0.0, 500.0)},
         values_in={"lang": ("de", "en", "es", "fr")},
         min_rows=100,
@@ -5825,13 +5880,14 @@ def report_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT section, key, ref_n, cur_n,
-               ABS(ref_n * m - cur_n * n)::BIGINT AS drift_num
+               ABS(ref_n::HUGEINT * m - cur_n::HUGEINT * n)
+                   ::DECIMAL(38,0) AS drift_num
         FROM pivoted CROSS JOIN nm
     )
     SELECT * FROM scored
     UNION ALL
     SELECT section, '__TOTAL__', SUM(ref_n)::BIGINT, SUM(cur_n)::BIGINT,
-           SUM(drift_num)::BIGINT
+           SUM(drift_num)::DECIMAL(38,0)
     FROM scored GROUP BY section
     """,
 )
@@ -5841,10 +5897,14 @@ def report_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd-id half as the new ingest — per-value categorical composition
     (lang, source) and a 50-char length histogram compared side by
     side, with the exact cross-multiplied L1 numerator
-    |ref_n·M − cur_n·N| per key and a per-section total. Every emitted
-    number is an exact BIGINT — shares are never divided out, so the
-    report cannot hit a cross-engine rounding boundary at any scale
-    (the win_lag_delta lesson applied at design time)."""
+    |ref_n·M − cur_n·N| per key and a per-section total. Counts are
+    exact BIGINTs and the numerator is exact DECIMAL(38,0) (round-7
+    fix: the long·long product wraps past 2^63 exactly in the
+    billion-row regime this report targets) — shares are never
+    divided out, so the report cannot hit a cross-engine rounding
+    boundary (the win_lag_delta lesson applied at design time). Also
+    round 7: ALL sections now count in ONE exploded (section, key)
+    aggregate per side — adding sections adds zero scans."""
     from .operators.reports import drift_report
 
     docs = _t(spark, sf_dir, "documents")

@@ -5,9 +5,11 @@ search with its percolator: queries are registered in an index, and
 each document arriving at ingest is matched against every registered
 query (the alerting / routing primitive behind "tell me when a doc
 matching X lands"). The reference's ingest loop
-(bulk_index_with_features.py) plus its BM25-scored search
-(search_with_segments.py:304-342) compose into exactly that standing
-shape once the corpus statistics are frozen.
+(bulk_index_with_features.py) plus full-text relevance over its index
+(the BM25 an analyzed ES ``match`` query computes — the endpoint's
+own ``terms`` query is constant-scored; see retrieval.bm25_topk's
+parity note) compose into exactly that standing shape once the corpus
+statistics are frozen.
 
 This is the Spark twin: standing BM25 term queries scored against a
 FROZEN corpus-statistics row (the ``stats_df`` serving artifact of
@@ -118,7 +120,26 @@ def percolate(
     """
     from ..functions import text as X
 
+    # Fail loudly at registration shape errors instead of leaking an
+    # IndexError/KeyError from deep inside expression assembly: an
+    # empty query set, a query with zero terms, or a query term the
+    # frozen stats row never covered are all caller bugs — name the
+    # offending query so the fix is one lookup away.
+    if not queries:
+        raise ValueError("percolate needs at least one standing query")
     stats_idx = {t: i for i, t in enumerate(stats_terms)}
+    for q in queries:
+        if not q.terms:
+            raise ValueError(
+                f"standing query {q.query_id!r} has no terms"
+            )
+        missing = [t for t in q.terms if t not in stats_idx]
+        if missing:
+            raise ValueError(
+                f"standing query {q.query_id!r} uses terms not covered "
+                f"by stats_terms: {missing} — rebuild the stats artifact "
+                "over the union of all registered queries' terms"
+            )
     # same NULL-array identity as bm25_stats (empty doc, not size -1)
     toks_expr = (
         F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))

@@ -101,3 +101,63 @@ def test_percolate_concurrent_with_distinct_queries(spark):
     for i in range(4):
         assert got[i] == serial[i]
         assert all(r[1] == f"v{i}" for r in got[i])
+
+
+def test_retired_thread_scratch_reaped():
+    """Rotating worker threads must not accumulate scratch dirs: after
+    N short-lived threads each claim (and create) a scratch dir with
+    the plan cache OFF, a later call from a surviving thread reaps
+    every retired thread's dir — bookkeeping AND on-disk — leaving a
+    bounded count (the live thread's own dirs only). With the plan
+    cache ON the same dirs are retained (cached plans may re-execute
+    from any thread), which the second half asserts."""
+    import os
+    import threading
+
+    assert not Q._PLAN_CACHE_ON  # the reap regime under test
+
+    made: list[str] = []
+
+    def worker():
+        d = Q._scratch_dir("dferp_reaptest", SF_DIR)
+        os.makedirs(d, exist_ok=True)
+        made.append(d)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # 6 distinct dirs were claimed; later workers may ALREADY have
+    # reaped earlier retired workers' dirs (that's the feature)
+    assert len(set(made)) == 6
+
+    # a later claim from THIS (live) thread triggers the reap
+    mine = Q._scratch_dir("dferp_reaptest", SF_DIR)
+    assert all(not os.path.exists(d) for d in made)
+    assert all(d not in Q._SCRATCH_DIRS for d in made)
+    with Q._SCRATCH_BOOK_LOCK:
+        live_tokens = set(Q._DIRS_BY_TOKEN)
+    assert len(live_tokens) <= threading.active_count()
+
+    # plan cache ON ⇒ retired dirs must survive the reap
+    Q.enable_plan_cache(True)
+    try:
+        made2: list[str] = []
+
+        def worker2():
+            d = Q._scratch_dir("dferp_reaptest", SF_DIR)
+            os.makedirs(d, exist_ok=True)
+            made2.append(d)
+
+        t2 = threading.Thread(target=worker2)
+        t2.start(); t2.join()
+        Q._scratch_dir("dferp_reaptest", SF_DIR)
+        assert all(os.path.isdir(d) for d in made2)
+    finally:
+        Q.enable_plan_cache(False)
+        Q._reap_retired_tokens()  # now reclaim worker2's dir too
+        assert all(not os.path.exists(d) for d in made2)
+    import shutil
+
+    shutil.rmtree(mine, ignore_errors=True)

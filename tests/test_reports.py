@@ -142,9 +142,27 @@ def test_constraint_report_hand_corpus(spark):
     }
     assert got["row_count_min(5)"] == (3, False)
     assert got["not_null(text)"] == (1, False)
-    assert got["unique(doc_id)"] == (2, False)      # 2 distinct of 3 rows
+    assert got["unique(doc_id)"] == (1, False)      # exactly 1 duplicate
     assert got["bounds(n_chars,[0.0,100.0])"] == (1, False)
     assert got["values_in(lang)"] == (1, False)
+
+    # NULL-explicit unique semantics: NULLs are neither duplicates nor
+    # violations (metric counts duplicates among NON-NULL values only;
+    # a key column pairs unique with not_null to forbid NULLs) — two
+    # NULL texts + distinct non-null values ⇒ unique(text) passes with
+    # zero duplicates while not_null(text) reports the two NULLs.
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a"), (4, "b")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.check_name: (r.metric, r.passed)
+        for r in constraint_report(
+            nulls, not_null=("text",), unique=("text",)
+        ).collect()
+    }
+    assert got2["unique(text)"] == (0, True)
+    assert got2["not_null(text)"] == (2, False)
 
     all_pass = constraint_report(
         df.filter("doc_id = 2"),
