@@ -280,90 +280,73 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-6
-# rotation (executing the round-5 verdict's plan): the two new report
-# bundles, then the EIGHT rows-only entries that have never carried a
-# driver row in any round (the verdict's top ask — rows-only rows are
-# cheap, and after this round every registry entry has at least one
-# CORRECTNESS row), then every query whose code round 6 touches
-# (segstub factoring, curate checkpoint trim, writers conf-round-trip
-# lock, scratch-reaper scoping shared by the roundtrip family, api.py
-# shared-file edits), then the seven keepers whose newest rows are
-# r03, then 21 of the r04 keepers. The remaining 16 r04 keepers and
-# the r05-green keepers ride their untouched rows at position 51+.
+# entries of queries(), so ordering is part of the contract. Round-7
+# rotation: first the queries whose round-7 code changes demand fresh
+# rows (the Percolator stats freeze, the NULL-explicit unique gate,
+# the fused DECIMAL drift report, and the new ANN index-maintenance
+# pair), then the SEVEN r03-row veterans the round-6 verdict asked to
+# refresh, then the 25 keepers whose newest rows are r04, then the 13
+# oldest r05-row keepers. The eight rows-only entries left the head
+# this round: their r06 rows-only driver rows are now recognized as
+# evidence (tools/freshness_report.py::green treats err=no_oracle +
+# recorded spark_rows as a row-shape marker, not a failure), so the
+# 50-slot budget goes to refreshing the oldest oracled witnesses.
 # The full query → newest-row / witness-floor table is generated into
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- new this round (no row yet) --
-    "report_dataset",
-    "report_segment_stats",
-    # -- rows-only entries: first driver rows ever --
-    "ann_pq",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ml_kmeans_clusters",
-    "ml_stub_text_embeddings",
-    "ml_segment_pipeline",
-    "ml_ingest_pipeline",
-    "agg_sketch_profile",
-    # -- code touched this round (fresh rows must postdate) --
-    "ml_segment_portable",       # _segstub factoring (shared w/ report)
-    "api_pipeline_curate",       # checkpoint-cost trim
-    "etl_compact_roundtrip",     # advisory-size conf round-trip lock
-    "etl_csv_roundtrip",         # scratch-reaper scoping
-    "etl_partitioned_roundtrip",
-    "etl_bucketed_roundtrip",
-    "etl_json_feature_roundtrip",
-    "ml_image_dir_scan",
-    "api_engine_whole",          # api.py shared-file edits
-    "api_engine_segment",
-    "api_engine_hybrid",
-    "api_engine_tags",
-    # -- stream sources switched to the layout-correct helper this
-    # round (floor 6 ⇒ head; three r03 keepers — sql_api_revenue,
-    # agg_decade_orders, etl_regex_extract_path — displaced to 51+,
-    # their untouched r03 rows remain the evidence) --
-    "events_sessionize_stream",
-    "dedup_minhash_stream",
-    "events_interval_join_stream",
-    # (all seven r03 keepers now displaced to 51+ by round-6
-    # second-half queries — text_fingerprint / nested_roundtrip /
-    # text_token_bpe / ml_frame_sample last; their r03 rows remain)
-    # -- 21 of the 37 untouched keepers whose newest rows are r04 --
-    "ml_multimodal_meta",
-    "ml_resize_plan",
-    "q1_pricing_summary",
-    "agg_value_counts",
-    "agg_explode_count",
-    "agg_histogram_chars",
-    "agg_group_stats",
-    "agg_distinct_counts",
-    "agg_bool_flags",
-    "win_topn_per_group",
-    "win_global_topk",
-    # etl_safe_cast / etl_multiformat_date / etl_prefix_split /
-    # vec_mean_per_label / join_semi_allowlist / join_anti_customers /
-    # etl_sentinel_cleanse / join_meta_counters displaced to 51+ by
-    # the eight queries new in round 6's second half (their r04 rows
-    # stay valid — code untouched); ann_pq_portable / ann_ivfpq_portable
-    # likewise displaced earlier by dedup_minhash_incremental /
-    # ann_ivf_filtered
-    "dedup_minhash_incremental",
-    "ann_ivf_filtered",
-    # -- new in round 6, second half (no row yet; floor 6 ⇒ head) --
-    "etl_orc_roundtrip",
-    "etl_sorted_export",
-    "agg_cube_lang_source",
-    "win_lag_delta",
-    "text_bm25_topk",
-    "tag_search_bm25",
-    "text_tfidf_keywords",
-    "percolate_stream",
+    # -- round-7 semantic changes / new operators (floor 7 => head) --
     "api_percolate",
-    "etl_zorder_roundtrip",
     "report_quality_constraints",
     "report_corpus_drift",
+    "ann_ingest_assign",
+    "ann_centroid_staleness",
+    # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
+    "agg_decade_orders",
+    "etl_regex_extract_path",
+    "ml_frame_sample",
+    "nested_roundtrip",
+    "sql_api_revenue",
+    "text_fingerprint",
+    "text_token_bpe",
+    # -- the 25 keepers whose newest rows are r04 --
+    "agg_keyword_scan",
+    "agg_salted_group",
+    "ann_brute_force",
+    "ann_ivfpq_portable",
+    "ann_pq_portable",
+    "dedup_chunks",
+    "dedup_cluster_canonical",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "etl_safe_cast",
+    "etl_sentinel_cleanse",
+    "etl_upsert_merge",
+    "events_interval_join",
+    "events_sessionize",
+    "events_tumbling_window",
+    "join_anti_customers",
+    "join_meta_counters",
+    "join_semi_allowlist",
+    "join_tag_category",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "vec_mean_per_label",
+    # -- the oldest r05-row keepers fill the remaining slots --
+    "agg_rollup_acctbal",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_range_search",
+    "asof_join_clicks",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best_per_source",
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "etl_hash_split",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -455,11 +438,14 @@ _TOUCHED: dict[str, int] = {
     "percolate_stream": 6,
     "etl_zorder_roundtrip": 6,
     # round 7: Percolator stats materialization (api_percolate plan),
-    # unique-NULL semantics + new unique(lang) row (constraints), and
-    # the fused single-scan + DECIMAL(38,0) drift report
+    # unique-NULL semantics + new unique(lang) row (constraints), the
+    # fused single-scan + DECIMAL(38,0) drift report, and the ANN
+    # index-maintenance pair (new)
     "api_percolate": 7,
     "report_quality_constraints": 7,
     "report_corpus_drift": 7,
+    "ann_ingest_assign": 7,
+    "ann_centroid_staleness": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -3616,6 +3602,129 @@ def api_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     p = Percolator(docs, _PERC_QUERIES)
     return p.matches(docs.select("doc_id", "text"))
+
+
+# ANN index maintenance: assignment CTE shared by both queries — the
+# first 4 embeddings are the frozen coarse centroids, cluster = argmax
+# dot (ties → lowest centroid id), exactly assign_clusters_np's rule.
+_ANN_ASSIGN_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+    a AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN c
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ingest_assign",
+    f"""
+    WITH {_ANN_ASSIGN_CTE}
+    SELECT cluster::INT AS cluster, COUNT(*) AS n_vecs,
+           SUM(vec_id)::BIGINT AS id_checksum,
+           SUM(vec_id * vec_id)::BIGINT AS id_sq_checksum
+    FROM a GROUP BY cluster
+    """,
+)
+def ann_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance certified END-TO-END
+    (streaming/ann_ingest.py — the reference's upload→index lifecycle,
+    upload_features_to_elasticsearch.py:207-229 / SRS §4.1-4.2, at the
+    vector layer): embeddings staged as arriving files → availableNow
+    stream → per-micro-batch nearest-centroid assignment against the
+    FROZEN leading-4 centroids (Arrow matmul kernel) → append into the
+    ``partitionBy(cluster)`` serving layout → read the maintained
+    index back and summarize per cluster. Linear + quadratic vec_id
+    checksums pin the COMPLETE assignment map (no swap of members
+    between clusters can preserve both), so the oracle certifies the
+    stream transform, the partitioned write, and the read-back —
+    the assignment itself is the pure-Catalyst-twin rule (argmax dot,
+    ties → lowest centroid id)."""
+    import shutil
+
+    from .streaming import start_ann_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _leading_vectors(spark, sf_dir, 4)
+    src = _scratch_dir("dferp_annsrc", sf_dir)
+    idx = _scratch_dir("dferp_annidx", sf_dir)
+    ckpt = _scratch_dir("dferp_annck", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        emb.write.mode("overwrite").parquet(src)
+        # fresh drain per call: a stale checkpoint would skip the
+        # (re-written) source files and a stale index would double-count
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = start_ann_ingest(spark, src, emb.schema, idx, ckpt, cents)
+        if not q.awaitTermination(120):
+            q.stop()
+    back = spark.read.parquet(idx)
+    return back.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum(F.col("vec_id") * F.col("vec_id")).alias("id_sq_checksum"),
+    )
+
+
+@register(
+    "ann_centroid_staleness",
+    f"""
+    WITH {_ANN_ASSIGN_CTE},
+    ref AS (SELECT cluster FROM a WHERE vec_id % 2 = 0),
+    cur AS (SELECT cluster FROM a WHERE vec_id % 2 = 1),
+    nm AS (
+        SELECT (SELECT COUNT(*) FROM ref) AS n,
+               (SELECT COUNT(*) FROM cur) AS m
+    ),
+    pivoted AS (
+        SELECT 'cat:c' AS section, CAST(cluster AS VARCHAR) AS key,
+               SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ref_n,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cur_n
+        FROM (
+            SELECT cluster, 0 AS side FROM ref
+            UNION ALL
+            SELECT cluster, 1 FROM cur
+        ) GROUP BY 2
+    ),
+    scored AS (
+        SELECT section, key, ref_n, cur_n,
+               ABS(ref_n::HUGEINT * m - cur_n::HUGEINT * n)
+                   ::DECIMAL(38,0) AS drift_num
+        FROM pivoted CROSS JOIN nm
+    )
+    SELECT * FROM scored
+    UNION ALL
+    SELECT section, '__TOTAL__', SUM(ref_n)::BIGINT, SUM(cur_n)::BIGINT,
+           SUM(drift_num)::DECIMAL(38,0)
+    FROM scored GROUP BY section
+    """,
+)
+def ann_centroid_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid-staleness monitor (streaming/ann_ingest.py::
+    centroid_staleness): cluster-occupancy drift between the resident
+    index (even vec_ids) and an arriving batch (odd vec_ids), both
+    assigned under the same frozen leading-4 centroids — drift_report
+    over the cluster column, so "the data moved under the centroids"
+    is an exact-integer alarm (cross-multiplied L1 numerator, no float
+    surface). This is the measurement that triggers the
+    recenter_compact batch job in the maintenance loop."""
+    from .operators.similarity import assign_clusters_np
+    from .streaming import centroid_staleness
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _leading_vectors(spark, sf_dir, 4)
+    assigned = assign_clusters_np(emb, cents)
+    return centroid_staleness(
+        assigned.filter(F.col("vec_id") % 2 == 0),
+        assigned.filter(F.col("vec_id") % 2 == 1),
+    )
 
 
 @register("events_sessionize_stream", _SESSIONIZE_ORACLE)

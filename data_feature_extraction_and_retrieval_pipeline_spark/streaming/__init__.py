@@ -13,3 +13,10 @@ from .dedup import (  # noqa: F401
 )
 from .join import interval_join_stream  # noqa: F401
 from .percolate import StandingQuery, bm25_stats, percolate  # noqa: F401
+from .ann_ingest import (  # noqa: F401
+    ann_assign_transform,
+    start_ann_ingest,
+    centroid_staleness,
+    recenter,
+    recenter_compact,
+)

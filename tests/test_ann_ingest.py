@@ -1,0 +1,150 @@
+"""Incremental ANN index maintenance (streaming/ann_ingest.py): the
+upload→index lifecycle — stream-assign ≡ batch-assign, append-only
+growth under checkpointed redelivery, partition pruning on the
+maintained layout, the drift-based staleness monitor, and the
+re-center/compaction job."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+    assign_clusters_np,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+    centroid_staleness,
+    recenter,
+    recenter_compact,
+    start_ann_ingest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load_emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _centroids(spark, k=4):
+    rows = (
+        _load_emb(spark)
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _drain(spark, src, idx, ckpt, cents, schema):
+    q = start_ann_ingest(spark, str(src), schema, str(idx), str(ckpt), cents)
+    assert q.awaitTermination(120)
+
+
+def test_stream_assignment_equals_batch(spark, tmp_path):
+    """The drained partitioned index holds EXACTLY the batch
+    assignment — same (vec_id, cluster) set, nothing dropped or
+    duplicated by the stream path."""
+    emb = _load_emb(spark)
+    cents = _centroids(spark)
+    src, idx, ckpt = tmp_path / "src", tmp_path / "idx", tmp_path / "ck"
+    emb.write.parquet(str(src))
+    _drain(spark, src, idx, ckpt, cents, emb.schema)
+
+    got = sorted(
+        (r["vec_id"], int(r["cluster"]))
+        for r in spark.read.parquet(str(idx)).select("vec_id", "cluster").collect()
+    )
+    want = sorted(
+        (r["vec_id"], int(r["cluster"]))
+        for r in assign_clusters_np(emb, cents).select("vec_id", "cluster").collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+
+def test_ingest_appends_only_new_files(spark, tmp_path):
+    """Second drain over the SAME checkpoint after new files arrive
+    appends exactly the new rows — checkpointed offsets dedupe the
+    already-ingested files (the restart/redelivery contract)."""
+    emb = _load_emb(spark)
+    cents = _centroids(spark)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    src, idx, ckpt = tmp_path / "src", tmp_path / "idx", tmp_path / "ck"
+
+    first.write.parquet(str(src))
+    _drain(spark, src, idx, ckpt, cents, emb.schema)
+    n1 = spark.read.parquet(str(idx)).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(str(src))
+    _drain(spark, src, idx, ckpt, cents, emb.schema)
+    back = spark.read.parquet(str(idx))
+    assert back.count() == emb.count()
+    # no duplicates: every vec_id exactly once
+    assert back.select("vec_id").distinct().count() == emb.count()
+
+
+def test_maintained_layout_prunes_partitions(spark, tmp_path):
+    """A cluster-filtered probe over the maintained index reads ONLY
+    that cluster's files — the write-time layout keeps paying for
+    itself as ingest grows it."""
+    emb = _load_emb(spark)
+    cents = _centroids(spark)
+    src, idx, ckpt = tmp_path / "src", tmp_path / "idx", tmp_path / "ck"
+    emb.write.parquet(str(src))
+    _drain(spark, src, idx, ckpt, cents, emb.schema)
+
+    probed = spark.read.parquet(str(idx)).filter(F.col("cluster") == 0)
+    files = [
+        r[0]
+        for r in probed.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    assert files and all("cluster=0" in f for f in files)
+
+
+def test_centroid_staleness_hand_values(spark):
+    """Exact occupancy-drift arithmetic on hand-assigned frames:
+    resident = clusters (0,0,1), arriving = (0,1,1,1). N=3, M=4.
+    Numerators |ref_n*M - cur_n*N|: c0 |2*4-1*3|=5, c1 |1*4-3*3|=5;
+    total 10."""
+    res = spark.createDataFrame([(0,), (0,), (1,)], "cluster int")
+    arr = spark.createDataFrame([(0,), (1,), (1,), (1,)], "cluster int")
+    rows = {
+        r["key"]: (r["ref_n"], r["cur_n"], int(r["drift_num"]))
+        for r in centroid_staleness(res, arr).collect()
+    }
+    assert rows["0"] == (2, 1, 5)
+    assert rows["1"] == (1, 3, 5)
+    assert rows["__TOTAL__"] == (3, 4, 10)
+
+
+def test_recenter_exact_means_and_compact(spark, tmp_path):
+    """recenter returns the exact per-cluster elementwise means; on a
+    well-separated toy corpus recenter_compact leaves membership
+    unchanged while rewriting the layout (and the swap leaves no
+    debris)."""
+    rows = [
+        (1, [10.0, 0.0], 0),
+        (2, [12.0, 2.0], 0),
+        (3, [0.0, 10.0], 1),
+        (4, [0.0, 14.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    cents = recenter(df)
+    assert cents == [[11.0, 1.0], [0.0, 12.0]]
+
+    idx = tmp_path / "idx"
+    df.write.partitionBy("cluster").parquet(str(idx))
+    new_cents = recenter_compact(spark, str(idx))
+    assert new_cents == [[11.0, 1.0], [0.0, 12.0]]
+    back = spark.read.parquet(str(idx))
+    got = {r["vec_id"]: int(r["cluster"]) for r in back.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    assert not os.path.exists(str(idx) + "__retired")
+    assert not os.path.exists(str(idx) + "__tmp_recenter")
