@@ -654,7 +654,33 @@ class Percolator:
     backfill path and the ingest stream. Registered queries are fixed
     at construction: at 100 TB the query set is the SMALL side
     (thousands), re-freezing on registry change is one cheap aggregate.
+
+    ``strategy`` picks the scoring formulation:
+
+    - ``"expr"``: literal expression trees, one per query — zero hash
+      shuffle, the only STATELESS shape (required for a direct
+      readStream frame), but plan analysis+codegen is
+      O(|queries|·|terms|) and falls off a cliff in the thousands.
+    - ``"join"``: the registry as a broadcast TABLE
+      (streaming/percolate.py::percolate_join) — plan cost independent
+      of |queries|, bit-identical scores; aggregation-based, so batch
+      (or foreachBatch) frames only.
+    - ``"auto"`` (default): join for batch frames once the registry
+      exceeds ``JOIN_THRESHOLD`` registered queries, expression
+      otherwise; streaming frames always take the expression form (a
+      10k-query streaming registry should percolate inside
+      foreachBatch with the join form). Threshold from
+      tools/percolate_scale.py (sf0.01, 2-term queries, 2026-08-15):
+      the expression form's plan cost is ~linear in |queries| (1.9 s
+      analysis+codegen at 10, 9.5 s at 100) and at 300 it does not
+      degrade — it DIES, OOMing the JVM heap inside janino; the join
+      form plans in a flat ~0.3 s at every size. 32 keeps the
+      zero-shuffle expression plan where its per-plan cost is still
+      interactive and switches well clear of the compile wall
+      (SCALING.md "Percolator registry ceiling").
     """
+
+    JOIN_THRESHOLD = 32
 
     def __init__(
         self,
@@ -665,8 +691,13 @@ class Percolator:
         tokens_col: str | None = None,
         k1: float = 1.2,
         b: float = 0.75,
+        strategy: str = "auto",
     ):
         from .streaming.percolate import StandingQuery, bm25_stats
+
+        if strategy not in ("auto", "expr", "join"):
+            raise ValueError(f"unknown percolator strategy {strategy!r}")
+        self.strategy = strategy
 
         self.queries = [StandingQuery(*q) for q in queries]
         if not self.queries:
@@ -685,27 +716,68 @@ class Percolator:
         self.terms = list(
             dict.fromkeys(t for q in self.queries for t in q.terms)
         )
-        # MATERIALIZE the index-time artifact: bm25_stats returns a
-        # lazy frame, and leaving it lazy would re-run the full-corpus
-        # aggregate on every matches() action (every micro-batch!) and
-        # silently re-freeze if the corpus source gained files —
-        # breaking the "built once at index time" contract. One
-        # bounded collect (a single row) turns it into literals; the
-        # replayed local frame costs nothing to broadcast per batch.
-        stats_lazy = bm25_stats(
-            corpus, self.terms, text_col=text_col, tokens_col=tokens_col
+        self._join_form = strategy == "join" or (
+            strategy == "auto" and len(self.queries) >= self.JOIN_THRESHOLD
         )
-        frozen = stats_lazy.collect()
-        self.stats = corpus.sparkSession.createDataFrame(
-            frozen, schema=stats_lazy.schema
-        )
+        # MATERIALIZE the index-time artifact: the lazy stats frames
+        # would re-run the full-corpus aggregate on every matches()
+        # action (every micro-batch!) and silently re-freeze if the
+        # corpus source gained files — breaking the "built once at
+        # index time" contract. Bounded collects (one row wide-form /
+        # |vocab| rows long-form) turn them into literal frames.
+        # Which artifact depends on the formulation: the WIDE 1-row
+        # stats of the expression form would itself be a |vocab|-column
+        # codegen bomb at a 10k-term registry, so the join form builds
+        # only the LONG (term, df) table and vice versa.
+        spark = corpus.sparkSession
+        if self._join_form:
+            from .streaming.percolate import bm25_stats_table
+
+            ts, tot = bm25_stats_table(
+                corpus, self.terms, text_col=text_col, tokens_col=tokens_col
+            )
+            self.term_stats = spark.createDataFrame(
+                ts.collect(), schema=ts.schema
+            )
+            self.totals = spark.createDataFrame(
+                tot.collect(), schema=tot.schema
+            )
+            self.stats = None
+        else:
+            stats_lazy = bm25_stats(
+                corpus, self.terms, text_col=text_col, tokens_col=tokens_col
+            )
+            self.stats = spark.createDataFrame(
+                stats_lazy.collect(), schema=stats_lazy.schema
+            )
+            self.term_stats = self.totals = None
 
     def matches(self, docs: DataFrame) -> DataFrame:
         """(doc_id, query_id, n_matched_terms, bm25) for every standing
-        query a document clears — ``docs`` may be a batch frame or a
-        readStream frame (append mode, stateless)."""
-        from .streaming.percolate import percolate
+        query a document clears — ``docs`` may be a batch frame or
+        (expression form only) a readStream frame (append mode,
+        stateless). Scores are bit-identical across the two forms."""
+        from .streaming.percolate import percolate, percolate_join
 
+        if self._join_form:
+            if docs.isStreaming:
+                raise ValueError(
+                    "the join-form percolator is aggregation-based and "
+                    "cannot run on a direct readStream frame — percolate "
+                    "inside foreachBatch, or construct with "
+                    "strategy='expr' (viable only for small registries)"
+                )
+            return percolate_join(
+                docs,
+                self.queries,
+                self.term_stats,
+                self.totals,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                tokens_col=self.tokens_col,
+                k1=self.k1,
+                b=self.b,
+            )
         return percolate(
             docs,
             self.queries,

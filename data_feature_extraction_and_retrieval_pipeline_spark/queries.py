@@ -301,6 +301,7 @@ _DRIVER_ORDER: list[str] = [
     "report_corpus_drift",
     "ann_ingest_assign",
     "ann_centroid_staleness",
+    "percolate_join_batch",
     # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
     "agg_decade_orders",
     "etl_regex_extract_path",
@@ -446,6 +447,7 @@ _TOUCHED: dict[str, int] = {
     "report_corpus_drift": 7,
     "ann_ingest_assign": 7,
     "ann_centroid_staleness": 7,
+    "percolate_join_batch": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -3602,6 +3604,28 @@ def api_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     p = Percolator(docs, _PERC_QUERIES)
     return p.matches(docs.select("doc_id", "text"))
+
+
+@register("percolate_join_batch", _percolate_sql(_PERC_TERMS, _PERC_QUERIES))
+def percolate_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-join percolator (streaming/percolate.py::
+    percolate_join) — the registry-as-DATA formulation for standing-
+    query sets too large to inline as expressions (plan cost
+    independent of |queries|; crossover measured in SCALING.md). Same
+    output contract and BIT-IDENTICAL scores as the expression form:
+    per-(doc,query) contributions are folded left-to-right in the
+    query's term order after an array_sort, reproducing the expression
+    form's accumulation exactly — which is why all three shapes
+    (expression stream drain, join batch, SQL) share ONE oracle."""
+    from .streaming import StandingQuery, percolate_join
+    from .streaming.percolate import bm25_stats_table
+
+    docs = _t(spark, sf_dir, "documents")
+    standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
+    term_stats, totals = bm25_stats_table(docs, _PERC_TERMS)
+    return percolate_join(
+        docs.select("doc_id", "text"), standing, term_stats, totals
+    )
 
 
 # ANN index maintenance: assignment CTE shared by both queries — the

@@ -12,7 +12,13 @@ from .dedup import (  # noqa: F401
     minhash_collision_stream,
 )
 from .join import interval_join_stream  # noqa: F401
-from .percolate import StandingQuery, bm25_stats, percolate  # noqa: F401
+from .percolate import (  # noqa: F401
+    StandingQuery,
+    bm25_stats,
+    bm25_stats_table,
+    percolate,
+    percolate_join,
+)
 from .ann_ingest import (  # noqa: F401
     ann_assign_transform,
     start_ann_ingest,

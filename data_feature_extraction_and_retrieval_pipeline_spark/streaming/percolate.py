@@ -210,3 +210,152 @@ def percolate(
         F.col("m.n_matched_terms").alias("n_matched_terms"),
         F.round(F.col("m.__score"), 6).alias("bm25"),
     )
+
+
+def bm25_stats_table(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The frozen corpus statistics in LONG form, for query registries
+    too large to inline as per-term columns: ``(term_stats, totals)``
+    where term_stats is ``(term, df)`` — one ROW per standing-query
+    term instead of one COLUMN — and totals is the 1-row ``(n,
+    sumdl)``. At 10k registered queries the wide ``bm25_stats`` row
+    would carry ~10k columns (its own codegen bomb); the long form is
+    O(|vocab|) rows, broadcast-sized at any realistic registry.
+
+    Two jobs over the corpus (distinct-token df + the size totals),
+    both map-side combined; built at index time like ``bm25_stats``.
+    """
+    from ..functions import text as X
+
+    toks = (
+        F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+        if tokens_col is not None
+        else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    vocab = [str(t) for t in dict.fromkeys(terms)]
+    term_stats = (
+        docs.select(
+            F.explode(F.array_distinct(toks)).alias("term")
+        )
+        .filter(F.col("term").isin(*vocab))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    totals = docs.select(F.size(toks).alias("__dl")).agg(
+        F.count("*").alias("n"), F.sum("__dl").alias("sumdl")
+    )
+    return term_stats, totals
+
+
+def percolate_join(
+    docs: DataFrame,
+    queries: Sequence[StandingQuery],
+    term_stats: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BROADCAST-JOIN percolator — same output contract as
+    :func:`percolate` (``(doc_id, query_id, n_matched_terms, bm25)``,
+    bit-identical scores), built for LARGE standing-query registries
+    where the expression form stops compiling: ``percolate`` inlines
+    one expression tree per query, so codegen/analysis cost is
+    O(|queries| · |terms|) PER PLAN — measured to fall off a cliff in
+    the thousands (tools/percolate_scale.py; crossover documented in
+    SCALING.md). This form makes the registry DATA instead of CODE:
+
+      docs → explode tokens → count tf per (doc, term)     [1 shuffle]
+           → ⋈ broadcast term_stats/totals → per-term contribution
+           → ⋈ broadcast (query_id, term, term_idx, min_score) rows
+           → groupBy (doc, query): left-to-right fold of the
+             term-idx-sorted contributions + matched count [1 shuffle]
+           → threshold filter
+
+    Plan cost is independent of |queries| (two hash shuffles on
+    high-cardinality doc keys; the registry rides as one broadcast),
+    so 100k standing queries plan as fast as 10.
+
+    Determinism contract: the score folds ``collect_list``ed
+    contributions AFTER ``array_sort`` by the query's term order —
+    the exact left-to-right accumulation the expression form computes
+    (absent terms contribute exactly +0.0 there, which is an IEEE
+    no-op on the non-negative contributions) — so expression, join,
+    and SQL-oracle scores are bit-identical before the display round,
+    and all three share ONE oracle. Aggregation-based ⇒ batch (or
+    foreachBatch) semantics; the stateless expression form remains
+    the direct-readStream path.
+    """
+    from ..functions import text as X
+
+    if not queries:
+        raise ValueError("percolate_join needs at least one standing query")
+    qrows = []
+    for q in queries:
+        if not q.terms:
+            raise ValueError(f"standing query {q.query_id!r} has no terms")
+        for i, t in enumerate(q.terms):
+            qrows.append((q.query_id, str(t), i, float(q.min_score)))
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, term string, term_idx int, min_score double"
+    )
+
+    toks = (
+        F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+        if tokens_col is not None
+        else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    occ = docs.select(
+        F.col(id_col), F.size(toks).alias("__dl"), F.explode(toks).alias("term")
+    )
+    tf = occ.groupBy(id_col, "__dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    nd = F.col("n").cast("double")
+    avgdl = F.when(
+        F.col("sumdl") > 0, F.col("sumdl").cast("double") / nd
+    ).otherwise(F.lit(1.0))
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    norm = tfd / (
+        tfd
+        + F.lit(float(k1))
+        * (F.lit(1.0 - b) + F.lit(float(b)) * (F.col("__dl").cast("double") / avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, "term", (idf * norm).alias("c"))
+    )
+
+    per_q = (
+        contrib.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "query_id", "min_score")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+            # left-to-right fold in the query's term order — the
+            # expression form's exact accumulation
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term_idx"), F.col("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("__score"),
+        )
+    )
+    return per_q.filter(F.col("__score") >= F.col("min_score")).select(
+        F.col(id_col),
+        F.col("query_id"),
+        F.col("n_matched_terms"),
+        F.round(F.col("__score"), 6).alias("bm25"),
+    )

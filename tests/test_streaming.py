@@ -669,3 +669,87 @@ class TestPercolate:
         # new arrival (no stats recompute happened anywhere)
         assert old[1] == pytest.approx(old[1])
         assert all(r.bm25 > 0 for r in fresh)
+
+
+class TestPercolateJoin:
+    """The broadcast-join percolator (percolate_join): bit-identical
+    output vs the expression form, degenerate-input validation, and
+    the facade's auto strategy (join past the threshold, loud error on
+    a streaming frame in join form)."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+
+    def test_join_form_bit_identical_to_expression(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            bm25_stats,
+            bm25_stats_table,
+            percolate,
+            percolate_join,
+        )
+
+        docs = self._docs(spark)
+        terms = ["data", "table", "vector", "row"]
+        qs = [
+            StandingQuery("a", ("data", "table"), 0.3),
+            StandingQuery("b", ("vector",), 0.1),
+            StandingQuery("c", ("row", "data", "vector"), 0.45),
+        ]
+        expr = percolate(docs, qs, bm25_stats(docs, terms), terms)
+        ts, tot = bm25_stats_table(docs, terms)
+        join = percolate_join(docs, qs, ts, tot)
+        # FULL equality including the rounded score: the join form's
+        # term-idx-sorted fold reproduces the expression form's
+        # left-to-right accumulation bit for bit
+        a = sorted(map(tuple, expr.collect()))
+        b = sorted(map(tuple, join.collect()))
+        assert a == b and len(a) > 0
+
+    def test_join_form_validation(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            bm25_stats_table,
+            percolate_join,
+        )
+
+        docs = self._docs(spark)
+        ts, tot = bm25_stats_table(docs, ["data"])
+        with pytest.raises(ValueError, match="at least one"):
+            percolate_join(docs, [], ts, tot)
+        with pytest.raises(ValueError, match="no terms"):
+            percolate_join(docs, [StandingQuery("e", (), 0.0)], ts, tot)
+
+    def test_facade_auto_strategy(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+
+        docs = self._docs(spark)
+        small = Percolator(docs, [("q0", ("data",), 0.0)])
+        assert not small._join_form and small.stats is not None
+
+        big_qs = [
+            (f"q{i}", ("data", "table"), 0.2)
+            for i in range(Percolator.JOIN_THRESHOLD)
+        ]
+        big = Percolator(docs, big_qs)
+        assert big._join_form and big.term_stats is not None
+        # all queries identical terms/threshold -> every query matches
+        # the same docs; spot-check shape and fan-out
+        out = big.matches(docs)
+        rows = out.collect()
+        assert len(rows) % Percolator.JOIN_THRESHOLD == 0
+        assert {r.query_id for r in rows} == {q[0] for q in big_qs}
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet("/root/testdata/sf0.001")
+        )
+        with pytest.raises(ValueError, match="foreachBatch"):
+            big.matches(stream)
+        # expression form still serves the stream for a small registry
+        assert small.matches(stream).isStreaming
