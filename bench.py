@@ -129,6 +129,13 @@ HEADLINE = [
     # data-ops pair: one-pass constraint gate and exact-integer drift
     "report_quality_constraints",
     "report_corpus_drift",
+    # round 7: the broadcast-join percolator (registry-as-data — the
+    # past-the-codegen-wall formulation), the streaming ANN index
+    # maintenance roundtrip (assign -> partitioned append -> read-back),
+    # and its occupancy-drift staleness monitor
+    "percolate_join_batch",
+    "ann_ingest_assign",
+    "ann_centroid_staleness",
 ]
 
 
@@ -273,6 +280,27 @@ def main() -> None:
     spark_oracled = round(
         sum(v for k, v in timings.items() if k in oracle_timings), 3
     )
+    # Measured per-job fixed floor: a 32-task no-op job through the
+    # same session (scheduler + py4j + task launch, no plan work).
+    # The sub-150 ms bench tail IS this constant (SCALING.md "fixed-
+    # overhead floor"), so the per-query 2x-of-oracle triage subtracts
+    # it: floor_adj_ratio = max(spark - floor, 0) / oracle. A ratio
+    # that is high even floor-adjusted is a real plan question; a raw
+    # ratio that collapses to ~0 after adjustment is job overhead on a
+    # tiny oracle denominator, not a defect.
+    floor = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).count()
+        dt = time.perf_counter() - t0
+        floor = dt if floor is None else min(floor, dt)
+    floor_adj = {
+        name: (
+            round(max(timings[name] - floor, 0.0) / o, 2) if o > 0 else None
+        )
+        for name, o in oracle_timings.items()
+        if name in timings
+    }
     # Transparency for the serving-model caches (the DuckDB denominator
     # recomputes index artifacts inside each query; the Spark numbers
     # keep them resident): list exactly which write-time artifacts were
@@ -300,6 +328,8 @@ def main() -> None:
         # construction — priced explicitly instead of hiding in
         # cold_total)
         "curate_checkpoint_s": dict(sorted(api.CHECKPOINT_SECONDS.items())),
+        "job_floor_s": round(floor, 4),
+        "floor_adj_ratio": floor_adj,
         "sf": sf,
     }
     # Full payload → a file (the per-query oracle timings and index
@@ -310,7 +340,12 @@ def main() -> None:
     with open(Path(__file__).resolve().parent / "bench_detail.json", "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     compact = dict(detail)
-    for k in ("oracle_queries", "resident_index_artifacts", "index_build_s"):
+    for k in (
+        "oracle_queries",
+        "resident_index_artifacts",
+        "index_build_s",
+        "floor_adj_ratio",
+    ):
         del compact[k]
     compact["index_build_total"] = round(sum(indexes.BUILD_SECONDS.values()), 3)
     compact["detail"] = "bench_detail.json"

@@ -2327,7 +2327,17 @@ _PORT_BAND_ROWS = "\n        UNION ALL ".join(
 
 @register(
     "dedup_cluster_canonical",
+    # Multi-statement oracle, deliberately: each propagation round is
+    # MATERIALIZED into a temp table. The single-statement form
+    # references l1 twice inside l2 and l2 twice inside l3; DuckDB
+    # re-inlines those CTEs, so the 80M-row shingle-join pipeline is
+    # re-derived multiplicatively per round — measured ~80 GB of temp
+    # spill at the x10 scale corpus (each round individually computes
+    # in seconds and yields <30k rows). Materializing per round bounds
+    # the replay at one derivation of each stage — the exact per-round
+    # shape the Spark side executes anyway.
     f"""
+    CREATE OR REPLACE TEMP TABLE __dcc_edges AS
     WITH {_DOCS_DUPS_CTE},
     toks AS (
         SELECT doc_id,
@@ -2354,34 +2364,33 @@ _PORT_BAND_ROWS = "\n        UNION ALL ".join(
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE c.common / (sa.n_shingles + sb.n_shingles - c.common) >= 0.5
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    l1 AS (
-        SELECT src AS node, LEAST(src, MIN(dst)) AS label
-        FROM edges GROUP BY src
-    ),
-    l2 AS (
-        SELECT l.node,
-               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-        FROM l1 l
-        LEFT JOIN edges e ON e.src = l.node
-        LEFT JOIN l1 n ON n.node = e.dst
-        GROUP BY l.node, l.label
-    ),
-    l3 AS (
-        SELECT l.node,
-               LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-        FROM l2 l
-        LEFT JOIN edges e ON e.src = l.node
-        LEFT JOIN l2 n ON n.node = e.dst
-        GROUP BY l.node, l.label
     )
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs;
+
+    CREATE OR REPLACE TEMP TABLE __dcc_l1 AS
+    SELECT src AS node, LEAST(src, MIN(dst)) AS label
+    FROM __dcc_edges GROUP BY src;
+
+    CREATE OR REPLACE TEMP TABLE __dcc_l2 AS
+    SELECT l.node,
+           LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+    FROM __dcc_l1 l
+    LEFT JOIN __dcc_edges e ON e.src = l.node
+    LEFT JOIN __dcc_l1 n ON n.node = e.dst
+    GROUP BY l.node, l.label;
+
+    CREATE OR REPLACE TEMP TABLE __dcc_l3 AS
+    SELECT l.node,
+           LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+    FROM __dcc_l2 l
+    LEFT JOIN __dcc_edges e ON e.src = l.node
+    LEFT JOIN __dcc_l2 n ON n.node = e.dst
+    GROUP BY l.node, l.label;
+
     SELECT label AS canonical_id, COUNT(*) AS n_members,
            MAX(node) AS max_member_id
-    FROM l3 GROUP BY label
+    FROM __dcc_l3 GROUP BY label
     """,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3738,13 +3747,18 @@ def ann_centroid_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the cluster column, so "the data moved under the centroids"
     is an exact-integer alarm (cross-multiplied L1 numerator, no float
     surface). This is the measurement that triggers the
-    recenter_compact batch job in the maintenance loop."""
-    from .operators.similarity import assign_clusters_np
+    recenter_compact batch job in the maintenance loop. Assignment
+    uses the pure-Catalyst twin here (same argmax-dot rule as the
+    ingest path's Arrow kernel): the drift pipeline evaluates the
+    assigned frame four times (two sides × counts/totals), and the
+    expression form keeps all four passes inside whole-stage codegen
+    instead of four Python round trips — 1.34 s → JVM-side at sf0.1."""
+    from .operators.similarity import assign_clusters
     from .streaming import centroid_staleness
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = _leading_vectors(spark, sf_dir, 4)
-    assigned = assign_clusters_np(emb, cents)
+    assigned = assign_clusters(emb, cents)
     return centroid_staleness(
         assigned.filter(F.col("vec_id") % 2 == 0),
         assigned.filter(F.col("vec_id") % 2 == 1),

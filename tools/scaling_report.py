@@ -67,6 +67,16 @@ QUERIES = [
     "text_tfidf_keywords",
     # percolator facade: standing-query scoring, scan-bound like bm25
     "api_percolate",
+    # round 7 additions — the remaining headline families the x100
+    # extension certifies: interactive vector top-k, the two-phase
+    # hybrid retrieval chain, the IVF-PQ probe (ADC scan + partition
+    # pruning), the join-form percolator (registry-as-data), and the
+    # maintained-index ANN ingest roundtrip
+    "knn_whole",
+    "hybrid_search",
+    "ann_ivfpq_portable",
+    "percolate_join_batch",
+    "ann_ingest_assign",
 ]
 
 
