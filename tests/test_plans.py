@@ -465,3 +465,30 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark, qs):
             rowpython.append(name)
     assert not cartesian, f"cartesian products planned by: {cartesian}"
     assert not rowpython, f"row-at-a-time Python UDFs planned by: {rowpython}"
+
+
+def test_percolate_join_registry_rides_as_broadcast(spark, qs):
+    """percolate_join_batch: the standing-query registry and the
+    frozen stats must join as BROADCASTS (plan cost independent of the
+    registry size — the past-the-codegen-wall contract), with no
+    sort-merge join anywhere; the only hash exchanges are the
+    (doc,term) tf count and the per-(doc,query) fold."""
+    text = _plan_text(qs["percolate_join_batch"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in text, text[:1500]
+    assert "SortMergeJoin" not in text, (
+        f"registry/stats joins must broadcast, not sort-merge:\n{text[:1500]}"
+    )
+
+
+def test_ann_staleness_assignment_stays_in_codegen(spark, qs):
+    """ann_centroid_staleness: the monitor's centroid assignment is
+    the pure-Catalyst twin — no Python evaluation anywhere (the sweep
+    bans BatchEvalPython registry-wide; this pins ArrowEvalPython out
+    of THIS plan too, since the drift pipeline evaluates the assigned
+    frame four times and each Arrow pass would pay a Python round
+    trip)."""
+    text = _plan_text(qs["ann_centroid_staleness"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in text, (
+        f"monitor assignment must be JVM-side:\n{text[:1500]}"
+    )
+    assert "BatchEvalPython" not in text
