@@ -401,11 +401,11 @@ def drift_report(
     section in one pass, so adding sections adds zero scans and zero
     exchanges (categorical domains and histograms are Heaps/bounded-
     small, so the aggregated frames are tiny). One full-outer join on
-    the tiny count frames; the snapshot row counts are derived from
-    the first section of the SAME aggregated frames (every row lands
-    in exactly one key per section), so the canonicalized aggregate
-    subtree appears twice in one plan and Spark's ReuseExchange
-    computes it once — no separate count-star scan per side.
+    the tiny count frames; the snapshot row counts N and M ride as
+    PER-SECTION window sums over the joined rows (every snapshot row
+    lands in exactly one key per section, so each section's sums
+    equal the snapshot counts) — no count-star scan, no totals
+    branch, no broadcast build.
     """
     key_structs = []
     for c in cat_cols:
@@ -427,11 +427,6 @@ def drift_report(
         )
     if not key_structs:
         raise ValueError("drift_report needs at least one section")
-    first_section = (
-        f"cat:{cat_cols[0]}"
-        if cat_cols
-        else f"hist:{bucket_col}/{bucket_width}"
-    )
 
     def _counted(df: DataFrame) -> DataFrame:
         return (
@@ -462,26 +457,27 @@ def drift_report(
         )
     )
 
-    # snapshot totals from the already-aggregated frames (one section
-    # partitions the snapshot, so its counts sum to the row count)
-    totals = (
-        a.filter(F.col("section") == first_section)
-        .agg(F.sum("n").cast("long").alias("__N"))
-        .crossJoin(
-            b.filter(F.col("section") == first_section).agg(
-                F.sum("n").cast("long").alias("__M")
-            )
-        )
-    )
+    # snapshot totals as PER-SECTION window sums over the tiny keyed
+    # frame: every row of a snapshot lands in exactly one key per
+    # section, so each section's ref_n/cur_n sums equal the snapshot
+    # row counts N and M — one section-partitioned window on the
+    # aggregated rows instead of two extra branch jobs re-deriving the
+    # side aggregates plus a broadcast build (measured: the report's
+    # cost at sf0.1 is almost entirely scheduled-job count)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("section")
     dec = "decimal(18,0)"
-    scored = keyed.crossJoin(F.broadcast(totals)).select(
+    scored = keyed.select(
         "section",
         "key",
         "ref_n",
         "cur_n",
         F.abs(
-            F.col("ref_n").cast(dec) * F.col("__M").cast(dec)
-            - F.col("cur_n").cast(dec) * F.col("__N").cast(dec)
+            F.col("ref_n").cast(dec)
+            * F.sum("cur_n").over(w).cast(dec)
+            - F.col("cur_n").cast(dec)
+            * F.sum("ref_n").over(w).cast(dec)
         ).cast("decimal(38,0)").alias("drift_num"),
     )
     # per-key rows AND per-section totals from ONE aggregate over the
