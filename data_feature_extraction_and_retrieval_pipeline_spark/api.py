@@ -698,6 +698,10 @@ class Percolator:
         if strategy not in ("auto", "expr", "join"):
             raise ValueError(f"unknown percolator strategy {strategy!r}")
         self.strategy = strategy
+        # retained for register(): genuinely NEW terms need one
+        # incremental df aggregate over the corpus (lazy plan only —
+        # nothing is scanned unless registration brings new terms)
+        self._corpus = corpus
 
         self.queries = [StandingQuery(*q) for q in queries]
         if not self.queries:
@@ -751,6 +755,85 @@ class Percolator:
                 stats_lazy.collect(), schema=stats_lazy.schema
             )
             self.term_stats = self.totals = None
+
+    def register(self, query) -> None:
+        """Register an additional standing query AFTER construction —
+        the ES percolator's index-a-query operation (queries arrive at
+        any time; documents keep flowing). Terms already covered by
+        the frozen statistics are free; genuinely NEW terms cost one
+        incremental aggregate over the corpus for THEIR df columns
+        only (N and Σdl stay frozen from construction, so every
+        previously-registered query's scores are unchanged —
+        registration never perturbs running alerts; the new terms' df
+        is measured against the corpus as of registration).
+
+        Incremental ≡ batch: registering queries one at a time over an
+        unchanged corpus yields bit-identical matches to constructing
+        with all of them up front (oracle-certified:
+        `api_percolate_register` shares the all-at-once SQL twin)."""
+        from .streaming.percolate import StandingQuery
+
+        q = StandingQuery(*query) if not isinstance(query, StandingQuery) else query
+        if not q.terms:
+            raise ValueError(f"standing query {q.query_id!r} has no terms")
+        if any(p.query_id == q.query_id for p in self.queries):
+            raise ValueError(f"query id {q.query_id!r} already registered")
+        new_terms = [t for t in dict.fromkeys(q.terms) if t not in self.terms]
+        if new_terms:
+            self._extend_stats(new_terms)
+            self.terms.extend(new_terms)
+        self.queries.append(q)
+
+    def unregister(self, query_id: str) -> None:
+        """Drop a standing query. Frozen statistics keep covering its
+        terms (harmless — unused df columns cost nothing), so
+        unregistration is pure bookkeeping."""
+        kept = [q for q in self.queries if q.query_id != query_id]
+        if len(kept) == len(self.queries):
+            raise KeyError(f"no standing query {query_id!r}")
+        if not kept:
+            raise ValueError("cannot unregister the last standing query")
+        self.queries = kept
+
+    def _extend_stats(self, new_terms: list) -> None:
+        """Grow the frozen artifact by the NEW terms' df only: long
+        form appends (term, df) rows; wide form appends __df_<i>
+        columns at the tail of the frozen 1-row frame (positional
+        naming follows self.terms order, so appending preserves every
+        existing index)."""
+        from .streaming.percolate import bm25_stats_table
+
+        ts, _tot = bm25_stats_table(
+            self._corpus,
+            new_terms,
+            text_col=self.text_col,
+            tokens_col=self.tokens_col,
+        )
+        found = {r["term"]: r["df"] for r in ts.collect()}
+        if self._join_form:
+            spark = self._corpus.sparkSession
+            add = spark.createDataFrame(
+                [(t, int(found.get(t, 0))) for t in new_terms],
+                schema=self.term_stats.schema,
+            )
+            self.term_stats = self.term_stats.unionByName(add)
+        else:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            base = len(self.terms)
+            old = self.stats.collect()[0]
+            vals = tuple(old) + tuple(
+                int(found.get(t, 0)) for t in new_terms
+            )
+            schema = StructType(
+                list(self.stats.schema.fields)
+                + [
+                    StructField(f"__df_{base + i}", LongType(), True)
+                    for i in range(len(new_terms))
+                ]
+            )
+            spark = self._corpus.sparkSession
+            self.stats = spark.createDataFrame([vals], schema=schema)
 
     def matches(self, docs: DataFrame) -> DataFrame:
         """(doc_id, query_id, n_matched_terms, bm25) for every standing

@@ -285,7 +285,7 @@ def register(name: str, oracle: str | None = None):
 # rows (the Percolator stats freeze, the NULL-explicit unique gate,
 # the fused DECIMAL drift report, and the new ANN index-maintenance
 # pair), then the SEVEN r03-row veterans the round-6 verdict asked to
-# refresh, then the 25 keepers whose newest rows are r04, then the 13
+# refresh, then the 25 keepers whose newest rows are r04, then the 10
 # oldest r05-row keepers. The eight rows-only entries left the head
 # this round: their r06 rows-only driver rows are now recognized as
 # evidence (tools/freshness_report.py::green treats err=no_oracle +
@@ -302,6 +302,8 @@ _DRIVER_ORDER: list[str] = [
     "ann_ingest_assign",
     "ann_centroid_staleness",
     "percolate_join_batch",
+    "ann_ingest_pq",
+    "api_percolate_register",
     # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
     "agg_decade_orders",
     "etl_regex_extract_path",
@@ -347,7 +349,6 @@ _DRIVER_ORDER: list[str] = [
     "dedup_keep_best_per_source",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
-    "etl_hash_split",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -448,6 +449,8 @@ _TOUCHED: dict[str, int] = {
     "ann_ingest_assign": 7,
     "ann_centroid_staleness": 7,
     "percolate_join_batch": 7,
+    "ann_ingest_pq": 7,
+    "api_percolate_register": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -3615,6 +3618,26 @@ def api_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.matches(docs.select("doc_id", "text"))
 
 
+@register("api_percolate_register", _percolate_sql(_PERC_TERMS, _PERC_QUERIES))
+def api_percolate_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES index-a-query lifecycle certified: construct the
+    Percolator with only the FIRST standing query, then register() the
+    other two after the fact — the second of which brings terms the
+    frozen stats never covered, exercising the incremental df
+    extension (one aggregate over just the new terms; N and Σdl stay
+    frozen so pre-registered scores cannot shift). Over an unchanged
+    corpus the incremental registry must match the all-at-once
+    construction bit-for-bit — proven by sharing the SAME oracle as
+    `api_percolate` / `percolate_stream` / `percolate_join_batch`."""
+    from .api import Percolator
+
+    docs = _t(spark, sf_dir, "documents")
+    p = Percolator(docs, [_PERC_QUERIES[0]])
+    for q in _PERC_QUERIES[1:]:
+        p.register(q)
+    return p.matches(docs.select("doc_id", "text"))
+
+
 @register("percolate_join_batch", _percolate_sql(_PERC_TERMS, _PERC_QUERIES))
 def percolate_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The broadcast-join percolator (streaming/percolate.py::
@@ -3703,6 +3726,76 @@ def ann_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("vec_id").alias("id_checksum"),
         F.sum(F.col("vec_id") * F.col("vec_id")).alias("id_sq_checksum"),
+    )
+
+
+@register(
+    "ann_ingest_pq",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cb AS (SELECT {_PQ_PORT_BOOKS_SQL}::DOUBLE[][][] AS B),
+    cc AS (SELECT {_IVFPQ_PORT_CENTS_SQL}::DOUBLE[][] AS C),
+    coded AS (
+        SELECT e.vec_id,
+               list_indexof(
+                   list_transform(range(8), c ->
+                       list_dot_product(e.ev, cc.C[c+1])),
+                   list_max(list_transform(range(8), c ->
+                       list_dot_product(e.ev, cc.C[c+1])))) - 1 AS cluster,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(range(8), s ->
+                           ({_PQ_PORT_CODE_SQL.format(v="e.ev")} - 1)::BIGINT
+                       )),
+                   (a, b) -> a * 16 + b) AS code_poly
+        FROM e, cb, cc
+    )
+    SELECT cluster::INT AS cluster, COUNT(*) AS n_vecs,
+           SUM(vec_id)::BIGINT AS id_checksum,
+           SUM(code_poly)::BIGINT AS code_checksum
+    FROM coded GROUP BY cluster
+    """,
+)
+def ann_ingest_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained IVF-PQ serving layout certified END-TO-END
+    (streaming/ann_ingest.py::start_ivfpq_ingest): embeddings staged
+    as arriving files → availableNow stream → per-micro-batch coarse
+    assignment (frozen exact-grid centroids) + Catalyst PQ encode
+    (frozen exact-grid codebooks) → append into partitionBy(cluster)
+    parquet carrying only (vec_id, cluster, pq_code) — the compressed
+    ADC table, 8 bytes of code per 256-byte vector — → read the
+    maintained index back and summarize per cluster. The polynomial
+    code checksum (Σ rows of Σ_s code_s·16^s, exact BIGINT) pins every
+    sub-quantizer decision of every row; the id checksum pins
+    membership; together the oracle certifies assign, encode,
+    partitioned write, and read-back in one row set."""
+    import shutil
+
+    from .streaming import start_ivfpq_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = _scratch_dir("dferp_pqsrc", sf_dir)
+    idx = _scratch_dir("dferp_pqidx", sf_dir)
+    ckpt = _scratch_dir("dferp_pqck", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        emb.write.mode("overwrite").parquet(src)
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = start_ivfpq_ingest(
+            spark, src, emb.schema, idx, ckpt,
+            _IVFPQ_PORT_CENTS, _PQ_PORT_BOOKS,
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+    back = spark.read.parquet(idx)
+    # exact big-endian polynomial over the 8 sub-codes (code_s < 16)
+    poly = F.lit(0).cast("long")
+    for s in range(8):
+        poly = poly * 16 + F.element_at(F.col("pq_code"), s + 1).cast("long")
+    return back.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum(poly).alias("code_checksum"),
     )
 
 

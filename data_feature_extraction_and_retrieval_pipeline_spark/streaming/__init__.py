@@ -21,7 +21,9 @@ from .percolate import (  # noqa: F401
 )
 from .ann_ingest import (  # noqa: F401
     ann_assign_transform,
+    ivfpq_ingest_transform,
     start_ann_ingest,
+    start_ivfpq_ingest,
     centroid_staleness,
     recenter,
     recenter_compact,

@@ -98,6 +98,78 @@ def start_ann_ingest(
     )
 
 
+def ivfpq_ingest_transform(
+    centroids: list[Sequence[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    code_col: str = "pq_code",
+) -> Callable[[DataFrame], DataFrame]:
+    """The FULL billion-vector serving-layout transform at ingest:
+    coarse-assign against frozen centroids, then PQ-encode against
+    frozen codebooks — both pure Catalyst (assign_clusters +
+    pq_encode_catalyst), so each micro-batch is a map inside
+    whole-stage codegen emitting the compact (id, cluster, 8-byte
+    code) row the ADC scan serves from. The float vector is DROPPED
+    at the boundary: the maintained table is the compressed index,
+    which is the point of PQ (a refine re-rank keeps its own
+    uncompressed side table)."""
+    from ..operators.similarity import assign_clusters, pq_encode_catalyst
+
+    def _transform(df: DataFrame) -> DataFrame:
+        assigned = assign_clusters(
+            df, centroids, vec_col=vec_col, out_col=cluster_col
+        )
+        return pq_encode_catalyst(
+            assigned,
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            out_col=code_col,
+            keep_cols=(cluster_col,),
+        )
+
+    return _transform
+
+
+def start_ivfpq_ingest(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    checkpoint: str,
+    centroids: list[Sequence[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    code_col: str = "pq_code",
+):
+    """Maintain the IVF-PQ serving layout on a file-source stream:
+    assign + encode per micro-batch, append into
+    ``partitionBy(cluster)`` parquet. The reference's upload→index
+    loop with the index being the compressed ADC table."""
+    from .ingest import incremental_ingest
+
+    return incremental_ingest(
+        spark,
+        source_dir,
+        schema,
+        index_path,
+        checkpoint,
+        transform=ivfpq_ingest_transform(
+            centroids,
+            codebooks,
+            vec_col=vec_col,
+            id_col=id_col,
+            cluster_col=cluster_col,
+            code_col=code_col,
+        ),
+        partition_by=[cluster_col],
+    )
+
+
 def centroid_staleness(
     resident: DataFrame,
     arriving: DataFrame,

@@ -148,3 +148,43 @@ def test_recenter_exact_means_and_compact(spark, tmp_path):
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
     assert not os.path.exists(str(idx) + "__retired")
     assert not os.path.exists(str(idx) + "__tmp_recenter")
+
+
+def test_ivfpq_stream_equals_batch(spark, tmp_path):
+    """The drained IVF-PQ index holds exactly the batch assign+encode
+    rows — and only the compact (vec_id, cluster, pq_code) columns
+    (the float vector is dropped at the ingest boundary)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        pq_encode_catalyst,
+        portable_coarse_centroids,
+        portable_pq_codebooks,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        start_ivfpq_ingest,
+    )
+
+    emb = _load_emb(spark)
+    cents = portable_coarse_centroids(nlist=8, dim=64)
+    books = portable_pq_codebooks(m=8, k=16, d=8)
+    src, idx, ckpt = tmp_path / "src", tmp_path / "idx", tmp_path / "ck"
+    emb.write.parquet(str(src))
+    q = start_ivfpq_ingest(
+        spark, str(src), emb.schema, str(idx), str(ckpt), cents, books
+    )
+    assert q.awaitTermination(120)
+
+    back = spark.read.parquet(str(idx))
+    assert set(back.columns) == {"vec_id", "cluster", "pq_code"}
+    got = sorted(
+        (r["vec_id"], int(r["cluster"]), tuple(r["pq_code"]))
+        for r in back.collect()
+    )
+    want_df = pq_encode_catalyst(
+        assign_clusters(emb, cents), books, keep_cols=("cluster",)
+    )
+    want = sorted(
+        (r["vec_id"], int(r["cluster"]), tuple(r["pq_code"]))
+        for r in want_df.collect()
+    )
+    assert got == want and len(got) == emb.count()

@@ -753,3 +753,68 @@ class TestPercolateJoin:
             big.matches(stream)
         # expression form still serves the stream for a small registry
         assert small.matches(stream).isStreaming
+
+
+class TestPercolatorRegister:
+    """Incremental query registration on the Percolator facade: new
+    terms extend the frozen stats without perturbing old scores, in
+    BOTH formulations; unregister is bookkeeping-only; id collisions
+    and degenerate queries fail loudly."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+
+    def test_incremental_equals_batch_both_forms(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+
+        docs = self._docs(spark)
+        qs = [
+            ("a", ("data", "table"), 0.3),
+            ("b", ("vector", "join"), 0.2),
+            ("c", ("row",), 0.15),
+        ]
+        for strategy in ("expr", "join"):
+            batch = Percolator(docs, qs, strategy=strategy)
+            inc = Percolator(docs, [qs[0]], strategy=strategy)
+            inc.register(qs[1])  # brings brand-new terms
+            inc.register(qs[2])
+            got = sorted(map(tuple, inc.matches(docs).collect()))
+            want = sorted(map(tuple, batch.matches(docs).collect()))
+            assert got == want and len(got) > 0, strategy
+
+    def test_register_preserves_old_scores(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+
+        docs = self._docs(spark)
+        p = Percolator(docs, [("a", ("data",), 0.0)])
+        before = sorted(map(tuple, p.matches(docs).collect()))
+        p.register(("z", ("vector", "row"), 0.1))
+        after = sorted(
+            t for t in map(tuple, p.matches(docs).collect()) if t[1] == "a"
+        )
+        assert after == before  # frozen N/Σdl ⇒ alerts cannot shift
+
+    def test_register_unregister_validation(self, spark):
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+
+        docs = self._docs(spark)
+        p = Percolator(docs, [("a", ("data",), 0.0)])
+        with pytest.raises(ValueError, match="already registered"):
+            p.register(("a", ("table",), 0.0))
+        with pytest.raises(ValueError, match="no terms"):
+            p.register(("e", (), 0.0))
+        with pytest.raises(KeyError):
+            p.unregister("missing")
+        p.register(("b", ("table",), 0.0))
+        p.unregister("a")
+        assert [q.query_id for q in p.queries] == ["b"]
+        with pytest.raises(ValueError, match="last standing query"):
+            p.unregister("b")
