@@ -136,6 +136,12 @@ HEADLINE = [
     "percolate_join_batch",
     "ann_ingest_assign",
     "ann_centroid_staleness",
+    # round 7 second half: the maintained IVF-PQ ingest roundtrip, the
+    # incremental percolator registration path, and the batch-vs-corpus
+    # cosine near-dup gate (the vector face of the incremental trio)
+    "ann_ingest_pq",
+    "api_percolate_register",
+    "dedup_cosine_incremental",
 ]
 
 

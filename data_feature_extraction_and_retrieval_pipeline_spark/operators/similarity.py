@@ -526,6 +526,113 @@ def cosine_self_join_pairs(
     )
 
 
+def incremental_cosine_filter(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[Sequence[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup gate — the daily-ingest
+    decision table at the VECTOR layer (the cosine sibling of
+    dedup.incremental_exact_filter / dedup_minhash_incremental): for
+    every arriving vector, is a resident vector within cosine
+    ``threshold``? Emits one row per batch vector:
+    ``(vec_id, n_matches, best_cosine, keep)`` — ``best_cosine`` is
+    the max cosine against ANY same-cluster resident (NULL when the
+    cluster holds no residents), ``keep`` = no resident at/above the
+    threshold.
+
+    Plan: both sides coarse-assigned against the FROZEN centroids
+    (one map each), then COGROUPED per cluster — each cluster scores
+    with ONE Arrow matmul (arrivals × residents), so the corpus is
+    never self-joined and the batch never leaves its cluster block.
+    Shuffle = one hash partition per side on the cluster key; at
+    100 TB the resident side is the bucketed serving layout
+    (ann_ingest), so only the (small) daily batch actually moves.
+    Exactly duplicate vectors always share a cluster, so blocking
+    loses no true duplicates at high thresholds.
+    """
+    thr = float(threshold)
+    ab = assign_clusters_np(batch, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        "cluster",
+    )
+    ac = assign_clusters_np(corpus, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        "cluster",
+    )
+
+    def _gate(bat: pd.DataFrame, res: pd.DataFrame) -> pd.DataFrame:
+        if bat.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "n_matches": [], "best_cosine": [], "keep": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "n_matches": "int64",
+                    "best_cosine": "float64",
+                    "keep": "bool",
+                }
+            )
+        ids = bat["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        B = np.array(
+            [np.asarray(v, dtype=np.float64) for v in bat["__vec"].iloc[order]]
+        )
+        if res.empty:
+            # NULL (not NaN) best_cosine: pandas' float NaN would
+            # arrive Spark-side as a non-null NaN and diverge from the
+            # SQL MAX-over-no-rows NULL — the nullable dtype carries
+            # true NA through Arrow
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "n_matches": np.zeros(len(ids), dtype="int64"),
+                    "best_cosine": pd.array(
+                        [pd.NA] * len(ids), dtype="Float64"
+                    ),
+                    "keep": np.ones(len(ids), dtype=bool),
+                }
+            )
+        C = np.array(
+            [np.asarray(v, dtype=np.float64) for v in res["__vec"]]
+        )
+        n_out = np.empty(len(ids), dtype="int64")
+        best = np.empty(len(ids), dtype="float64")
+        chunk = 1024  # bounds the score buffer at chunk×|residents|
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            scores = B[lo:hi] @ C.T
+            n_out[lo:hi] = (scores >= thr).sum(axis=1)
+            best[lo:hi] = scores.max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "n_matches": n_out,
+                "best_cosine": best,
+                "keep": n_out == 0,
+            }
+        )
+
+    id_type = batch.schema[id_col].dataType.simpleString()
+    return (
+        ab.groupBy("cluster")
+        .cogroup(ac.groupBy("cluster"))
+        .applyInPandas(
+            _gate,
+            schema=(
+                f"vec_id {id_type}, n_matches long, "
+                "best_cosine double, keep boolean"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-scan ANN family
 # ---------------------------------------------------------------------------

@@ -285,7 +285,7 @@ def register(name: str, oracle: str | None = None):
 # rows (the Percolator stats freeze, the NULL-explicit unique gate,
 # the fused DECIMAL drift report, and the new ANN index-maintenance
 # pair), then the SEVEN r03-row veterans the round-6 verdict asked to
-# refresh, then the 25 keepers whose newest rows are r04, then the 10
+# refresh, then the 25 keepers whose newest rows are r04, then the 9
 # oldest r05-row keepers. The eight rows-only entries left the head
 # this round: their r06 rows-only driver rows are now recognized as
 # evidence (tools/freshness_report.py::green treats err=no_oracle +
@@ -304,6 +304,7 @@ _DRIVER_ORDER: list[str] = [
     "percolate_join_batch",
     "ann_ingest_pq",
     "api_percolate_register",
+    "dedup_cosine_incremental",
     # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
     "agg_decade_orders",
     "etl_regex_extract_path",
@@ -348,7 +349,6 @@ _DRIVER_ORDER: list[str] = [
     "dedup_exact",
     "dedup_keep_best_per_source",
     "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -451,6 +451,7 @@ _TOUCHED: dict[str, int] = {
     "percolate_join_batch": 7,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
+    "dedup_cosine_incremental": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -3187,6 +3188,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         allv, centroids, threshold=0.99, assigned=assigned
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "dedup_cosine_incremental",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    corpus AS (SELECT vec_id, v FROM base WHERE vec_id % 2 = 0),
+    batch AS (
+        SELECT vec_id, v FROM base WHERE vec_id % 2 = 1
+        UNION ALL
+        SELECT vec_id + 1000000, v FROM base WHERE vec_id % 10 = 0
+    ),
+    ac AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT a.vec_id, a.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+            FROM corpus a, c
+        ) WHERE rn = 1
+    ),
+    ab AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT a.vec_id, a.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+            FROM batch a, c
+        ) WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           SUM(CASE WHEN list_dot_product(b.v, r.v) >= 0.99
+                    THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+           ROUND(MAX(list_dot_product(b.v, r.v)), 6) AS best_cosine,
+           SUM(CASE WHEN list_dot_product(b.v, r.v) >= 0.99
+                    THEN 1 ELSE 0 END) = 0 AS keep
+    FROM ab b LEFT JOIN ac r ON b.cluster = r.cluster
+    GROUP BY b.vec_id
+    """,
+)
+def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup gate (operators/similarity.py
+    ::incremental_cosine_filter) — the daily-ingest decision table at
+    the vector layer, completing the incremental trio (exact
+    fingerprints, MinHash bands, now cosine): resident corpus = even
+    vec_ids, arriving batch = odd vec_ids ∪ exact copies of the
+    %10==0 residents (guaranteed hits at the 0.99 threshold). Both
+    sides coarse-assign against the frozen leading-16 centroids; each
+    cluster scores with ONE cogrouped Arrow matmul (arrivals ×
+    residents) — the corpus is never self-joined and only the batch
+    moves. Emits (vec_id, n_matches, best_cosine, keep) per arrival;
+    best_cosine is NULL for arrivals landing in resident-empty
+    clusters (the nullable-dtype Arrow path, pinned by the oracle's
+    MAX-over-no-rows NULL)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    centroids = _leading_vectors(spark, sf_dir, 16)
+    out = similarity.incremental_cosine_filter(
+        batch, corpus, centroids, threshold=0.99
+    )
+    return out.select(
+        "vec_id", "n_matches",
+        F.round("best_cosine", 6).alias("best_cosine"), "keep",
+    )
 
 
 @register(

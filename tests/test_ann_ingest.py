@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
@@ -188,3 +189,40 @@ def test_ivfpq_stream_equals_batch(spark, tmp_path):
         for r in want_df.collect()
     )
     assert got == want and len(got) == emb.count()
+
+
+def test_incremental_cosine_filter_hand_values(spark):
+    """Hand corpus on 2-D unit-ish vectors with 2 well-separated
+    centroids: arrivals matching a resident at >=0.99 are flagged
+    (keep=False, exact match count), near-but-below stays keep=True
+    with its best_cosine reported, and an arrival landing in a
+    resident-EMPTY cluster gets NULL best_cosine (the SQL
+    MAX-over-no-rows identity), not NaN."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        incremental_cosine_filter,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.96, 0.28])],  # both cluster 0
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),    # exact dup of 1 → 1 match, best 1.0
+            (11, [0.8, 0.6]),    # cluster 0, best vs 1 = 0.8, vs 2 = 0.936
+            (12, [0.0, 1.0]),    # cluster 1 — EMPTY of residents
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
+        for r in incremental_cosine_filter(
+            batch, corpus, cents, threshold=0.99
+        ).collect()
+    }
+    assert rows[10][0] == 1 and rows[10][2] is False
+    assert rows[10][1] == pytest.approx(1.0)
+    assert rows[11][0] == 0 and rows[11][2] is True
+    assert rows[11][1] == pytest.approx(0.96 * 0.8 + 0.28 * 0.6)
+    assert rows[12] == (0, None, True)
