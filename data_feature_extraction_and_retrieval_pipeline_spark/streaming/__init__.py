@@ -18,6 +18,7 @@ from .percolate import (  # noqa: F401
     bm25_stats_table,
     percolate,
     percolate_join,
+    percolate_join_stream,
 )
 from .ann_ingest import (  # noqa: F401
     ann_assign_transform,

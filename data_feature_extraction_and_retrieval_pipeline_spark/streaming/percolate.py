@@ -359,3 +359,48 @@ def percolate_join(
         F.col("n_matched_terms"),
         F.round(F.col("__score"), 6).alias("bm25"),
     )
+
+
+def percolate_join_stream(
+    stream_docs: DataFrame,
+    queries: Sequence[StandingQuery],
+    term_stats: DataFrame,
+    totals: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """The join-form percolator ON A STREAM — the past-the-codegen-wall
+    path for large standing-query registries (the expression form dies
+    at ~300 queries; SCALING.md "Percolator registry ceiling"):
+    ``percolate_join`` is aggregation-based, so it runs inside
+    foreachBatch with plain batch semantics per micro-batch, appending
+    each batch's hits to a parquet sink. Registry size never touches
+    the plan; exactly-once across restarts comes from the checkpointed
+    source offsets plus the idempotent append of a deterministic
+    transform. Returns the started StreamingQuery (availableNow)."""
+
+    def _per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hits = percolate_join(
+            batch_df,
+            queries,
+            term_stats,
+            totals,
+            id_col=id_col,
+            text_col=text_col,
+            tokens_col=tokens_col,
+            k1=k1,
+            b=b,
+        )
+        hits.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -226,3 +226,56 @@ def test_incremental_cosine_filter_hand_values(spark):
     assert rows[11][0] == 0 and rows[11][2] is True
     assert rows[11][1] == pytest.approx(0.96 * 0.8 + 0.28 * 0.6)
     assert rows[12] == (0, None, True)
+
+
+def test_maintenance_loop_end_to_end(spark, tmp_path):
+    """The full index-maintenance lifecycle on a corpus that MOVES:
+    (1) ingest wave A under initial centroids; (2) wave B arrives from
+    a shifted distribution — the staleness monitor's exact drift
+    numerator fires; (3) recenter_compact re-trains on the accumulated
+    index and rewrites the layout; (4) a nearest-centroid probe on the
+    rewritten index still returns exactly the right members per
+    cluster (correctness survives maintenance)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        centroid_staleness,
+        recenter_compact,
+        start_ann_ingest,
+    )
+
+    # two tight blobs on axes; initial centroids deliberately offset
+    wave_a = [(i, [10.0 + (i % 3), 0.5 * (i % 2)]) for i in range(0, 6)]
+    wave_b = [(i, [0.5 * (i % 2), 10.0 + (i % 3)]) for i in range(10, 16)]
+    cents0 = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "vec_id long, embedding array<double>"
+
+    src, idx, ckpt = tmp_path / "src", tmp_path / "idx", tmp_path / "ck"
+    spark.createDataFrame(wave_a, schema).write.parquet(str(src))
+    df_schema = spark.createDataFrame(wave_a, schema).schema
+    q = start_ann_ingest(spark, str(src), df_schema, str(idx), str(ckpt), cents0)
+    assert q.awaitTermination(120)
+
+    spark.createDataFrame(wave_b, schema).write.mode("append").parquet(str(src))
+    q = start_ann_ingest(spark, str(src), df_schema, str(idx), str(ckpt), cents0)
+    assert q.awaitTermination(120)
+
+    back = spark.read.parquet(str(idx))
+    assert back.count() == 12
+
+    # the monitor fires: wave A was all-cluster-0, wave B all-cluster-1
+    resident = back.filter(F.col("vec_id") < 10)
+    arriving = back.filter(F.col("vec_id") >= 10)
+    drift = {
+        r["key"]: int(r["drift_num"])
+        for r in centroid_staleness(resident, arriving).collect()
+    }
+    assert drift["__TOTAL__"] > 0  # exact-integer alarm, no tuning
+
+    new_cents = recenter_compact(spark, str(idx))
+    assert len(new_cents) == 2
+    # probe the REWRITTEN layout: each blob maps 1:1 to one cluster
+    rewritten = spark.read.parquet(str(idx))
+    got = {}
+    for r in rewritten.collect():
+        got.setdefault(int(r["cluster"]), set()).add(r["vec_id"])
+    blobs = [set(range(0, 6)), set(range(10, 16))]
+    assert sorted(got.values(), key=min) == blobs

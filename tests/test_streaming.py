@@ -818,3 +818,42 @@ class TestPercolatorRegister:
         assert [q.query_id for q in p.queries] == ["b"]
         with pytest.raises(ValueError, match="last standing query"):
             p.unregister("b")
+
+
+def test_percolate_join_stream_equals_batch(spark, tmp_path):
+    """The foreachBatch join-form percolation drain over a multi-file
+    source emits exactly the batch percolate_join hits — the
+    past-the-codegen-wall streaming path (large registries) certified
+    stream ≡ batch."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+        StandingQuery,
+        bm25_stats_table,
+        percolate_join,
+        percolate_join_stream,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    qs = [
+        StandingQuery("a", ("data", "table"), 0.3),
+        StandingQuery("b", ("vector",), 0.1),
+    ]
+    ts, tot = bm25_stats_table(docs, ["data", "table", "vector"])
+    # freeze the index artifacts (the serving shape)
+    ts = spark.createDataFrame(ts.collect(), schema=ts.schema)
+    tot = spark.createDataFrame(tot.collect(), schema=tot.schema)
+
+    src = tmp_path / "src"
+    docs.repartition(3).write.parquet(str(src))  # multi-file batches
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = percolate_join_stream(
+        stream, qs, ts, tot, str(tmp_path / "hits"), str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "hits")).collect())
+    )
+    want = sorted(map(tuple, percolate_join(docs, qs, ts, tot).collect()))
+    assert got == want and len(got) > 0
