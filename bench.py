@@ -142,6 +142,10 @@ HEADLINE = [
     "ann_ingest_pq",
     "api_percolate_register",
     "dedup_cosine_incremental",
+    # round 7: relational reshape (pivot->unpivot roundtrip) and the
+    # per-language length-quartile profile (single-exchange ntile)
+    "agg_pivot_roundtrip",
+    "win_ntile_quartiles",
 ]
 
 

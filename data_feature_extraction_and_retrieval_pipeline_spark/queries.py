@@ -285,7 +285,7 @@ def register(name: str, oracle: str | None = None):
 # rows (the Percolator stats freeze, the NULL-explicit unique gate,
 # the fused DECIMAL drift report, and the new ANN index-maintenance
 # pair), then the SEVEN r03-row veterans the round-6 verdict asked to
-# refresh, then the 25 keepers whose newest rows are r04, then the 9
+# refresh, then the 25 keepers whose newest rows are r04, then the 7
 # oldest r05-row keepers. The eight rows-only entries left the head
 # this round: their r06 rows-only driver rows are now recognized as
 # evidence (tools/freshness_report.py::green treats err=no_oracle +
@@ -305,6 +305,8 @@ _DRIVER_ORDER: list[str] = [
     "ann_ingest_pq",
     "api_percolate_register",
     "dedup_cosine_incremental",
+    "agg_pivot_roundtrip",
+    "win_ntile_quartiles",
     # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
     "agg_decade_orders",
     "etl_regex_extract_path",
@@ -347,8 +349,6 @@ _DRIVER_ORDER: list[str] = [
     "asof_join_clicks",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_keep_best_per_source",
-    "dedup_minhash_lsh_portable",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -452,6 +452,8 @@ _TOUCHED: dict[str, int] = {
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
     "dedup_cosine_incremental": 7,
+    "agg_pivot_roundtrip": 7,
+    "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
     # _stream_table_src dir-vs-file branch; single-file driver
     # fixtures take the identical code path, but the touch is a touch)
@@ -4126,6 +4128,81 @@ def agg_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_acctbal",
         )
     )
+
+
+@register(
+    "win_ntile_quartiles",
+    """
+    WITH t AS (
+        SELECT lang, n_chars,
+               NTILE(4) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS quartile
+        FROM documents
+    )
+    SELECT lang, quartile::INT AS quartile,
+           COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(n_chars)::BIGINT AS max_chars
+    FROM t GROUP BY lang, quartile
+    """,
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quartiles — NTILE bucketing under a TOTAL
+    order (n_chars, doc_id tiebreak, the determinism convention), then
+    per-(lang, quartile) size/min/max — the corpus-profiling cut a
+    curation run uses to balance length strata. One exchange: the
+    follow-up aggregate reuses the window's lang partitioning (the
+    win_lag_delta plan lesson)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "lang", "n_chars", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "agg_pivot_roundtrip",
+    """
+    WITH langs AS (SELECT UNNEST(['de','en','es','fr','zh']) AS lang),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    counts AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents
+        GROUP BY source, lang
+    )
+    SELECT s.source, l.lang, COALESCE(c.n, 0)::BIGINT AS n_docs
+    FROM srcs s CROSS JOIN langs l
+    LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+    """,
+)
+def agg_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational-reshape pair certified as a round trip: documents
+    PIVOTed to a wide per-source frame (one lang column each, explicit
+    pivot values so no extra distinct job and a deterministic schema;
+    empty cells coalesced to 0 — Spark's pivot-count emits NULL there)
+    then UNPIVOTed back to the long (source, lang, n_docs) form the
+    oracle computes directly — including the zero cells, which is what
+    distinguishes a true unpivot of the dense wide frame from a plain
+    groupBy. One exchange for the pivot aggregate; unpivot is the
+    map-only Expand."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = docs.groupBy("source").pivot("lang", langs).count()
+    wide = wide.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in langs],
+    )
+    return wide.unpivot(["source"], langs, "lang", "n_docs")
 
 
 @register(
