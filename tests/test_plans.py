@@ -492,3 +492,23 @@ def test_ann_staleness_assignment_stays_in_codegen(spark, qs):
         f"monitor assignment must be JVM-side:\n{text[:1500]}"
     )
     assert "BatchEvalPython" not in text
+
+
+def test_ntile_aggregate_reuses_window_exchange(spark, qs):
+    """win_ntile_quartiles: the follow-up (lang, quartile) aggregate
+    must reuse the window's lang hash partitioning — exactly ONE hash
+    exchange in the whole plan (the win_lag_delta contract applied to
+    NTILE)."""
+    text = _plan_text(qs["win_ntile_quartiles"](spark, SF_DIR))
+    n = text.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one exchange, got {n}:\n{text[:1500]}"
+
+
+def test_pivot_roundtrip_unpivot_is_map_only(spark, qs):
+    """agg_pivot_roundtrip: the unpivot back to long form must plan as
+    the map-only Expand over the pivoted frame — no extra exchange
+    beyond the pivot aggregate's."""
+    text = _plan_text(qs["agg_pivot_roundtrip"](spark, SF_DIR))
+    assert "Expand" in text, "unpivot should plan an Expand"
+    n = text.count("Exchange hashpartitioning")
+    assert n <= 2, f"unpivot must not add exchanges, got {n}:\n{text[:1500]}"
