@@ -342,24 +342,40 @@ def main() -> None:
         "floor_adj_ratio": floor_adj,
         "sf": sf,
     }
-    # Full payload → a file (the per-query oracle timings and index
-    # build costs matter for grading but blow past the round driver's
-    # 2000-char output-tail buffer — BENCH_r03/r04 recorded
-    # parsed:null for exactly this reason); stdout gets ONE compact
-    # line that fits the buffer with margin.
+    # Full payload → a file (the per-query timings matter for grading
+    # but blow past the round driver's 2000-char output-tail buffer —
+    # BENCH_r03/r04 AND r07 recorded parsed:null for exactly this
+    # reason; at 66 headline queries even the per-query `queries` dict
+    # alone overruns the buffer). stdout gets ONE totals-only line —
+    # guaranteed to fit with margin at any registry size.
     with open(Path(__file__).resolve().parent / "bench_detail.json", "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    compact = dict(detail)
-    for k in (
-        "oracle_queries",
-        "resident_index_artifacts",
-        "index_build_s",
-        "floor_adj_ratio",
-    ):
-        del compact[k]
-    compact["index_build_total"] = round(sum(indexes.BUILD_SECONDS.values()), 3)
-    compact["detail"] = "bench_detail.json"
-    print(json.dumps(compact))
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "cold_total": cold_total,
+        "oracle_total": detail["oracle_total"],
+        "oracle_n": len(oracle_timings),
+        "spark_oracled_total": spark_oracled,
+        "index_build_total": round(sum(indexes.BUILD_SECONDS.values()), 3),
+        "curate_checkpoint_total": round(
+            sum(api.CHECKPOINT_SECONDS.values()), 3
+        ),
+        "job_floor_s": round(floor, 4),
+        "sf": sf,
+        # contract shape preserved (a dict of per-query seconds) but
+        # bounded: only the 10 slowest — the full map is in the detail
+        # file. 10 × ~35 chars keeps the line well inside the buffer.
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

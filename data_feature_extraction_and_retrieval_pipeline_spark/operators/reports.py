@@ -388,12 +388,19 @@ def drift_report(
     lesson applied at design time). The cross-multiplication runs in
     DECIMAL — long·long silently wraps past 2^63 with ANSI off, and
     per-key counts near 1e10 against a 1e9-row snapshot are exactly
-    the regime this report targets — so ``drift_num`` is emitted as
+    the regime this report targets — so the numerator is computed in
     DECIMAL(38,0): exact for snapshots up to 1e18 rows each
     (DECIMAL(18,0) operands ⇒ a 37-digit product), and past even that
-    Spark raises under ANSI instead of wrapping. A per-section TOTAL
-    row carries the summed numerator; the monitor alarms on
-    ``drift_num / (N·M)`` driver-side if it wants the [0,2] L1.
+    Spark raises under ANSI instead of wrapping. The SURFACE type of
+    ``drift_num`` is a plain-digit STRING (round 8): the arithmetic
+    stays exact decimal, but different engines/clients render Decimal
+    values through different wire types (the r7 driver hashed
+    Spark-Decimal vs DuckDB-decimal differently even though the
+    digits agreed), and digits-as-text is the one canonical
+    representation every consumer agrees on. A per-section TOTAL row
+    carries the summed numerator; the monitor alarms on
+    ``drift_num / (N·M)`` driver-side if it wants the [0,2] L1
+    (``int(drift_num)`` — the string is always a bare integer).
 
     Scale shape: ONE value-counts aggregate per side for ALL sections
     — each row explodes a literal array of (section, key) structs
@@ -505,6 +512,8 @@ def drift_report(
             .alias("key"),
             "ref_n",
             "cur_n",
-            "drift_num",
+            # canonical surface: exact decimal digits as text (see
+            # docstring — the arithmetic above never leaves decimal)
+            F.col("drift_num").cast("string").alias("drift_num"),
         )
     )

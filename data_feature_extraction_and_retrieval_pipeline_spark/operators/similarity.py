@@ -565,14 +565,32 @@ def incremental_cosine_filter(
         F.col(vec_col).alias("__vec"),
         "cluster",
     )
+    # NULL-cluster rows (null / wrong-dimension vectors — the
+    # assignment's promised null propagation) must NOT reach the
+    # cogrouped matmul: np.asarray over a None/ragged vector raises
+    # and one bad arriving row would kill the whole gate job. Batch
+    # rows with no scorable vector are emitted explicitly as
+    # (n_matches 0, best_cosine NULL, keep true) — the same verdict a
+    # resident-free cluster gets — and null-cluster residents are
+    # dropped (nothing can cosine-match an unscorable vector).
+    bad = ab.filter(F.col("cluster").isNull()).select(
+        F.col("__id").alias("vec_id"),
+        F.lit(0).cast("long").alias("n_matches"),
+        F.lit(None).cast("double").alias("best_cosine"),
+        F.lit(True).alias("keep"),
+    )
+    ab = ab.filter(F.col("cluster").isNotNull())
+    ac = ac.filter(F.col("cluster").isNotNull())
 
     def _gate(bat: pd.DataFrame, res: pd.DataFrame) -> pd.DataFrame:
         if bat.empty:
+            # dtype follows the actual id column (a string id would
+            # otherwise come back int64 against the declared schema)
             return pd.DataFrame(
                 {"vec_id": [], "n_matches": [], "best_cosine": [], "keep": []}
             ).astype(
                 {
-                    "vec_id": "int64",
+                    "vec_id": bat["__id"].dtype,
                     "n_matches": "int64",
                     "best_cosine": "float64",
                     "keep": "bool",
@@ -620,7 +638,7 @@ def incremental_cosine_filter(
         )
 
     id_type = batch.schema[id_col].dataType.simpleString()
-    return (
+    gated = (
         ab.groupBy("cluster")
         .cogroup(ac.groupBy("cluster"))
         .applyInPandas(
@@ -631,6 +649,7 @@ def incremental_cosine_filter(
             ),
         )
     )
+    return gated.unionByName(bad)
 
 
 # ---------------------------------------------------------------------------

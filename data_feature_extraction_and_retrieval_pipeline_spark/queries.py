@@ -295,60 +295,59 @@ def register(name: str, oracle: str | None = None):
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-7 semantic changes / new operators (floor 7 => head) --
-    "api_percolate",
-    "report_quality_constraints",
+    # -- round-8 semantic changes / new operators (floor 8 => head) --
     "report_corpus_drift",
-    "ann_ingest_assign",
     "ann_centroid_staleness",
     "percolate_join_batch",
-    "ann_ingest_pq",
-    "api_percolate_register",
     "dedup_cosine_incremental",
-    "agg_pivot_roundtrip",
-    "win_ntile_quartiles",
-    # -- r03-row veterans (newest rows r03; code untouched, fresh rows) --
-    "agg_decade_orders",
-    "etl_regex_extract_path",
-    "ml_frame_sample",
-    "nested_roundtrip",
-    "sql_api_revenue",
-    "text_fingerprint",
-    "text_token_bpe",
-    # -- the 25 keepers whose newest rows are r04 --
-    "agg_keyword_scan",
-    "agg_salted_group",
-    "ann_brute_force",
-    "ann_ivfpq_portable",
-    "ann_pq_portable",
-    "dedup_chunks",
-    "dedup_cluster_canonical",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "etl_multiformat_date",
-    "etl_prefix_split",
-    "etl_safe_cast",
-    "etl_sentinel_cleanse",
-    "etl_upsert_merge",
-    "events_interval_join",
-    "events_sessionize",
-    "events_tumbling_window",
-    "join_anti_customers",
-    "join_meta_counters",
-    "join_semi_allowlist",
-    "join_tag_category",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "vec_mean_per_label",
-    # -- the oldest r05-row keepers fill the remaining slots --
-    "agg_rollup_acctbal",
-    "ann_ivf",
-    "ann_lsh",
-    "ann_range_search",
-    "asof_join_clicks",
-    "dedup_embedding_cosine",
-    "dedup_exact",
+    "percolate_join_stream",
+    "ann_recenter_compact",
+    # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
+    "join_revenue_by_nation",
+    "etl_url_basename_join",
+    "knn_whole",
+    "knn_tag_filtered",
+    "knn_batch",
+    "segment_search",
+    "hybrid_search",
+    "hybrid_search_tag_filtered",
+    "tag_search",
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "text_redact_pii",
+    "text_contamination",
+    "text_gopher_rules",
+    "etl_hash_split",
+    "dedup_keep_best_per_source",
+    "tag_search_and",
+    "set_ops_users",
+    "knn_percentage",
+    "etl_row_range_select",
+    "join_ext_fallback",
+    "segment_search_tag_filtered",
+    "zero_shot_topk_tags",
+    "events_hopping_window",
+    "ml_stub_text_embeddings_portable",
+    "ml_zero_shot_tags",
+    "nested_tags_two_level",
+    "text_chunk_windows",
+    "etl_mixture_sample",
+    "text_unigram_logprob",
+    "text_quality_classifier",
+    "etl_html_scrub",
+    "text_pack_bins",
+    # -- 11 of the oldest r06-row keepers fill the remaining slots --
+    "q1_pricing_summary",
+    "agg_value_counts",
+    "agg_explode_count",
+    "agg_histogram_chars",
+    "agg_group_stats",
+    "agg_distinct_counts",
+    "agg_bool_flags",
+    "win_topn_per_group",
+    "win_global_topk",
+    "text_bm25_topk",
+    "tag_search_bm25",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -445,13 +444,24 @@ _TOUCHED: dict[str, int] = {
     # index-maintenance pair (new)
     "api_percolate": 7,
     "report_quality_constraints": 7,
-    "report_corpus_drift": 7,
+    # round 8: drift_num surface canonicalized to plain-digit STRING
+    # (exact decimal arithmetic unchanged) — the r7 driver hashed
+    # Spark-Decimal vs DuckDB-decimal differently despite equal digits
+    "report_corpus_drift": 8,
     "ann_ingest_assign": 7,
-    "ann_centroid_staleness": 7,
-    "percolate_join_batch": 7,
+    "ann_centroid_staleness": 8,
+    # round 8: bm25_stats_table now emits (term, 0) rows for df=0
+    # vocab terms — the join form's novel-term alerting fix
+    "percolate_join_batch": 8,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
-    "dedup_cosine_incremental": 7,
+    # round 8: null/ragged arriving vectors emit an explicit verdict
+    # row instead of crashing the cogrouped gate
+    "dedup_cosine_incremental": 8,
+    # round 8: new — the join-form percolator's foreachBatch stream
+    # drain, and the maintenance loop's recenter/rewrite phase
+    "percolate_join_stream": 8,
+    "ann_recenter_compact": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -3500,8 +3510,7 @@ def dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
-        q.stop()
+    _drain_or_fail(q, "dedup_minhash_stream")
     # The oracle's per-bucket MIN(doc_id) anchor equals the state
     # operator's first-batch-min anchor ONLY when the whole drain is a
     # single micro-batch (true for the single-file fixture tables; a
@@ -3547,6 +3556,20 @@ def _stream_table_src(spark: SparkSession, sf_dir: str, table: str, schema):
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
+
+
+def _drain_or_fail(q, name: str, timeout: int = 120) -> None:
+    """Block until an availableNow drain terminates; a drain that
+    outlives the backstop is stopped AND raised — reading the sink
+    after a partial drain would summarize a partially-maintained
+    index / partial hit set and surface as a silent value mismatch
+    blamed on the operator (round-7 advice: fail loudly instead)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow drain did not terminate within "
+            f"{timeout}s — refusing to summarize a partial sink"
+        )
 
 
 # Percolation: standing-query terms (union), registered queries, and
@@ -3666,8 +3689,7 @@ def percolate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
-        q.stop()
+    _drain_or_fail(q, "percolate_stream")
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream
@@ -3733,6 +3755,45 @@ def percolate_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percolate_join_stream", _percolate_sql(_PERC_TERMS, _PERC_QUERIES)
+)
+def percolate_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-form percolator ON A STREAM (streaming/percolate.py::
+    percolate_join_stream) — the past-the-codegen-wall serving path
+    for large standing-query registries: documents drained
+    availableNow through foreachBatch, each micro-batch scored by the
+    aggregation-based ``percolate_join`` against the FROZEN long-form
+    stats and appended to a parquet sink; the sink read back IS the
+    result. percolate_join is a deterministic per-document transform
+    (scores depend only on the frozen stats, never on batch
+    boundaries), so the drained union equals the one-shot batch
+    scoring and all FOUR shapes — expression stream drain, join
+    batch, join stream drain, SQL — share ONE oracle."""
+    import shutil
+
+    from .streaming import StandingQuery
+    from .streaming.percolate import bm25_stats_table, percolate_join_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
+    term_stats, totals = bm25_stats_table(docs, _PERC_TERMS)
+    src = _stream_table_src(spark, sf_dir, "documents", docs.schema)
+    sink = _scratch_dir("dferp_pjsink", sf_dir)
+    ckpt = _scratch_dir("dferp_pjck", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        # fresh drain per call: a stale checkpoint would skip the
+        # source files; a stale sink would double-count appends
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = percolate_join_stream(
+            src.select("doc_id", "text"), standing, term_stats, totals,
+            sink, ckpt,
+        )
+        _drain_or_fail(q, "percolate_join_stream")
+    return spark.read.parquet(sink)
+
+
 # ANN index maintenance: assignment CTE shared by both queries — the
 # first 4 embeddings are the frozen coarse centroids, cluster = argmax
 # dot (ties → lowest centroid id), exactly assign_clusters_np's rule.
@@ -3792,8 +3853,7 @@ def ann_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         q = start_ann_ingest(spark, src, emb.schema, idx, ckpt, cents)
-        if not q.awaitTermination(120):
-            q.stop()
+        _drain_or_fail(q, "ann_ingest_assign")
     back = spark.read.parquet(idx)
     return back.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -3858,8 +3918,7 @@ def ann_ingest_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, src, emb.schema, idx, ckpt,
             _IVFPQ_PORT_CENTS, _PQ_PORT_BOOKS,
         )
-        if not q.awaitTermination(120):
-            q.stop()
+        _drain_or_fail(q, "ann_ingest_pq")
     back = spark.read.parquet(idx)
     # exact big-endian polynomial over the 8 sub-codes (code_s < 16)
     poly = F.lit(0).cast("long")
@@ -3898,10 +3957,11 @@ def ann_ingest_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ::DECIMAL(38,0) AS drift_num
         FROM pivoted CROSS JOIN nm
     )
-    SELECT * FROM scored
+    SELECT section, key, ref_n, cur_n, drift_num::VARCHAR AS drift_num
+    FROM scored
     UNION ALL
     SELECT section, '__TOTAL__', SUM(ref_n)::BIGINT, SUM(cur_n)::BIGINT,
-           SUM(drift_num)::DECIMAL(38,0)
+           SUM(drift_num)::DECIMAL(38,0)::VARCHAR
     FROM scored GROUP BY section
     """,
 )
@@ -3928,6 +3988,103 @@ def ann_centroid_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_staleness(
         assigned.filter(F.col("vec_id") % 2 == 0),
         assigned.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+@register(
+    "ann_recenter_compact",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              v -> FLOOR(v * 1000)) AS x,
+               (vec_id % 4)::INT AS c0
+        FROM embeddings WHERE vec_id < 256
+    ),
+    ex AS (
+        SELECT e.c0, t.i, e.x[t.i] AS val
+        FROM e, generate_series(1, 64) AS t(i)
+    ),
+    mu AS (
+        SELECT c0, i, SUM(val) / 64.0 AS m
+        FROM ex GROUP BY c0, i
+    ),
+    cent AS (
+        SELECT c0 AS cid, list(m ORDER BY i) AS cv,
+               0.5 * SUM(m * m) AS bias
+        FROM mu GROUP BY c0
+    ),
+    newa AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY (list_dot_product(e.x, c.cv) - c.bias)
+                                DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT n.cluster::INT AS cluster, COUNT(*) AS n_vecs,
+           SUM(e.vec_id)::BIGINT AS id_checksum,
+           SUM(e.x[1])::BIGINT AS coord0_checksum
+    FROM newa n JOIN e ON n.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_recenter_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop's WRITE phase certified end-to-end
+    (streaming/ann_ingest.py::recenter_compact — the batch job the
+    staleness alarm triggers; reference lifecycle:
+    upload_features_to_elasticsearch.py:207-229's rebuild-and-swap):
+    read the accumulated partitionBy(cluster) index, one exact Lloyd
+    step (per-cluster elementwise mean), re-assign every vector under
+    the new centroids (L2 rule: argmax of dot − |c|²/2, ties → lowest
+    cluster), rewrite the partitioned layout via the crash-safe rename
+    swap, then probe the REWRITTEN index back — membership counts, id
+    checksums, and a first-coordinate data checksum per new cluster.
+
+    Cross-engine exact by construction: vectors are floor-quantized
+    to an integer grid (FLOOR(v·1000) — floor, not round: no
+    half-tie rounding-mode hazard) and the initial clusters are
+    vec_id%4 over the first 256 ids, so every population is exactly
+    64 = 2^6 — each mean coordinate s/64 is a dyadic rational carried
+    EXACTLY by a double, every dot/bias term is an exact multiple of
+    2^-12 well under 2^53, and therefore every product, partial sum,
+    and comparison is exact in ANY accumulation order: numpy's
+    blocked matmul (assign_clusters_np), Catalyst, and DuckDB's
+    list_dot_product cannot disagree even at the ULP level, making
+    the argmax decisions — and hence the rewritten index — identical
+    by arithmetic, not by luck."""
+    import shutil
+
+    from .streaming.ann_ingest import recenter_compact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = emb.filter(F.col("vec_id") < 256).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000).cast("double"),
+        ).alias("embedding"),
+        F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("cluster"),
+    )
+    idx = _scratch_dir("dferp_rcidx", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        shutil.rmtree(idx, ignore_errors=True)
+        xq.write.mode("overwrite").partitionBy("cluster").parquet(idx)
+        cents = recenter_compact(spark, idx)
+        if len(cents) != 4:
+            raise RuntimeError(
+                f"ann_recenter_compact: expected 4 centroids, "
+                f"got {len(cents)}"
+            )
+    back = spark.read.parquet(idx)
+    return back.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum(F.element_at("embedding", 1)).cast("bigint")
+        .alias("coord0_checksum"),
     )
 
 
@@ -3963,10 +4120,9 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NoTimeout drain (sessionize_stream emit_open=True) terminates on
     # its own once the source is exhausted; the bounded wait is a
-    # backstop, and a stream that somehow outlives it is stopped here
-    # rather than left to abort mid-batch at session teardown.
-    if not q.awaitTermination(120):
-        q.stop()
+    # backstop, and a stream that somehow outlives it is stopped and
+    # RAISED (partial session sets must not masquerade as values).
+    _drain_or_fail(q, "events_sessionize_stream")
     # drained into the memory sink — the per-call checkpoint has no
     # further use; a resident process must not leak one per invocation
     import shutil
@@ -6272,10 +6428,11 @@ def report_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ::DECIMAL(38,0) AS drift_num
         FROM pivoted CROSS JOIN nm
     )
-    SELECT * FROM scored
+    SELECT section, key, ref_n, cur_n, drift_num::VARCHAR AS drift_num
+    FROM scored
     UNION ALL
     SELECT section, '__TOTAL__', SUM(ref_n)::BIGINT, SUM(cur_n)::BIGINT,
-           SUM(drift_num)::DECIMAL(38,0)
+           SUM(drift_num)::DECIMAL(38,0)::VARCHAR
     FROM scored GROUP BY section
     """,
 )
@@ -6286,13 +6443,16 @@ def report_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) and a 50-char length histogram compared side by
     side, with the exact cross-multiplied L1 numerator
     |ref_n·M − cur_n·N| per key and a per-section total. Counts are
-    exact BIGINTs and the numerator is exact DECIMAL(38,0) (round-7
-    fix: the long·long product wraps past 2^63 exactly in the
+    exact BIGINTs and the numerator is computed in exact DECIMAL(38,0)
+    (round-7 fix: the long·long product wraps past 2^63 exactly in the
     billion-row regime this report targets) — shares are never
     divided out, so the report cannot hit a cross-engine rounding
     boundary (the win_lag_delta lesson applied at design time). Also
     round 7: ALL sections now count in ONE exploded (section, key)
-    aggregate per side — adding sections adds zero scans."""
+    aggregate per side — adding sections adds zero scans. Round 8:
+    the drift_num SURFACE is plain-digit STRING on both engines (the
+    arithmetic stays decimal) — Decimal wire types hash differently
+    across clients even when the digits agree."""
     from .operators.reports import drift_report
 
     docs = _t(spark, sf_dir, "documents")
@@ -6461,8 +6621,7 @@ def events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
-        q.stop()
+    _drain_or_fail(q, "events_interval_join_stream")
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)  # see events_sessionize_stream

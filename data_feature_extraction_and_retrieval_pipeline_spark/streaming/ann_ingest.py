@@ -202,11 +202,19 @@ def recenter(
     sum / count — the groupBy is map-side combined; driver state is
     k × dim, the same bounded-collect class as kmeans training).
     Clusters are returned ordered by cluster id; empty ids keep their
-    slot absent (caller decides whether to retire them)."""
-    dim_row = index_df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
+    slot absent (caller decides whether to retire them). NULL or
+    mis-sized vectors are excluded from the means (a NULL first row
+    used to poison the dimension probe and truncate every centroid):
+    the dimension is the MAX observed size, and only full-dimension
+    rows contribute — F.sum skips NULLs, but a short vector's missing
+    tail would otherwise silently bias the tail coordinates."""
+    dim_row = index_df.select(
+        F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    if dim_row is None or dim_row["d"] is None or dim_row["d"] <= 0:
         return []
-    dim = dim_row["d"]
+    dim = int(dim_row["d"])
+    index_df = index_df.filter(F.size(F.col(vec_col)) == dim)
     sums = index_df.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[

@@ -237,13 +237,27 @@ def bm25_stats_table(
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
     vocab = [str(t) for t in dict.fromkeys(terms)]
-    term_stats = (
+    counted = (
         docs.select(
             F.explode(F.array_distinct(toks)).alias("term")
         )
         .filter(F.col("term").isin(*vocab))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # EVERY requested vocab term gets a row, df=0 for terms absent
+    # from the corpus — percolate_join's tf⋈term_stats is an inner
+    # join, so a missing row would silently drop that term's
+    # contribution (a novel-term standing query — the core percolator
+    # alerting case — would never fire), diverging from the expression
+    # form's bit-identical contract where df=0 is a LARGE idf. The
+    # vocab frame is literal and broadcast-sized by construction.
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t,) for t in vocab], "term string"
+    )
+    term_stats = vocab_df.join(counted, "term", "left").select(
+        "term", F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df")
     )
     totals = docs.select(F.size(toks).alias("__dl")).agg(
         F.count("*").alias("n"), F.sum("__dl").alias("sumdl")

@@ -228,6 +228,42 @@ def test_incremental_cosine_filter_hand_values(spark):
     assert rows[12] == (0, None, True)
 
 
+def test_incremental_cosine_filter_null_and_ragged(spark):
+    """One bad row must not kill the gate job: NULL and
+    wrong-dimension arriving vectors get the promised null
+    propagation — an explicit (n_matches 0, best_cosine NULL,
+    keep true) verdict — while every scorable row in the same batch
+    still scores, and null-vector RESIDENTS are ignored rather than
+    crashing their cluster's matmul."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        incremental_cosine_filter,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),        # scorable: exact dup of resident 1
+            (11, None),              # NULL vector
+            (12, [0.1, 0.2, 0.3]),   # wrong dimension
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
+        for r in incremental_cosine_filter(
+            batch, corpus, cents, threshold=0.99
+        ).collect()
+    }
+    assert len(rows) == 3  # every batch row verdicted exactly once
+    assert rows[10][0] == 1 and rows[10][2] is False
+    assert rows[11] == (0, None, True)
+    assert rows[12] == (0, None, True)
+
+
 def test_maintenance_loop_end_to_end(spark, tmp_path):
     """The full index-maintenance lifecycle on a corpus that MOVES:
     (1) ingest wave A under initial centroids; (2) wave B arrives from

@@ -200,10 +200,15 @@ def test_drift_report_hand_values(spark):
     out = drift_report(
         ref, cur, cat_cols=("lang",), bucket_col="n_chars", bucket_width=50
     )
+    # drift_num's SURFACE is a plain-digit string (canonical across
+    # engine wire types); the digits themselves are exact integers
     got = {
-        (r.section, r.key): (r.ref_n, r.cur_n, r.drift_num)
+        (r.section, r.key): (r.ref_n, r.cur_n, int(r.drift_num))
         for r in out.collect()
     }
+    assert all(
+        isinstance(r.drift_num, str) for r in out.collect()
+    )
     assert got[("cat:lang", "en")] == (2, 1, 1)
     assert got[("cat:lang", "de")] == (1, 0, 2)
     assert got[("cat:lang", "zh")] == (0, 1, 3)

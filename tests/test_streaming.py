@@ -708,6 +708,49 @@ class TestPercolateJoin:
         b = sorted(map(tuple, join.collect()))
         assert a == b and len(a) > 0
 
+    def test_join_form_df0_novel_term(self, spark):
+        """A standing query on a term ABSENT from the stats corpus
+        (df=0 — the core percolator alerting case: watch for something
+        new) must fire identically in both forms when an arriving doc
+        contains it. Regression: bm25_stats_table used to emit no row
+        for df=0 terms, so the join form's inner tf⋈stats join
+        silently dropped the contribution — a one-term novel query
+        never fired at all."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            bm25_stats,
+            bm25_stats_table,
+            percolate,
+            percolate_join,
+        )
+
+        corpus = self._docs(spark)
+        terms = ["data", "zzqxnovel"]
+        qs = [
+            StandingQuery("novel_only", ("zzqxnovel",), 0.1),
+            StandingQuery("mixed", ("data", "zzqxnovel"), 0.1),
+        ]
+        batch = spark.createDataFrame(
+            [(901, "zzqxnovel data arrives"), (902, "plain data row")],
+            "doc_id long, text string",
+        )
+        expr = percolate(batch, qs, bm25_stats(corpus, terms), terms)
+        ts, tot = bm25_stats_table(corpus, terms)
+        # the df=0 term must be PRESENT in the long-form stats
+        assert {(r.term, r.df) for r in ts.collect() if r.term == "zzqxnovel"} == {
+            ("zzqxnovel", 0)
+        }
+        join = percolate_join(batch, qs, ts, tot)
+        a = sorted(map(tuple, expr.collect()))
+        b = sorted(map(tuple, join.collect()))
+        assert a == b
+        # the novel-term-only query fires on the doc carrying it
+        fired = {(r.query_id, r.doc_id) for r in join.collect()}
+        assert ("novel_only", 901) in fired
+        mixed = {r.doc_id: r.n_matched_terms for r in join.collect()
+                 if r.query_id == "mixed"}
+        assert mixed[901] == 2
+
     def test_join_form_validation(self, spark):
         from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
             StandingQuery,
