@@ -528,11 +528,12 @@ def cosine_self_join_pairs(
 
 def incremental_cosine_filter(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     centroids: list[Sequence[float]],
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus embedding near-dup gate — the daily-ingest
     decision table at the VECTOR layer (the cosine sibling of
@@ -544,45 +545,81 @@ def incremental_cosine_filter(
     cluster holds no residents), ``keep`` = no resident at/above the
     threshold.
 
-    Plan: both sides coarse-assigned against the FROZEN centroids
-    (one map each), then COGROUPED per cluster — each cluster scores
-    with ONE Arrow matmul (arrivals × residents), so the corpus is
-    never self-joined and the batch never leaves its cluster block.
-    Shuffle = one hash partition per side on the cluster key; at
-    100 TB the resident side is the bucketed serving layout
-    (ann_ingest), so only the (small) daily batch actually moves.
-    Exactly duplicate vectors always share a cluster, so blocking
-    loses no true duplicates at high thresholds.
+    Plan (round 8, single-pass): the two sides are TAGGED and
+    unioned, coarse-assigned against the frozen centroids in ONE
+    Arrow pass, then grouped by cluster — each cluster scores with
+    ONE matmul (arrivals × residents), splitting the sides inside the
+    pandas frame. Two Python crossings and one exchange total, where
+    the round-7 cogroup formulation paid three crossings (two assign
+    maps + the cogrouped gate) and two exchanges — at sf0.1 the
+    operator's cost was almost entirely Arrow worker spin-up, not
+    data. The corpus is still never self-joined and the batch never
+    leaves its cluster block; at 100 TB the resident side is the
+    bucketed serving layout (ann_ingest) whose cluster is already
+    materialized, so a caller there feeds ``assigned`` frames and
+    only the (small) daily batch pays the assignment map. Exactly
+    duplicate vectors always share a cluster, so blocking loses no
+    true duplicates at high thresholds.
     """
     thr = float(threshold)
-    ab = assign_clusters_np(batch, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        "cluster",
-    )
-    ac = assign_clusters_np(corpus, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        "cluster",
-    )
+    if corpus_assigned is not None:
+        # serving-layout path: the resident side already carries its
+        # cluster column (read from the partitionBy(cluster) index the
+        # ingest path maintains, or a session-resident artifact) — only
+        # the small arriving batch pays the assignment map, which is
+        # exactly the steady-state cost profile at 100 TB.
+        ab = assign_clusters_np(
+            batch.select(F.col(id_col), F.col(vec_col)),
+            centroids,
+            vec_col=vec_col,
+        )
+        assigned = ab.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.col("cluster"),
+            F.lit(True).alias("__arriving"),
+        ).unionByName(
+            corpus_assigned.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                F.col("cluster"),
+                F.lit(False).alias("__arriving"),
+            )
+        )
+    else:
+        tagged = batch.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.lit(True).alias("__arriving"),
+        ).unionByName(
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                F.lit(False).alias("__arriving"),
+            )
+        )
+        assigned = assign_clusters_np(tagged, centroids, vec_col="__vec")
     # NULL-cluster rows (null / wrong-dimension vectors — the
     # assignment's promised null propagation) must NOT reach the
-    # cogrouped matmul: np.asarray over a None/ragged vector raises
-    # and one bad arriving row would kill the whole gate job. Batch
-    # rows with no scorable vector are emitted explicitly as
-    # (n_matches 0, best_cosine NULL, keep true) — the same verdict a
-    # resident-free cluster gets — and null-cluster residents are
-    # dropped (nothing can cosine-match an unscorable vector).
-    bad = ab.filter(F.col("cluster").isNull()).select(
+    # grouped matmul: np.asarray over a None/ragged vector raises and
+    # one bad arriving row would kill the whole gate job. Batch rows
+    # with no scorable vector are emitted explicitly as (n_matches 0,
+    # best_cosine NULL, keep true) — the same verdict a resident-free
+    # cluster gets — and null-cluster residents are dropped (nothing
+    # can cosine-match an unscorable vector).
+    bad = assigned.filter(
+        F.col("cluster").isNull() & F.col("__arriving")
+    ).select(
         F.col("__id").alias("vec_id"),
         F.lit(0).cast("long").alias("n_matches"),
         F.lit(None).cast("double").alias("best_cosine"),
         F.lit(True).alias("keep"),
     )
-    ab = ab.filter(F.col("cluster").isNotNull())
-    ac = ac.filter(F.col("cluster").isNotNull())
+    assigned = assigned.filter(F.col("cluster").isNotNull())
 
-    def _gate(bat: pd.DataFrame, res: pd.DataFrame) -> pd.DataFrame:
+    def _gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        arriving = pdf["__arriving"].to_numpy()
+        bat = pdf[arriving]
         if bat.empty:
             # dtype follows the actual id column (a string id would
             # otherwise come back int64 against the declared schema)
@@ -590,7 +627,7 @@ def incremental_cosine_filter(
                 {"vec_id": [], "n_matches": [], "best_cosine": [], "keep": []}
             ).astype(
                 {
-                    "vec_id": bat["__id"].dtype,
+                    "vec_id": pdf["__id"].dtype,
                     "n_matches": "int64",
                     "best_cosine": "float64",
                     "keep": "bool",
@@ -602,6 +639,7 @@ def incremental_cosine_filter(
         B = np.array(
             [np.asarray(v, dtype=np.float64) for v in bat["__vec"].iloc[order]]
         )
+        res = pdf[~arriving]
         if res.empty:
             # NULL (not NaN) best_cosine: pandas' float NaN would
             # arrive Spark-side as a non-null NaN and diverge from the
@@ -638,16 +676,12 @@ def incremental_cosine_filter(
         )
 
     id_type = batch.schema[id_col].dataType.simpleString()
-    gated = (
-        ab.groupBy("cluster")
-        .cogroup(ac.groupBy("cluster"))
-        .applyInPandas(
-            _gate,
-            schema=(
-                f"vec_id {id_type}, n_matches long, "
-                "best_cosine double, keep boolean"
-            ),
-        )
+    gated = assigned.groupBy("cluster").applyInPandas(
+        _gate,
+        schema=(
+            f"vec_id {id_type}, n_matches long, "
+            "best_cosine double, keep boolean"
+        ),
     )
     return gated.unionByName(bad)
 

