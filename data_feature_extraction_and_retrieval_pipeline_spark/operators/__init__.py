@@ -3,6 +3,7 @@ from .retrieval import (  # noqa: F401
     hybrid_search,
     knn,
     knn_batch,
+    rrf_fuse,
     segment_search,
     tag_search,
 )

@@ -606,3 +606,79 @@ def bm25_topk(
         F.round(score, 6).alias("bm25"),
     )
     return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(top_k)
+
+
+def rrf_fuse(
+    text_hits: DataFrame,
+    vector_hits: DataFrame,
+    id_col: str = "doc_id",
+    text_score: str = "bm25",
+    vector_score: str = "cosine",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector result list —
+    the standard hybrid-retrieval combiner (Cormack et al. 2009; the
+    shape Elasticsearch 8 ships as ``rrf``), fusing on RANKS so the
+    two retrievers' incomparable score scales never need calibrating:
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))        (k = 60)
+
+    This is the modality-level sibling of ``hybrid_search`` (which
+    fuses two CALIBRATED cosine spaces with weights): BM25 and cosine
+    live on unrelated scales, so the reference's weighted-sum recipe
+    cannot combine them — rank fusion is the standard answer, and a
+    user of the reference's ES index moving to full hybrid search
+    gets it here.
+
+    Inputs are the retrievers' top-N frames (``bm25_topk`` /
+    ``brute_force_topk`` outputs, or anything carrying ``id_col`` +
+    a score). Ranks are assigned here — (score desc, id asc), dense
+    1-based row numbers — over a SINGLE partition, which is safe by
+    construction: both inputs are already top-N-bounded result lists
+    (N ≈ tens), never corpus-sized; the global window never sees more
+    than N rows no matter the corpus. A document missing from one
+    list contributes 0 from that list (the standard convention).
+    Deterministic across engines: ranks are integers, each
+    ``1/(k+r)`` is one IEEE division, and the two-term sum is
+    evaluated text-then-vector — bit-identical everywhere.
+
+    Output: (id, text_rank, vector_rank, rrf_score) ordered by the
+    RAW fused score (desc, id) and cut to ``top_k``; ``rrf_score`` is
+    rounded to 6 for display after the ordering.
+    """
+    wt = Window.orderBy(F.desc(text_score), F.col(id_col))
+    wv = Window.orderBy(F.desc(vector_score), F.col(id_col))
+    t = text_hits.select(
+        F.col(id_col), F.row_number().over(wt).alias("text_rank")
+    )
+    v = vector_hits.select(
+        F.col(id_col), F.row_number().over(wv).alias("vector_rank")
+    )
+    kd = F.lit(float(k))
+    fused = (
+        t.join(v, id_col, "outer")
+        .select(
+            F.col(id_col),
+            "text_rank",
+            "vector_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (kd + F.col("text_rank").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (kd + F.col("vector_rank").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias("__rrf"),
+        )
+        .orderBy(F.desc("__rrf"), F.col(id_col))
+        .limit(int(top_k))
+    )
+    return fused.select(
+        id_col,
+        "text_rank",
+        "vector_rank",
+        F.round(F.col("__rrf"), 6).alias("rrf_score"),
+    )

@@ -302,6 +302,7 @@ _DRIVER_ORDER: list[str] = [
     "dedup_cosine_incremental",
     "percolate_join_stream",
     "ann_recenter_compact",
+    "retrieval_rrf_fusion",
     # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
     "join_revenue_by_nation",
     "etl_url_basename_join",
@@ -347,7 +348,6 @@ _DRIVER_ORDER: list[str] = [
     "win_topn_per_group",
     "win_global_topk",
     "text_bm25_topk",
-    "tag_search_bm25",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -462,6 +462,10 @@ _TOUCHED: dict[str, int] = {
     # drain, and the maintenance loop's recenter/rewrite phase
     "percolate_join_stream": 8,
     "ann_recenter_compact": 8,
+    # round 8: new — RRF hybrid lexical+vector fusion, and the HTTP
+    # service layer's facade path (service.py wraps Engine, no new
+    # query semantics)
+    "retrieval_rrf_fusion": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -1873,6 +1877,83 @@ def tag_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(
         tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list",
         top_k=10,
+    )
+
+
+_RRF_BM25_SUB = _bm25_sql(
+    _BM25_DOC_TERMS,
+    "list_filter(string_split_regex(LOWER(COALESCE(text, '')), '\\s+'),"
+    " t -> LENGTH(t) > 0)",
+    top_k=20,
+)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH txt AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank
+        FROM ({_RRF_BM25_SUB})
+    ),
+    vec AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                   AS vector_rank
+        FROM (
+            SELECT e.vec_id AS doc_id,
+                   list_dot_product(e.embedding::DOUBLE[], q.v) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id = 0) q
+            ORDER BY cosine DESC, doc_id
+            LIMIT 20
+        )
+    ),
+    fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               t.text_rank, v.vector_rank,
+               COALESCE(1.0 / (60.0 + t.text_rank), 0.0)
+                   + COALESCE(1.0 / (60.0 + v.vector_rank), 0.0) AS raw
+        FROM txt t FULL OUTER JOIN vec v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vector_rank, ROUND(raw, 6) AS rrf_score
+    FROM fused
+    ORDER BY raw DESC, doc_id
+    LIMIT 10
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse — the ES 8 ``rrf`` shape): BM25
+    top-20 over documents fused with cosine top-20 over the matching
+    embedding ids, rrf = Σ 1/(60+rank). The capability a user of the
+    reference's ES index needs to combine its text and kNN features
+    in one query; ``hybrid_search`` (Q3) fuses two CALIBRATED cosine
+    spaces with weights — this fuses INCOMPARABLE scales on ranks.
+    Exact by construction: ranks are integers with (score desc, id)
+    tie-breaks over bit-identical scores (raw left-to-right BM25
+    accumulation; list_dot_product ≡ F.aggregate), each term is one
+    IEEE division, and the two-term sum is evaluated text-then-vector
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    text_hits = retrieval.bm25_topk(
+        docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text", top_k=20
+    )
+    vec_hits = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            V.dot(
+                F.col("embedding"), F.lit(q).cast("array<double>")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col("doc_id"))
+        .limit(20)
+    )
+    return retrieval.rrf_fuse(
+        text_hits, vec_hits, id_col="doc_id", k=60, top_k=10
     )
 
 

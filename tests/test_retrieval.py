@@ -304,3 +304,49 @@ def test_bm25_tokens_col_null_array_is_empty_doc(spark):
     # (tf=1, dl=1, avgdl=1) must outscore doc 1 (tf=1, dl=2)
     by_id = {r.doc_id: r.bm25 for r in rows}
     assert by_id[3] > by_id[1] > 0
+
+
+def test_rrf_fuse_hand_values(spark):
+    """Exact RRF arithmetic on hand lists (k=60): a doc ranked 1 in
+    text and 2 in vector scores 1/61 + 1/62; one-list docs contribute
+    only their own term; ranks break score ties by id ascending; the
+    fused ordering is by the raw sum with id tie-breaks."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        rrf_fuse,
+    )
+
+    text = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0)],  # tie at 5.0 -> id 2 ranks 2
+        "doc_id long, bm25 double",
+    )
+    vec = spark.createDataFrame(
+        [(4, 0.99), (1, 0.98)],
+        "doc_id long, cosine double",
+    )
+    rows = rrf_fuse(text, vec, k=60, top_k=10).collect()
+    got = {r.doc_id: (r.text_rank, r.vector_rank, r.rrf_score) for r in rows}
+    assert got[1] == (1, 2, round(1 / 61 + 1 / 62, 6))
+    assert got[2] == (2, None, round(1 / 62, 6))
+    assert got[3] == (3, None, round(1 / 63, 6))
+    assert got[4] == (None, 1, round(1 / 61, 6))
+    # raw-score ordering: doc 1 (two lists) first, then the best
+    # single-list entries
+    assert [r.doc_id for r in rows] == [1, 4, 2, 3]
+
+
+def test_rrf_fuse_top_k_cut(spark):
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        rrf_fuse,
+    )
+
+    text = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(6)], "doc_id long, bm25 double"
+    )
+    vec = spark.createDataFrame(
+        [(i + 100, 1.0 - i / 100.0) for i in range(6)],
+        "doc_id long, cosine double",
+    )
+    rows = rrf_fuse(text, vec, top_k=4).collect()
+    assert len(rows) == 4
+    # equal ranks from both lists tie on the raw sum -> id ascending
+    assert [r.doc_id for r in rows] == [0, 100, 1, 101]
