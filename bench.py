@@ -146,6 +146,12 @@ HEADLINE = [
     # per-language length-quartile profile (single-exchange ntile)
     "agg_pivot_roundtrip",
     "win_ntile_quartiles",
+    # round 8: the join-form percolator's stream drain, the ANN
+    # maintenance rewrite (recenter + partitioned re-layout), and
+    # RRF hybrid lexical+vector fusion
+    "percolate_join_stream",
+    "ann_recenter_compact",
+    "retrieval_rrf_fusion",
 ]
 
 
