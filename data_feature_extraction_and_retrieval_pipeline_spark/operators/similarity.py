@@ -481,7 +481,12 @@ def cosine_self_join_pairs(
     thr = float(threshold)
     if assigned is None:
         assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
-    assigned = assigned.select(
+    # NULL-cluster rows (null / wrong-dimension vectors, the
+    # assignment's null propagation) pair with nothing — they would
+    # otherwise collect into one NULL group whose np.array over a
+    # None/ragged vector kills the whole job (the round-8
+    # incremental_cosine_filter fix applied to the all-pairs sibling)
+    assigned = assigned.filter(F.col("cluster").isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.col("cluster")
     )
 
@@ -600,22 +605,17 @@ def incremental_cosine_filter(
         )
         assigned = assign_clusters_np(tagged, centroids, vec_col="__vec")
     # NULL-cluster rows (null / wrong-dimension vectors — the
-    # assignment's promised null propagation) must NOT reach the
-    # grouped matmul: np.asarray over a None/ragged vector raises and
-    # one bad arriving row would kill the whole gate job. Batch rows
-    # with no scorable vector are emitted explicitly as (n_matches 0,
-    # best_cosine NULL, keep true) — the same verdict a resident-free
-    # cluster gets — and null-cluster residents are dropped (nothing
-    # can cosine-match an unscorable vector).
-    bad = assigned.filter(
-        F.col("cluster").isNull() & F.col("__arriving")
-    ).select(
-        F.col("__id").alias("vec_id"),
-        F.lit(0).cast("long").alias("n_matches"),
-        F.lit(None).cast("double").alias("best_cosine"),
-        F.lit(True).alias("keep"),
-    )
-    assigned = assigned.filter(F.col("cluster").isNotNull())
+    # assignment's promised null propagation) hash into ONE group and
+    # must NOT reach the matmul: np.asarray over a None/ragged vector
+    # raises and one bad arriving row would kill the whole gate job.
+    # The gate detects the null-key group and verdicts its arriving
+    # rows explicitly — (n_matches 0, best_cosine NULL, keep true),
+    # the same verdict a resident-free cluster gets — while its
+    # residents are ignored (nothing can cosine-match an unscorable
+    # vector). Handled INSIDE the grouped pass rather than as a
+    # filtered union branch: a union would re-evaluate the whole
+    # scan+assign subtree for the bad rows (Catalyst shares exchanges,
+    # not map subtrees), doubling the operator's fixed cost.
 
     def _gate(pdf: pd.DataFrame) -> pd.DataFrame:
         arriving = pdf["__arriving"].to_numpy()
@@ -636,15 +636,14 @@ def incremental_cosine_filter(
         ids = bat["__id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        B = np.array(
-            [np.asarray(v, dtype=np.float64) for v in bat["__vec"].iloc[order]]
-        )
         res = pdf[~arriving]
-        if res.empty:
+        if res.empty or pd.isna(pdf["cluster"]).all():
             # NULL (not NaN) best_cosine: pandas' float NaN would
             # arrive Spark-side as a non-null NaN and diverge from the
             # SQL MAX-over-no-rows NULL — the nullable dtype carries
-            # true NA through Arrow
+            # true NA through Arrow. Covers both the resident-free
+            # cluster and the null-key (unscorable vectors) group —
+            # same verdict, and neither may touch a vector.
             return pd.DataFrame(
                 {
                     "vec_id": ids,
@@ -655,6 +654,9 @@ def incremental_cosine_filter(
                     "keep": np.ones(len(ids), dtype=bool),
                 }
             )
+        B = np.array(
+            [np.asarray(v, dtype=np.float64) for v in bat["__vec"].iloc[order]]
+        )
         C = np.array(
             [np.asarray(v, dtype=np.float64) for v in res["__vec"]]
         )
@@ -676,14 +678,13 @@ def incremental_cosine_filter(
         )
 
     id_type = batch.schema[id_col].dataType.simpleString()
-    gated = assigned.groupBy("cluster").applyInPandas(
+    return assigned.groupBy("cluster").applyInPandas(
         _gate,
         schema=(
             f"vec_id {id_type}, n_matches long, "
             "best_cosine double, keep boolean"
         ),
     )
-    return gated.unionByName(bad)
 
 
 # ---------------------------------------------------------------------------

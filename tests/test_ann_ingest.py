@@ -315,3 +315,21 @@ def test_maintenance_loop_end_to_end(spark, tmp_path):
         got.setdefault(int(r["cluster"]), set()).add(r["vec_id"])
     blobs = [set(range(0, 6)), set(range(10, 16))]
     assert sorted(got.values(), key=min) == blobs
+
+
+def test_cosine_self_join_pairs_skips_null_vectors(spark):
+    """The all-pairs sibling of the incremental gate: NULL and
+    wrong-dimension vectors pair with nothing instead of collecting
+    into a NULL cluster whose matmul crashes the job; valid rows in
+    the same frame still pair."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        cosine_self_join_pairs,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (4, [0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_self_join_pairs(emb, cents, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
