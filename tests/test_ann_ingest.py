@@ -333,3 +333,27 @@ def test_cosine_self_join_pairs_skips_null_vectors(spark):
     )
     rows = cosine_self_join_pairs(emb, cents, threshold=0.99).collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+
+
+def test_recenter_skips_null_and_short_vectors(spark):
+    """A NULL or short first row must not poison the dimension probe
+    (dim is MAX size, not first-row size), and only full-dimension
+    vectors contribute to the means — a short vector's missing tail
+    would otherwise bias the centroid."""
+    df = spark.createDataFrame(
+        [
+            (1, None, 0),
+            (2, [4.0], 0),          # short — excluded
+            (3, [10.0, 0.0], 0),
+            (4, [12.0, 2.0], 0),
+            (5, [0.0, 10.0], 1),
+            (6, [0.0, 14.0], 1),
+        ],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    assert recenter(df) == [[11.0, 1.0], [0.0, 12.0]]
+    # all-null index -> no centroids, loudly empty rather than a crash
+    empty = spark.createDataFrame(
+        [(1, None, 0)], "vec_id long, embedding array<double>, cluster int"
+    )
+    assert recenter(empty) == []
