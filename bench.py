@@ -233,14 +233,33 @@ def main() -> None:
     # model this bench documents — actually executes a hot query.
     # Shared-host noise (±30% run-to-run) is damped by the min.
     timings: dict[str, float] = {}
+    # Structural job count per warm execution (statusTracker over a
+    # per-query job group on the last timed run): the single job_floor
+    # under-adjusts multi-job queries — a query that schedules 4 jobs
+    # pays ~4 scheduling slices of pure overhead — so the triage needs
+    # the count next to the time (SCALING.md "floor" section).
+    jobs_per_query: dict[str, int] = {}
+    sc = spark.sparkContext
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).collect()
         caching.release(name)
-        for _ in range(3):
+        for i in range(3):
+            if i == 2:
+                sc.setJobGroup(f"bench:{name}", "warm job-count probe")
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
+            if i == 2:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                try:
+                    jobs_per_query[name] = len(
+                        sc.statusTracker().getJobIdsForGroup(
+                            f"bench:{name}"
+                        )
+                    )
+                except Exception:
+                    pass
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             # intra-query persists (minhash shingles, hybrid phase-1)
@@ -333,6 +352,10 @@ def main() -> None:
         "oracle_n": len(oracle_timings),
         "oracle_queries": oracle_timings,
         "spark_oracled_total": spark_oracled,
+        # scheduled jobs per warm execution — read floor_adj_ratio
+        # against this: a query at 3× with 5 jobs is pure scheduling
+        # overhead (5 × job_floor_s), not a plan defect
+        "jobs_per_query": jobs_per_query,
         "resident_index_artifacts": resident,
         # one-time from-scratch build cost of each resident
         # artifact (indexes.py materializes + times them); the
