@@ -52,6 +52,18 @@ def strip_html_noise(col: Column | str) -> Column:
     return F.when(c.contains(HTML_NOISE), F.lit("")).otherwise(c)
 
 
+def truncate_display(col: Column | str, n: int = 30) -> Column:
+    """Display truncation ``s[:n] + '...' if len(s) > n else s``
+    (F18 — search_test_image.py:265-277, search_with_segments.py:
+    545-556): the exact conditional form, so a string of exactly
+    ``n`` characters passes through untouched and NULL propagates.
+    Character (not byte) semantics via LENGTH/SUBSTRING."""
+    c = _c(col)
+    return F.when(
+        F.length(c) > n, F.concat(F.substring(c, 1, int(n)), F.lit("..."))
+    ).otherwise(c)
+
+
 def safe_int(col: Column | str) -> Column:
     """'NA'/empty/bad parse → null; int via int(float(v)) (P7 —
     upload_features_to_elasticsearch.py:95-114). ``try_cast`` gives

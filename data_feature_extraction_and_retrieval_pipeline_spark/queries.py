@@ -303,6 +303,7 @@ _DRIVER_ORDER: list[str] = [
     "percolate_join_stream",
     "ann_recenter_compact",
     "retrieval_rrf_fusion",
+    "etl_display_truncate",
     # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
     "join_revenue_by_nation",
     "etl_url_basename_join",
@@ -347,7 +348,6 @@ _DRIVER_ORDER: list[str] = [
     "agg_bool_flags",
     "win_topn_per_group",
     "win_global_topk",
-    "text_bm25_topk",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -462,10 +462,11 @@ _TOUCHED: dict[str, int] = {
     # drain, and the maintenance loop's recenter/rewrite phase
     "percolate_join_stream": 8,
     "ann_recenter_compact": 8,
-    # round 8: new — RRF hybrid lexical+vector fusion, and the HTTP
+    # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
     # service layer's facade path (service.py wraps Engine, no new
-    # query semantics)
+    # query semantics), and the F18 display-truncation function
     "retrieval_rrf_fusion": 8,
+    "etl_display_truncate": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -6020,6 +6021,33 @@ def etl_html_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("text") == "").alias("scrubbed"),
         X.rolling_hash_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+@register(
+    "etl_display_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN LENGTH(text) > 30
+                THEN SUBSTR(text, 1, 30) || '...'
+                ELSE text END AS title_display,
+           LENGTH(text) > 30 AS truncated
+    FROM documents
+    """,
+)
+def etl_display_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — display truncation (functions/text.py::truncate_display;
+    search_test_image.py:265-277, search_with_segments.py:545-556):
+    the exact ``s[:30] + '...' if len(s) > 30 else s`` conditional —
+    a string of exactly 30 characters passes through untouched — as a
+    map-only Catalyst expression over every document, certified
+    value-for-value. The last F-row of SURVEY §2.7 that previously
+    lived only in the presentation layer."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.truncate_display(F.col("text"), 30).alias("title_display"),
+        (F.length("text") > 30).alias("truncated"),
     )
 
 
