@@ -184,3 +184,31 @@ def test_413_upload_cap(server):
     body, ctype = _multipart({}, {"image": ("big.png", big)})
     code, resp = _post(server, "/search/whole", body, ctype)
     assert code == 413 and "File too large" in resp["error"]
+
+
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer + the thread-safe SparkSession serve
+    parallel searches: 8 concurrent whole-image requests (mixed
+    payloads) all answer 200 with deterministic, payload-dependent
+    results — no cross-request state bleed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i: int):
+        payload = b"concurrent-payload-%d" % (i % 2)
+        body, ctype = _multipart(
+            {"top_k": 3}, {"image": ("q.png", payload)}
+        )
+        code, resp = _post(server, "/search/whole", body, ctype)
+        return code, tuple(
+            (r["image_id"], round(r.get("score", r.get("cosine", 0.0)), 9))
+            for r in resp["results"]
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        out = list(ex.map(one, range(8)))
+    assert all(code == 200 for code, _ in out)
+    evens = {res for i, (_, res) in enumerate(out) if i % 2 == 0}
+    odds = {res for i, (_, res) in enumerate(out) if i % 2 == 1}
+    # same payload -> identical results; different payload -> its own
+    assert len(evens) == 1 and len(odds) == 1
+    assert evens != odds
