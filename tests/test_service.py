@@ -212,3 +212,68 @@ def test_concurrent_requests(server):
     # same payload -> identical results; different payload -> its own
     assert len(evens) == 1 and len(odds) == 1
     assert evens != odds
+
+
+class TestCLI:
+    """The CLI surface (cli.py — search_with_segments.py:628-717):
+    flag parity, the reference's validation messages/exit codes, JSON
+    output, and the --output file write."""
+
+    def _engine(self, spark):
+        eng = Engine.from_sf_dir(spark, SF_DIR)
+        eng.segment_tags = spark.createDataFrame(
+            [(0, [("cat", 0.9)]), (1, [("dog", 0.7)])],
+            "image_id long, tags array<struct<tag string, confidence float>>",
+        )
+        return eng
+
+    def _run(self, spark, argv, tmp_path):
+        import io
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.cli import (
+            build_parser,
+            run,
+        )
+
+        img = tmp_path / "query.jpg"
+        img.write_bytes(b"cli-query-payload")
+        argv = [a.replace("__IMG__", str(img)) for a in argv]
+        args = build_parser().parse_args(argv)
+        buf = io.StringIO()
+        rc = run(args, self._engine(spark), model_loader=lambda: None, out=buf)
+        return rc, buf.getvalue()
+
+    def test_whole_mode_json_lines(self, spark, tmp_path):
+        rc, text = self._run(
+            spark, ["--mode", "whole", "--image", "__IMG__", "--top-k", "3"],
+            tmp_path,
+        )
+        assert rc == 0
+        rows = [json.loads(line) for line in text.strip().splitlines()]
+        assert 0 < len(rows) <= 3 and all("image_id" in r for r in rows)
+
+    def test_hybrid_default_mode_and_output_file(self, spark, tmp_path):
+        out_file = tmp_path / "results.json"
+        rc, text = self._run(
+            spark,
+            ["--image", "__IMG__", "--top-k", "2",
+             "--output", str(out_file)],
+            tmp_path,
+        )
+        assert rc == 0
+        saved = json.loads(out_file.read_text())
+        assert 0 < len(saved) <= 2
+
+    def test_tags_mode_and_validation(self, spark, tmp_path):
+        rc, text = self._run(
+            spark, ["--mode", "tags", "--tags", "cat"], tmp_path
+        )
+        assert rc == 0
+        rows = [json.loads(line) for line in text.strip().splitlines()]
+        assert {r["image_id"] for r in rows} == {0}
+
+        # the reference's exact validation messages + exit code 1
+        rc, text = self._run(spark, ["--mode", "tags"], tmp_path)
+        assert rc == 1 and "--tags required for tag mode" in text
+        rc, text = self._run(spark, ["--mode", "whole"], tmp_path)
+        assert rc == 1 and "--image required" in text
