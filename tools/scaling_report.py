@@ -77,6 +77,17 @@ QUERIES = [
     "ann_ivfpq_portable",
     "percolate_join_batch",
     "ann_ingest_assign",
+    # round 8 additions: the single-pass cosine gate (cogrouped Arrow
+    # matmul — the per-cluster blocking must keep the curve linear),
+    # RRF hybrid fusion (two scan-bound retrievers + a 40-row join),
+    # and the join-form percolator's foreachBatch stream drain (drain
+    # + parquet sink appends scale with the corpus).
+    # ann_recenter_compact is excluded by design: its certifying query
+    # bounds the index to the first 256 vectors (the dyadic-exactness
+    # construction), so its curve is flat and measures nothing.
+    "dedup_cosine_incremental",
+    "retrieval_rrf_fusion",
+    "percolate_join_stream",
 ]
 
 
