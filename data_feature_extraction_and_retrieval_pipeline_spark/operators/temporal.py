@@ -212,3 +212,86 @@ def interval_join(
         & (r["rts"] <= l["lts"] + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
     return l.join(r, cond).select(key, "lts", "rts", *payload)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step funnel analysis — for each user, the first time
+    they completed step 1, the first step-2 event STRICTLY AFTER that,
+    the first step-3 event strictly after step 2, and so on (the
+    classic first-touch conversion funnel; absent from the reference
+    like the other temporal operators, and a first-class need of any
+    event pipeline feeding training data).
+
+    Plan: ONE shuffle. The sequential dependency (step k's timestamp
+    depends on step k−1's) rules out independent conditional
+    aggregates without k passes over the events; instead each user's
+    events are collected and sorted once (bounded by per-user
+    activity, the same assumption sessionization makes) and a single
+    left-to-right ``F.aggregate`` fold walks the array carrying the
+    (s1..sk) state — the sessionize shape applied to conversion. The
+    fold's "first step-k event with t > s{k−1}" over the sorted array
+    equals MIN(t | type=step_k, t > s{k−1}), which is what the SQL
+    twin computes with k chained aggregates; repeated step types
+    (A→A funnels) work because each merge reads the PREVIOUS state.
+
+    Rows with NULL ts/type are dropped up front (they can anchor no
+    step). Output: (user, step{i}_us exact unix-microsecond longs —
+    the win_lag_delta display discipline — and depth 0..k).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    ev = events.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    item = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(type_col).alias("y"),
+    )
+    per_user = ev.groupBy(F.col(user_col)).agg(
+        F.array_sort(F.collect_list(item)).alias("__evs")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"s{i}") for i in range(k)]
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        fields = []
+        for i, st in enumerate(steps):
+            cur = acc[f"s{i}"]
+            if i == 0:
+                cond = cur.isNull() & (x["y"] == st)
+            else:
+                prev = acc[f"s{i - 1}"]
+                cond = (
+                    cur.isNull()
+                    & prev.isNotNull()
+                    & (x["y"] == st)
+                    & (x["t"] > prev)
+                )
+            fields.append(F.when(cond, x["t"]).otherwise(cur).alias(f"s{i}"))
+        return F.struct(*fields)
+
+    walked = per_user.select(
+        F.col(user_col),
+        F.aggregate(F.col("__evs"), init, _merge).alias("__w"),
+    )
+    depth = F.lit(0)
+    for i in range(k):
+        depth = F.when(
+            F.col("__w")[f"s{i}"].isNotNull(), F.lit(i + 1)
+        ).otherwise(depth)
+    return walked.select(
+        F.col(user_col),
+        *[
+            F.col("__w")[f"s{i}"].alias(f"step{i + 1}_us")
+            for i in range(k)
+        ],
+        depth.cast("int").alias("depth"),
+    )

@@ -304,6 +304,7 @@ _DRIVER_ORDER: list[str] = [
     "ann_recenter_compact",
     "retrieval_rrf_fusion",
     "etl_display_truncate",
+    "events_funnel",
     # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
     "join_revenue_by_nation",
     "etl_url_basename_join",
@@ -347,7 +348,6 @@ _DRIVER_ORDER: list[str] = [
     "agg_distinct_counts",
     "agg_bool_flags",
     "win_topn_per_group",
-    "win_global_topk",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -467,6 +467,7 @@ _TOUCHED: dict[str, int] = {
     # query semantics), and the F18 display-truncation function
     "retrieval_rrf_fusion": 8,
     "etl_display_truncate": 8,
+    "events_funnel": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -3499,6 +3500,56 @@ _SESSIONIZE_ORACLE = """
                     '%Y-%m-%d %H:%M:%S') AS last_session_end
     FROM per_session GROUP BY user_id
     """
+
+
+@register(
+    "events_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    u1 AS (
+        SELECT user_id,
+               MIN(t) FILTER (WHERE event_type = 'view') AS s1
+        FROM ev GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(e.t) AS s2
+        FROM ev e JOIN u1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > u1.s1
+        GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, MIN(e.t) AS s3
+        FROM ev e JOIN u2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > u2.s2
+        GROUP BY e.user_id
+    )
+    SELECT u1.user_id,
+           u1.s1 AS step1_us, u2.s2 AS step2_us, u3.s3 AS step3_us,
+           (CASE WHEN u3.s3 IS NOT NULL THEN 3
+                 WHEN u2.s2 IS NOT NULL THEN 2
+                 WHEN u1.s1 IS NOT NULL THEN 1
+                 ELSE 0 END)::INT AS depth
+    FROM u1
+    LEFT JOIN u2 ON u1.user_id = u2.user_id
+    LEFT JOIN u3 ON u1.user_id = u3.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (operators/temporal.py::funnel):
+    per user, the first view, the first click STRICTLY AFTER it, and
+    the first purchase strictly after that — exact unix-microsecond
+    timestamps and a 0..3 depth. One shuffle: per-user events are
+    collected and sorted once, a single left-to-right F.aggregate fold
+    walks the array carrying the (s1,s2,s3) state (the sessionize
+    shape applied to conversion); the oracle computes the same
+    semantics as three chained MIN aggregates — first-after-the-
+    previous-step over a sorted timeline IS the chained conditional
+    minimum, so the two formulations must agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.funnel(ev, ["view", "click", "purchase"])
 
 
 @register("events_sessionize", _SESSIONIZE_ORACLE)

@@ -206,3 +206,64 @@ def test_win_lag_delta_semantics(spark, tmp_path):
     assert out[2].avg_gap_us is None and out[2].max_gap_s is None
     assert (out[3].n_events, out[3].n_gaps) == (3, 2)
     assert out[3].avg_gap_us == 0 and out[3].max_gap_s == 0.0
+
+
+def test_funnel_hand_values(spark):
+    """Strict-after semantics on a hand timeline: a click BEFORE the
+    first view never counts; a user stopping at step 2 gets depth 2;
+    a user with no step-1 event gets depth 0 with all-NULL stamps;
+    NULL ts rows anchor nothing."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        funnel,
+    )
+
+    rows = [
+        # u1: full conversion, with a decoy click before the view
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:01:00", "view"),
+        (1, "2024-01-01 10:02:00", "click"),
+        (1, "2024-01-01 10:05:00", "purchase"),
+        # u2: view then click, never purchases
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:30:00", "click"),
+        # u3: purchase only — no view, depth 0
+        (3, "2024-01-01 08:00:00", "purchase"),
+        # u4: NULL ts view must not anchor step 1
+        (4, None, "view"),
+        (4, "2024-01-01 07:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    out = {
+        r.user_id: (r.step1_us, r.step2_us, r.step3_us, r.depth)
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+
+    s1, s2, s3, d1 = out[1]
+    assert (s2 - s1, s3 - s2, d1) == (60_000_000, 180_000_000, 3)
+    assert out[2][3] == 2 and out[2][2] is None
+    assert out[3] == (None, None, None, 0)
+    assert out[4] == (None, None, None, 0)
+
+
+def test_funnel_repeated_step_types(spark):
+    """An A→A funnel needs two DISTINCT events: the same event cannot
+    satisfy both steps (each merge reads the previous state)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        funnel,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:01:00", "view"),
+            (2, "2024-01-01 10:00:00", "view"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    out = {
+        r.user_id: r.depth
+        for r in funnel(ev, ["view", "view"]).collect()
+    }
+    assert out == {1: 2, 2: 1}
