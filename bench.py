@@ -147,11 +147,14 @@ HEADLINE = [
     "agg_pivot_roundtrip",
     "win_ntile_quartiles",
     # round 8: the join-form percolator's stream drain, the ANN
-    # maintenance rewrite (recenter + partitioned re-layout), and
-    # RRF hybrid lexical+vector fusion
+    # maintenance rewrite (recenter + partitioned re-layout), RRF
+    # hybrid lexical+vector fusion, the ordered-step conversion
+    # funnel, and the F18 display-truncation pass
     "percolate_join_stream",
     "ann_recenter_compact",
     "retrieval_rrf_fusion",
+    "events_funnel",
+    "etl_display_truncate",
 ]
 
 

@@ -543,3 +543,14 @@ def test_cosine_gate_single_pass_single_exchange(spark):
     n = text.count("Exchange hashpartitioning")
     assert n == 1, f"expected one exchange, got {n}:\n{text[:1500]}"
     assert "CartesianProduct" not in text
+
+
+def test_funnel_single_exchange(spark, qs):
+    """events_funnel: the collect-sort-fold formulation keeps the
+    whole funnel at ONE hash exchange (per-user grouping) — the
+    chained-aggregate alternative would shuffle the events table once
+    per step."""
+    text = _plan_text(qs["events_funnel"](spark, SF_DIR))
+    n = text.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one exchange, got {n}:\n{text[:1500]}"
+    assert "CartesianProduct" not in text and "BatchEvalPython" not in text
