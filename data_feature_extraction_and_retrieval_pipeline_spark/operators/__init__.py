@@ -17,7 +17,7 @@ from .similarity import (  # noqa: F401
     cosine_self_join_pairs,
     kmeans,
 )
-from .temporal import asof_join, funnel, sessionize  # noqa: F401
+from .temporal import asof_join, funnel, retention_cohorts, sessionize  # noqa: F401
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .reports import dataset_report  # noqa: F401
 from .multimodal import decode_image_meta, resize_plan, sample_frames  # noqa: F401

@@ -295,3 +295,54 @@ def funnel(
         ],
         depth.cast("int").alias("depth"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts — the classic activity triangle: each
+    user joins the cohort of their FIRST active ISO week, and the
+    report counts how many of each cohort were active again k weeks
+    later. The conversion funnel's sibling (how many came back, not
+    how far they got); absent from the reference like the rest of the
+    temporal family.
+
+    Exactness: weeks come from ``date_trunc('week')`` (ISO Monday on
+    both engines), the offset is the microsecond delta divided by the
+    exact week constant (every delta is an exact multiple — both
+    stamps are Monday-midnight truncations), and the counts are
+    distinct-by-construction (the per-user week set is deduplicated
+    before counting, so COUNT(*) per cell IS the distinct-user
+    count).
+
+    Plan: dedupe (user, week) [shuffle 1, map-side combined], derive
+    each user's cohort as a MIN over the deduped rows [reuses the
+    same user partitioning], broadcast-free self-join on user_col,
+    one final (cohort, offset) aggregate [shuffle 2]. NULL user/ts
+    rows are dropped up front.
+
+    Output: (cohort_week 'yyyy-MM-dd', week_offset int, n_users).
+    """
+    ev = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    )
+    act = ev.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).alias("week"),
+    ).distinct()
+    cohort = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    joined = act.join(cohort, user_col)
+    week_us = 7 * 24 * 3600 * 1_000_000
+    offset = (
+        (F.unix_micros("week") - F.unix_micros("cohort_week"))
+        / F.lit(week_us)
+    ).cast("int")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -305,6 +305,7 @@ _DRIVER_ORDER: list[str] = [
     "retrieval_rrf_fusion",
     "etl_display_truncate",
     "events_funnel",
+    "events_retention",
     # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
     "join_revenue_by_nation",
     "etl_url_basename_join",
@@ -347,7 +348,6 @@ _DRIVER_ORDER: list[str] = [
     "agg_group_stats",
     "agg_distinct_counts",
     "agg_bool_flags",
-    "win_topn_per_group",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -468,6 +468,7 @@ _TOUCHED: dict[str, int] = {
     "retrieval_rrf_fusion": 8,
     "etl_display_truncate": 8,
     "events_funnel": 8,
+    "events_retention": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -3550,6 +3551,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum, so the two formulations must agree exactly."""
     ev = _t(spark, sf_dir, "events")
     return temporal.funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_retention",
+    """
+    WITH act AS (
+        SELECT user_id, date_trunc('week', ts) AS week
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (SELECT user_id, MIN(week) AS cw FROM act GROUP BY user_id)
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           ((epoch_us(act.week) - epoch_us(c.cw)) / 604800000000)::INT
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/temporal.py::
+    retention_cohorts): users bucketed by their first active ISO week,
+    counted per (cohort, weeks-since-cohort) cell — the activity
+    triangle next to the conversion funnel. Exact by construction:
+    ISO-Monday date_trunc on both engines, offsets as exact
+    microsecond multiples of the week constant, distinct-by-
+    construction counts (the (user, week) set is deduplicated before
+    counting)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.retention_cohorts(ev)
 
 
 @register("events_sessionize", _SESSIONIZE_ORACLE)

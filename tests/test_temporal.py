@@ -267,3 +267,33 @@ def test_funnel_repeated_step_types(spark):
         for r in funnel(ev, ["view", "view"]).collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+def test_retention_cohorts_hand_values(spark):
+    """Hand timeline across three ISO weeks: user 1 is active in its
+    cohort week and two weeks later (skipping week 1), user 2 only in
+    its own (later) cohort week; multiple events in one week count the
+    user once."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Mon wk0 (cohort 2024-01-01)
+        (1, "2024-01-03 09:00:00"),  # same week — dedupes
+        (1, "2024-01-15 12:00:00"),  # wk2
+        (2, "2024-01-08 08:00:00"),  # cohort 2024-01-08
+        (3, None),                    # null ts — dropped
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
