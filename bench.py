@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_recenter_compact",
     "retrieval_rrf_fusion",
     "events_funnel",
+    "events_retention",
     "etl_display_truncate",
 ]
 
