@@ -740,11 +740,19 @@ class Percolator:
             ts, tot = bm25_stats_table(
                 corpus, self.terms, text_col=text_col, tokens_col=tokens_col
             )
+            ts_rows = ts.collect()
+            tot_rows = tot.collect()
+            # rows are the primary artifact (percolate_join turns them
+            # into a single inline-VALUES registry broadcast — one
+            # broadcast job per matches() call); the literal frames
+            # stay exposed for callers that inspect the frozen stats
+            self._stats_rows = [(r["term"], r["df"]) for r in ts_rows]
+            self._totals_rows = [(r["n"], r["sumdl"]) for r in tot_rows]
             self.term_stats = spark.createDataFrame(
-                ts.collect(), schema=ts.schema
+                ts_rows, schema=ts.schema
             )
             self.totals = spark.createDataFrame(
-                tot.collect(), schema=tot.schema
+                tot_rows, schema=tot.schema
             )
             self.stats = None
         else:
@@ -812,9 +820,10 @@ class Percolator:
         found = {r["term"]: r["df"] for r in ts.collect()}
         if self._join_form:
             spark = self._corpus.sparkSession
+            new_rows = [(t, int(found.get(t, 0))) for t in new_terms]
+            self._stats_rows = self._stats_rows + new_rows
             add = spark.createDataFrame(
-                [(t, int(found.get(t, 0))) for t in new_terms],
-                schema=self.term_stats.schema,
+                new_rows, schema=self.term_stats.schema
             )
             self.term_stats = self.term_stats.unionByName(add)
         else:
@@ -853,13 +862,13 @@ class Percolator:
             return percolate_join(
                 docs,
                 self.queries,
-                self.term_stats,
-                self.totals,
                 id_col=self.id_col,
                 text_col=self.text_col,
                 tokens_col=self.tokens_col,
                 k1=self.k1,
                 b=self.b,
+                stats_rows=self._stats_rows,
+                totals_rows=self._totals_rows,
             )
         return percolate(
             docs,

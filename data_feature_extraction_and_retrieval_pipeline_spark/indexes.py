@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+_VALUE_CACHE: dict[tuple[int, str], object] = {}
 _ENABLED = False
 
 # Wall seconds to materialize each resident artifact from scratch,
@@ -52,6 +53,7 @@ def enable_index_cache(enabled: bool = True) -> None:
             except Exception:
                 pass
         _INDEX_CACHE.clear()
+        _VALUE_CACHE.clear()
         # timings describe the dropped artifacts — keep the two
         # transparency fields (resident list / build seconds) in sync
         BUILD_SECONDS.clear()
@@ -73,6 +75,33 @@ def _prune_dead_sessions() -> None:
             alive = False
         if not alive:
             _INDEX_CACHE.pop(k, None)
+
+
+def materialized_value(
+    spark: SparkSession, key: str, build: Callable[[], object]
+) -> object:
+    """Like :func:`materialized` but for SMALL driver-side artifacts —
+    collected stats rows, fitted thresholds, codebooks. The write-time
+    equivalent is the tiny metadata file that ships next to an index
+    (a BM25 percolator's frozen ``(term, df)`` vocab plus the 1-row
+    ``(N, Σdl)`` totals is a few KB); keeping it as driver state lets
+    consumers rebuild a LITERAL frame per query, which broadcasts from
+    a LocalTableScan without scheduling a job. Cache off ⇒ ``build()``
+    runs fresh, same as :func:`materialized`.
+    """
+    if not _ENABLED:
+        return build()
+    k = (id(spark), key)
+    if k not in _VALUE_CACHE:
+        import time
+
+        with _BUILD_LOCK:
+            if k not in _VALUE_CACHE:
+                _prune_dead_sessions()
+                t0 = time.perf_counter()
+                _VALUE_CACHE[k] = build()
+                BUILD_SECONDS[key] = round(time.perf_counter() - t0, 4)
+    return _VALUE_CACHE[k]
 
 
 def materialized(

@@ -140,6 +140,44 @@ def assign_clusters_np(
     return embeddings.mapInPandas(_assign, schema=schema)
 
 
+def assign_col_np(
+    centroids: list[Sequence[float]],
+    vec_col: str = "embedding",
+    l2: bool = False,
+):
+    """Column-form twin of :func:`assign_clusters_np` — the coarse
+    cluster as a SCALAR Arrow-batched pandas UDF over just the vector
+    column. Same rule (argmax dot, optional −|c|²/2 L2 bias, ties to
+    the lowest centroid index; null/wrong-dimension → null cluster),
+    but only the vector ships Python-ward and only the int32 cluster
+    ships back — mapInPandas round-trips every column INCLUDING the
+    vector, so on an assign-then-shuffle pipeline this halves the
+    Arrow bytes crossing the boundary. Prefer it when the assignment
+    is a projection feeding a JVM-side plan; keep assign_clusters_np
+    where the whole frame enters Python anyway."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    bias = 0.5 * (C * C).sum(axis=1) if l2 else 0.0
+    dim = C.shape[1]
+
+    @F.pandas_udf(IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        arrs = s.to_numpy()
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        out = np.full(len(arrs), None, dtype=object)
+        if good.any():
+            M = np.stack(
+                [np.asarray(a, dtype=np.float64) for a in arrs[good]]
+            )
+            out[good] = np.argmax(M @ C.T - bias, axis=1).astype("int32")
+        return pd.Series(out)
+
+    return _assign(F.col(vec_col))
+
+
 def probe_clusters(
     centroids: list[Sequence[float]],
     query_vec: Sequence[float],
@@ -480,7 +518,12 @@ def cosine_self_join_pairs(
     """
     thr = float(threshold)
     if assigned is None:
-        assigned = assign_clusters_np(embeddings, centroids, vec_col=vec_col)
+        # expression-form assignment (HOF dot + argmax): the map stage
+        # before the cluster exchange stays pure JVM, so the operator
+        # pays ONE Arrow crossing (the block matmul) instead of two —
+        # same first-maximum tie-break and null/ragged→null-cluster
+        # propagation as assign_clusters_np
+        assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
     # NULL-cluster rows (null / wrong-dimension vectors, the
     # assignment's null propagation) pair with nothing — they would
     # otherwise collect into one NULL group whose np.array over a
@@ -571,9 +614,17 @@ def incremental_cosine_filter(
         # serving-layout path: the resident side already carries its
         # cluster column (read from the partitionBy(cluster) index the
         # ingest path maintains, or a session-resident artifact) — only
-        # the small arriving batch pays the assignment map, which is
-        # exactly the steady-state cost profile at 100 TB.
-        ab = assign_clusters_np(
+        # the small arriving batch pays the assignment, which is
+        # exactly the steady-state cost profile at 100 TB. The batch
+        # assignment is the pure-Catalyst expression form (HOF dot +
+        # argmax — no UDF): the map stage before the cluster exchange
+        # then contains NO Python at all, so the whole operator pays
+        # exactly ONE Arrow crossing (the gate). np.argmax and
+        # array_position-of-array_max share the first-maximum
+        # tie-break, and both null and wrong-dimension vectors
+        # propagate to a null cluster (zip_with pads with null), so
+        # the assignment is interchangeable with assign_clusters_np.
+        ab = assign_clusters(
             batch.select(F.col(id_col), F.col(vec_col)),
             centroids,
             vec_col=vec_col,
@@ -603,7 +654,9 @@ def incremental_cosine_filter(
                 F.lit(False).alias("__arriving"),
             )
         )
-        assigned = assign_clusters_np(tagged, centroids, vec_col="__vec")
+        # expression-form assignment for the same one-Arrow-crossing
+        # plan as the serving path (the gate is the only Python)
+        assigned = assign_clusters(tagged, centroids, vec_col="__vec")
     # NULL-cluster rows (null / wrong-dimension vectors — the
     # assignment's promised null propagation) hash into ONE group and
     # must NOT reach the matmul: np.asarray over a None/ragged vector

@@ -310,12 +310,14 @@ def retention_cohorts(
     temporal family.
 
     Exactness: weeks come from ``date_trunc('week')`` (ISO Monday on
-    both engines), the offset is the microsecond delta divided by the
-    exact week constant (every delta is an exact multiple — both
-    stamps are Monday-midnight truncations), and the counts are
-    distinct-by-construction (the per-user week set is deduplicated
-    before counting, so COUNT(*) per cell IS the distinct-user
-    count).
+    both engines), the offset is a CALENDAR day count between the two
+    Monday DATEs divided by 7 (always an exact multiple — a
+    fixed-microsecond week constant would drift in a DST session
+    timezone, where Monday-midnight deltas are not exact week
+    multiples and Spark's truncating double→int cast silently
+    off-by-ones), and the counts are distinct-by-construction (the
+    per-user week set is deduplicated before counting, so COUNT(*)
+    per cell IS the distinct-user count).
 
     Plan: dedupe (user, week) [shuffle 1, map-side combined], derive
     each user's cohort as a MIN over the deduped rows [reuses the
@@ -334,10 +336,11 @@ def retention_cohorts(
     ).distinct()
     cohort = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     joined = act.join(cohort, user_col)
-    week_us = 7 * 24 * 3600 * 1_000_000
-    offset = (
-        (F.unix_micros("week") - F.unix_micros("cohort_week"))
-        / F.lit(week_us)
+    offset = F.floor(
+        F.datediff(
+            F.col("week").cast("date"), F.col("cohort_week").cast("date")
+        )
+        / F.lit(7)
     ).cast("int")
     return (
         joined.groupBy(

@@ -3758,6 +3758,34 @@ _PERC_QUERIES = [
 ]
 
 
+def _perc_stats(spark: SparkSession, sf_dir: str):
+    """The frozen percolator corpus stats for the shared registry as
+    DRIVER-SIDE rows: ``(term_rows, total_rows)`` — one ``(term, df)``
+    tuple per vocab term plus the 1-row ``(n, sumdl)`` totals, a few
+    KB of exact integers (the metadata file a write-time index ships
+    next to the data). ``percolate_join`` turns them into a single
+    inline-VALUES registry broadcast, so a warm call schedules one
+    broadcast job + the main job. On the serving path (index cache
+    ON) the rows are a session-resident artifact
+    (``indexes.materialized_value``); r8's bench showed 5 jobs/warm
+    call from re-aggregating corpus stats per invocation. Cache OFF
+    (correctness runs) recollects the stats from the corpus inside
+    every call."""
+    from .streaming.percolate import bm25_stats_table
+
+    def _collect():
+        docs = _t(spark, sf_dir, "documents")
+        term_stats, totals = bm25_stats_table(docs, _PERC_TERMS)
+        return (
+            [(r["term"], r["df"]) for r in term_stats.collect()],
+            [(r["n"], r["sumdl"]) for r in totals.collect()],
+        )
+
+    return indexes.materialized_value(
+        spark, f"perc_stats:{sf_dir}", _collect
+    )
+
+
 def _percolate_sql(
     union_terms: list[str],
     queries: list[tuple[str, tuple[str, ...], float]],
@@ -3920,13 +3948,13 @@ def percolate_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     form's accumulation exactly — which is why all three shapes
     (expression stream drain, join batch, SQL) share ONE oracle."""
     from .streaming import StandingQuery, percolate_join
-    from .streaming.percolate import bm25_stats_table
 
     docs = _t(spark, sf_dir, "documents")
     standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
-    term_stats, totals = bm25_stats_table(docs, _PERC_TERMS)
+    term_rows, total_rows = _perc_stats(spark, sf_dir)
     return percolate_join(
-        docs.select("doc_id", "text"), standing, term_stats, totals
+        docs.select("doc_id", "text"), standing,
+        stats_rows=term_rows, totals_rows=total_rows,
     )
 
 
@@ -3948,11 +3976,11 @@ def percolate_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from .streaming import StandingQuery
-    from .streaming.percolate import bm25_stats_table, percolate_join_stream
+    from .streaming.percolate import percolate_join_stream
 
     docs = _t(spark, sf_dir, "documents")
     standing = [StandingQuery(q, t, s) for q, t, s in _PERC_QUERIES]
-    term_stats, totals = bm25_stats_table(docs, _PERC_TERMS)
+    term_rows, total_rows = _perc_stats(spark, sf_dir)
     src = _stream_table_src(spark, sf_dir, "documents", docs.schema)
     sink = _scratch_dir("dferp_pjsink", sf_dir)
     ckpt = _scratch_dir("dferp_pjck", sf_dir)
@@ -3962,8 +3990,9 @@ def percolate_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         q = percolate_join_stream(
-            src.select("doc_id", "text"), standing, term_stats, totals,
-            sink, ckpt,
+            src.select("doc_id", "text"), standing,
+            sink_path=sink, checkpoint=ckpt,
+            stats_rows=term_rows, totals_rows=total_rows,
         )
         _drain_or_fail(q, "percolate_join_stream")
     return spark.read.parquet(sink)

@@ -83,11 +83,17 @@ def _rows_json(df, top_k: int) -> list[dict]:
     """format_results analogue (app.py:38-69): engine rows as plain
     JSON objects. The collect is bounded: every mode's frame is
     already top-k limited, and the extra limit here is a guard."""
+    import decimal
+
     out = []
     for r in df.limit(int(top_k)).collect():
         d = r.asDict(recursive=True)
         for k, v in list(d.items()):
-            if hasattr(v, "item"):  # numpy / decimal scalars
+            if isinstance(v, decimal.Decimal):
+                # Decimal has no .item() and json.dumps rejects it —
+                # a DecimalType column would otherwise 500 the request
+                d[k] = float(v)
+            elif hasattr(v, "item"):  # numpy scalars
                 d[k] = v.item()
         out.append(d)
     return out

@@ -205,12 +205,20 @@ def recenter(
     slot absent (caller decides whether to retire them). NULL or
     mis-sized vectors are excluded from the means (a NULL first row
     used to poison the dimension probe and truncate every centroid):
-    the dimension is the MAX observed size, and only full-dimension
-    rows contribute — F.sum skips NULLs, but a short vector's missing
-    tail would otherwise silently bias the tail coordinates."""
-    dim_row = index_df.select(
-        F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
+    the dimension is the MODAL (most common, ties → largest) observed
+    size, and only that-dimension rows contribute — F.sum skips
+    NULLs, but a short vector's missing tail would otherwise silently
+    bias the tail coordinates. Modal, not max: one corrupt over-long
+    vector under a max probe would claim the dimension for itself and
+    silently exclude every valid vector from the means."""
+    dim_row = (
+        index_df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") > 0)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("d").desc())
+        .first()
+    )
     if dim_row is None or dim_row["d"] is None or dim_row["d"] <= 0:
         return []
     dim = int(dim_row["d"])

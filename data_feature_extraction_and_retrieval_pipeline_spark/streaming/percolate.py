@@ -265,16 +265,23 @@ def bm25_stats_table(
     return term_stats, totals
 
 
+def _sql_str(s: str) -> str:
+    """Single-quote-escaped SQL string literal body."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def percolate_join(
     docs: DataFrame,
     queries: Sequence[StandingQuery],
-    term_stats: DataFrame,
-    totals: DataFrame,
+    term_stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str | None = "text",
     tokens_col: str | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    stats_rows: Sequence[tuple] | None = None,
+    totals_rows: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """The BROADCAST-JOIN percolator — same output contract as
     :func:`percolate` (``(doc_id, query_id, n_matched_terms, bm25)``,
@@ -283,18 +290,31 @@ def percolate_join(
     one expression tree per query, so codegen/analysis cost is
     O(|queries| · |terms|) PER PLAN — measured to fall off a cliff in
     the thousands (tools/percolate_scale.py; crossover documented in
-    SCALING.md). This form makes the registry DATA instead of CODE:
+    SCALING.md). This form makes the registry DATA instead of CODE,
+    riding as ONE denormalized broadcast
+    ``(query_id, term, term_idx, min_score, df, n, sumdl)``:
 
-      docs → explode tokens → count tf per (doc, term)     [1 shuffle]
-           → ⋈ broadcast term_stats/totals → per-term contribution
-           → ⋈ broadcast (query_id, term, term_idx, min_score) rows
+      docs → explode tokens (tokenized once per doc, below the
+             Generate) → ⋈ broadcast registry (vocab filter + query
+             fan-out in one map-side join)
+           → groupBy (doc, query, term): tf + per-term contribution
+             [shuffle 1, map-side combined]
            → groupBy (doc, query): left-to-right fold of the
-             term-idx-sorted contributions + matched count [1 shuffle]
+             term-idx-sorted contributions + matched count
+             [shuffle 2, tiny — one row per (doc, query, term)]
            → threshold filter
 
-    Plan cost is independent of |queries| (two hash shuffles on
-    high-cardinality doc keys; the registry rides as one broadcast),
-    so 100k standing queries plan as fast as 10.
+    Plan cost is independent of |queries| (the registry rides as one
+    broadcast), so 100k standing queries plan as fast as 10; the
+    exchanges carry only standing-query vocab hits, never the full
+    token stream.
+
+    Stats arrive either as frames (``term_stats``/``totals``, the
+    generic path — joined into the registry broadcast plan-side) or as
+    driver-side rows (``stats_rows``/``totals_rows`` — the frozen
+    write-time metadata a serving process keeps resident; the
+    registry becomes an inline VALUES LocalRelation so one warm call
+    schedules exactly one broadcast job plus the main job).
 
     Determinism contract: the score folds ``collect_list``ed
     contributions AFTER ``array_sort`` by the query's term order —
@@ -317,21 +337,79 @@ def percolate_join(
         for i, t in enumerate(q.terms):
             qrows.append((q.query_id, str(t), i, float(q.min_score)))
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        qrows, "query_id string, term string, term_idx int, min_score double"
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("query_id", T.StringType()),
+            T.StructField("n_matched_terms", T.IntegerType()),
+            T.StructField("bm25", T.DoubleType()),
+        ]
     )
+    if stats_rows is not None:
+        if totals_rows is None or not totals_rows:
+            raise ValueError("stats_rows requires totals_rows")
+        df_by_term = {str(t): int(d) for t, d in stats_rows}
+        n_val, sumdl_val = (int(x) for x in totals_rows[0])
+        brows = [
+            # repr() emits the shortest round-tripping decimal and
+            # Spark's CAST(string AS DOUBLE) parses correctly-rounded,
+            # so the min_score double survives bit-identically
+            "('{}', '{}', {}, CAST('{}' AS DOUBLE), {}L, {}L, {}L)".format(
+                _sql_str(qid), _sql_str(term), int(idx), repr(ms),
+                df_by_term[term], n_val, sumdl_val,
+            )
+            for qid, term, idx, ms in qrows
+            if term in df_by_term
+        ]
+        if not brows:
+            return spark.createDataFrame([], out_schema)
+        registry = spark.sql(
+            "SELECT * FROM VALUES {} AS t(query_id, term, term_idx, "
+            "min_score, df, n, sumdl)".format(", ".join(brows))
+        )
+    else:
+        if term_stats is None or totals is None:
+            raise ValueError(
+                "percolate_join needs term_stats/totals frames or "
+                "stats_rows/totals_rows"
+            )
+        qdf = spark.createDataFrame(
+            qrows,
+            "query_id string, term string, term_idx int, min_score double",
+        )
+        registry = qdf.join(term_stats, "term").crossJoin(totals)
 
     toks = (
         F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
         if tokens_col is not None
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
-    occ = docs.select(
-        F.col(id_col), F.size(toks).alias("__dl"), F.explode(toks).alias("term")
+    # Tokenize ONCE per document, below the explode. Writing
+    # ``select(id, size(toks), explode(toks))`` in one projection lets
+    # Catalyst float the size() above the Generate, where the full
+    # split+filter re-evaluates PER EXPLODED TOKEN ROW (measured ~3×
+    # the whole query's cost at sf0.1); materializing the array as a
+    # named column forces the split below the Generate — the exploded
+    # rows reference the per-doc array, and size() on a materialized
+    # array is O(1).
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    occ = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("term"),
     )
-    tf = occ.groupBy(id_col, "__dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    # Registry-as-data predicate pushdown AND query fan-out in one
+    # map-side broadcast join: only standing-query vocab terms survive
+    # to the tf shuffle (each occurrence duplicated once per standing
+    # query containing the term). Without this the groupBy shuffles
+    # EVERY token occurrence in the corpus — the difference between
+    # terabytes and megabytes on the wire at 100 TB. __dl comes from
+    # the FULL token array above, so length normalization is
+    # unaffected. One broadcast for the whole operator: a warm call
+    # schedules one broadcast job + the main job.
+    hits = occ.join(F.broadcast(registry), "term")
 
     nd = F.col("n").cast("double")
     avgdl = F.when(
@@ -345,15 +423,26 @@ def percolate_join(
         + F.lit(float(k1))
         * (F.lit(1.0 - b) + F.lit(float(b)) * (F.col("__dl").cast("double") / avgdl))
     )
+    # tf per (doc, query, term) — numerically identical to tf per
+    # (doc, term): the fan-out only duplicates rows across queries.
+    # The stats ride as grouping keys (functionally dependent on the
+    # term), so the contribution is computed post-combine without a
+    # second stats join. Map-side partial aggregation compresses the
+    # exchange to one row per (doc, query, term).
     contrib = (
-        tf.join(F.broadcast(term_stats), "term")
-        .crossJoin(F.broadcast(totals))
-        .select(id_col, "term", (idf * norm).alias("c"))
+        hits.groupBy(
+            id_col, "__dl", "query_id", "term_idx", "min_score",
+            "df", "n", "sumdl",
+        )
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            id_col, "query_id", "term_idx", "min_score",
+            (idf * norm).alias("c"),
+        )
     )
 
     per_q = (
-        contrib.join(F.broadcast(qdf), "term")
-        .groupBy(id_col, "query_id", "min_score")
+        contrib.groupBy(id_col, "query_id", "min_score")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
             # left-to-right fold in the query's term order — the
@@ -378,15 +467,17 @@ def percolate_join(
 def percolate_join_stream(
     stream_docs: DataFrame,
     queries: Sequence[StandingQuery],
-    term_stats: DataFrame,
-    totals: DataFrame,
-    sink_path: str,
-    checkpoint: str,
+    term_stats: DataFrame | None = None,
+    totals: DataFrame | None = None,
+    sink_path: str = None,
+    checkpoint: str = None,
     id_col: str = "doc_id",
     text_col: str | None = "text",
     tokens_col: str | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    stats_rows: Sequence[tuple] | None = None,
+    totals_rows: Sequence[tuple] | None = None,
 ):
     """The join-form percolator ON A STREAM — the past-the-codegen-wall
     path for large standing-query registries (the expression form dies
@@ -409,6 +500,8 @@ def percolate_join_stream(
             tokens_col=tokens_col,
             k1=k1,
             b=b,
+            stats_rows=stats_rows,
+            totals_rows=totals_rows,
         )
         hits.write.mode("append").parquet(sink_path)
 

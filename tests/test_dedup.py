@@ -555,3 +555,53 @@ def test_minhash_incremental_matches_full_selfjoin_cross_pairs(spark):
     }
     flagged = {b for _, b in inc}
     assert kept == batch_ids - flagged
+
+
+def test_assign_three_forms_agree(spark):
+    """The three cluster-assignment forms — pure-Catalyst expression
+    (assign_clusters, HOF dot + argmax), mapInPandas numpy
+    (assign_clusters_np), and the scalar-pandas-UDF column
+    (assign_col_np) — share one rule: argmax dot with first-maximum
+    tie-break, null cluster for null/wrong-dimension vectors. The
+    cosine dedup family mixes the forms (expression before the gate
+    exchange, numpy at write time), so any drift silently splits a
+    near-dup pair across clusters."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        assign_clusters_np,
+        assign_col_np,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    dim = len(cents[0])
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0] * (dim - 1))],
+        f"vec_id long, embedding array<double>",
+    )
+    both = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(bad)
+
+    expr = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(both, cents).collect()
+    }
+    np_map = {
+        r.vec_id: r.cluster
+        for r in assign_clusters_np(both, cents).collect()
+    }
+    col = {
+        r.vec_id: r.cluster
+        for r in both.select(
+            "vec_id", assign_col_np(cents).alias("cluster")
+        ).collect()
+    }
+    assert expr == np_map == col and len(expr) > 2
+    # null/ragged vectors -> null cluster in every form
+    assert expr[9001] is None and expr[9002] is None

@@ -515,11 +515,14 @@ def test_pivot_roundtrip_unpivot_is_map_only(spark, qs):
 
 
 def test_cosine_gate_single_pass_single_exchange(spark):
-    """incremental_cosine_filter (round-8 shape): ONE tagged-union
-    assignment map and ONE grouped Arrow gate around a single hash
-    exchange on the cluster key — the round-7 cogroup formulation paid
-    two assignment maps and two exchanges; regressing to it doubles
-    the operator's fixed cost (SCALING.md, round-8 audit)."""
+    """incremental_cosine_filter (round-9 shape): a pure-JVM
+    expression assignment (NO Python at all before the exchange) and
+    ONE grouped Arrow gate around a single hash exchange on the
+    cluster key — the whole operator pays exactly one Arrow crossing.
+    The round-7 cogroup formulation paid two assignment maps and two
+    exchanges; round 8 fused them to one map; round 9 removed the
+    assignment crossing entirely (HOF dot + argmax in Catalyst).
+    Regressing re-adds a per-run Arrow worker round-trip."""
     from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
         incremental_cosine_filter,
     )
@@ -537,8 +540,9 @@ def test_cosine_gate_single_pass_single_exchange(spark):
         incremental_cosine_filter(batch, corpus, cents, threshold=0.99)
     )
     assert text.count("FlatMapGroupsInPandas") == 1
-    assert text.count("MapInPandas") == 1, (
-        f"one fused assignment pass expected:\n{text[:1500]}"
+    assert text.count("MapInPandas") == 0, (
+        f"pure-JVM assignment expected (gate is the only Python):\n"
+        f"{text[:1500]}"
     )
     n = text.count("Exchange hashpartitioning")
     assert n == 1, f"expected one exchange, got {n}:\n{text[:1500]}"
