@@ -280,74 +280,70 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-7
-# rotation: first the queries whose round-7 code changes demand fresh
-# rows (the Percolator stats freeze, the NULL-explicit unique gate,
-# the fused DECIMAL drift report, and the new ANN index-maintenance
-# pair), then the SEVEN r03-row veterans the round-6 verdict asked to
-# refresh, then the 25 keepers whose newest rows are r04, then the 7
-# oldest r05-row keepers. The eight rows-only entries left the head
-# this round: their r06 rows-only driver rows are now recognized as
-# evidence (tools/freshness_report.py::green treats err=no_oracle +
-# recorded spark_rows as a row-shape marker, not a failure), so the
-# 50-slot budget goes to refreshing the oldest oracled witnesses.
+# entries of queries(), so ordering is part of the contract. Round-9
+# rotation: first the SEVEN queries whose round-9 code changes demand
+# fresh rows (the single-broadcast percolator pair, the one-crossing
+# cosine gate pair, the calendar retention offset, the modal-dim
+# recenter, and the newly-certified kmeans), then ALL 39 keepers whose
+# newest rows are r06 (the oldest witnesses — three rounds stale),
+# then the 4 alphabetically-first r07-row keepers to fill the slots.
 # The full query → newest-row / witness-floor table is generated into
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-8 semantic changes / new operators (floor 8 => head) --
-    "report_corpus_drift",
-    "ann_centroid_staleness",
+    # -- round-9 semantic changes / certifications (floor 9 => head) --
     "percolate_join_batch",
-    "dedup_cosine_incremental",
     "percolate_join_stream",
-    "ann_recenter_compact",
-    "retrieval_rrf_fusion",
-    "etl_display_truncate",
-    "events_funnel",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
     "events_retention",
-    # -- the 33 keepers whose newest rows are r05 (oldest witnesses) --
-    "join_revenue_by_nation",
-    "etl_url_basename_join",
-    "knn_whole",
-    "knn_tag_filtered",
-    "knn_batch",
-    "segment_search",
-    "hybrid_search",
-    "hybrid_search_tag_filtered",
-    "tag_search",
-    "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable",
-    "text_redact_pii",
-    "text_contamination",
-    "text_gopher_rules",
-    "etl_hash_split",
-    "dedup_keep_best_per_source",
-    "tag_search_and",
-    "set_ops_users",
-    "knn_percentage",
-    "etl_row_range_select",
-    "join_ext_fallback",
-    "segment_search_tag_filtered",
-    "zero_shot_topk_tags",
-    "events_hopping_window",
-    "ml_stub_text_embeddings_portable",
-    "ml_zero_shot_tags",
-    "nested_tags_two_level",
-    "text_chunk_windows",
-    "etl_mixture_sample",
-    "text_unigram_logprob",
-    "text_quality_classifier",
-    "etl_html_scrub",
-    "text_pack_bins",
-    # -- 11 of the oldest r06-row keepers fill the remaining slots --
-    "q1_pricing_summary",
-    "agg_value_counts",
-    "agg_explode_count",
-    "agg_histogram_chars",
-    "agg_group_stats",
-    "agg_distinct_counts",
-    "agg_bool_flags",
+    "ann_recenter_compact",
+    "ml_kmeans_clusters",
+    # -- all 39 keepers whose newest rows are r06 (oldest witnesses) --
+    "ml_multimodal_meta",
+    "ml_resize_plan",
+    "win_global_topk",
+    "win_topn_per_group",
+    "agg_cube_lang_source",
+    "agg_sketch_profile",
+    "ann_ivf_filtered",
+    "ann_pq",
+    "api_engine_hybrid",
+    "api_engine_segment",
+    "api_engine_tags",
+    "api_engine_whole",
+    "api_pipeline_curate",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_stream",
+    "dedup_simhash",
+    "etl_bucketed_roundtrip",
+    "etl_compact_roundtrip",
+    "etl_csv_roundtrip",
+    "etl_json_feature_roundtrip",
+    "etl_orc_roundtrip",
+    "etl_partitioned_roundtrip",
+    "etl_sorted_export",
+    "etl_zorder_roundtrip",
+    "events_interval_join_stream",
+    "events_sessionize_stream",
+    "ml_image_dir_scan",
+    "ml_ingest_pipeline",
+    "ml_segment_pipeline",
+    "ml_segment_portable",
+    "ml_stub_text_embeddings",
+    "percolate_stream",
+    "report_dataset",
+    "report_segment_stats",
+    "tag_search_bm25",
+    "text_bm25_topk",
+    "text_tfidf_keywords",
+    "win_lag_delta",
+    # -- 4 alphabetically-first r07-row keepers fill the last slots --
+    "agg_keyword_scan",
+    "agg_salted_group",
+    "ann_brute_force",
+    "ann_ivfpq_portable",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -366,8 +362,6 @@ _DRIVER_ORDER: list[str] = [
 #                           body certified via dedup_minhash_lsh_portable
 #   dedup_simhash           64-bit xxhash votes; shared vote body
 #                           certified via dedup_simhash_portable
-#   ml_kmeans_clusters      iterative fp-order-sensitive Lloyd's — no
-#                           twin possible; invariants in test_dedup
 #   ml_stub_text_embeddings sha256→float32 projection (float32 rounding
 #                           layer); certified via
 #                           ml_stub_text_embeddings_portable
@@ -384,7 +378,6 @@ _ROWS_ONLY_TAIL: list[str] = [
     "ann_pq",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ml_kmeans_clusters",
     "ml_stub_text_embeddings",
     "ml_segment_pipeline",
     "ml_ingest_pipeline",
@@ -410,7 +403,6 @@ _TOUCHED: dict[str, int] = {
     "ann_pq": 6,
     "dedup_minhash_lsh": 6,
     "dedup_simhash": 6,
-    "ml_kmeans_clusters": 6,
     "ml_stub_text_embeddings": 6,
     "ml_segment_pipeline": 6,
     "ml_ingest_pipeline": 6,
@@ -450,25 +442,27 @@ _TOUCHED: dict[str, int] = {
     "report_corpus_drift": 8,
     "ann_ingest_assign": 7,
     "ann_centroid_staleness": 8,
-    # round 8: bm25_stats_table now emits (term, 0) rows for df=0
-    # vocab terms — the join form's novel-term alerting fix
-    "percolate_join_batch": 8,
+    # round 9: percolate_join rebuilt around one denormalized registry
+    # broadcast + vocab pushdown below the tf shuffle (bit-identical
+    # scores, new plan); the cosine gate's assignment went pure
+    # Catalyst (gate is the only Arrow crossing); retention offsets
+    # are calendar datediff/7; recenter's dim probe is modal;
+    # ml_kmeans_clusters certified end-to-end on the dyadic grid
+    "percolate_join_batch": 9,
+    "percolate_join_stream": 9,
+    "dedup_cosine_incremental": 9,
+    "dedup_embedding_cosine": 9,
+    "events_retention": 9,
+    "ann_recenter_compact": 9,
+    "ml_kmeans_clusters": 9,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
-    # round 8: null/ragged arriving vectors emit an explicit verdict
-    # row instead of crashing the cogrouped gate
-    "dedup_cosine_incremental": 8,
-    # round 8: new — the join-form percolator's foreachBatch stream
-    # drain, and the maintenance loop's recenter/rewrite phase
-    "percolate_join_stream": 8,
-    "ann_recenter_compact": 8,
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
     # service layer's facade path (service.py wraps Engine, no new
     # query semantics), and the F18 display-truncation function
     "retrieval_rrf_fusion": 8,
     "etl_display_truncate": 8,
     "events_funnel": 8,
-    "events_retention": 8,
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the
@@ -511,7 +505,6 @@ _TOUCHED: dict[str, int] = {
     "dedup_exact": 3,
     "dedup_minhash_lsh_portable": 3,
     "dedup_simhash_portable": 3,
-    "dedup_embedding_cosine": 3,
     "dedup_keep_best_per_source": 3,
     "text_redact_pii": 3,
     "text_contamination": 3,
@@ -4880,24 +4873,115 @@ def ml_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_kmeans_clusters")  # iterative algorithm — rows-only
+# The kmeans certification grid: 4 well-separated axis clusters
+# (coordinate g carries +1000 for group g = vec_id%4) of 64 points
+# each, jittered per coordinate by ((vec_id div 4) div 2^j) % 4.
+# Every value is a small integer, every cluster population is a power
+# of two at every Lloyd iteration (assignments provably never move
+# across a 1000-unit separation vs ≤3 jitter), so every intermediate
+# — integer coordinate sums, /64 dyadic means, dot − |c|²/2 scores —
+# is EXACT in double in any summation order: numpy (driver loop),
+# Catalyst (sums), and DuckDB (oracle) agree bit for bit. The
+# ann_recenter_compact certification trick applied to the full
+# iterative loop.
+_KMEANS_GRID = [
+    f"CAST(1000 * (CASE WHEN vec_id % 4 = {j} THEN 1 ELSE 0 END)"
+    f" + ((vec_id div 4) div {1 << j}) % 4 AS DOUBLE)"
+    for j in range(4)
+]
+
+_KMEANS_ITER = """
+CREATE OR REPLACE TEMP TABLE km_a AS
+SELECT vec_id, v, cid AS cluster FROM (
+    SELECT p.vec_id, p.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_dot_product(p.v, c.cv)
+               - 0.5 * list_dot_product(c.cv, c.cv) DESC, c.cid) AS rn
+    FROM km_pts p CROSS JOIN km_c c) WHERE rn = 1;
+CREATE OR REPLACE TEMP TABLE km_c AS
+SELECT cluster AS cid,
+       [SUM(v[1]) / COUNT(*), SUM(v[2]) / COUNT(*),
+        SUM(v[3]) / COUNT(*), SUM(v[4]) / COUNT(*)]::DOUBLE[] AS cv
+FROM km_a GROUP BY cluster;
+"""
+
+
+@register(
+    "ml_kmeans_clusters",
+    f"""
+    CREATE OR REPLACE TEMP TABLE km_pts AS
+    SELECT vec_id, [
+        (1000 * (CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+            + ((vec_id // 4) // 1) % 4)::DOUBLE,
+        (1000 * (CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END)
+            + ((vec_id // 4) // 2) % 4)::DOUBLE,
+        (1000 * (CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END)
+            + ((vec_id // 4) // 4) % 4)::DOUBLE,
+        (1000 * (CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END)
+            + ((vec_id // 4) // 8) % 4)::DOUBLE
+    ] AS v
+    FROM embeddings WHERE vec_id < 256;
+    CREATE OR REPLACE TEMP TABLE km_c AS
+    SELECT vec_id AS cid, v AS cv FROM km_pts WHERE vec_id < 4;
+    {_KMEANS_ITER}
+    {_KMEANS_ITER}
+    {_KMEANS_ITER}
+    SELECT a.cluster::INT AS cluster,
+           COUNT(*)::BIGINT AS n_vectors,
+           SUM(list_dot_product(a.v, c.cv)) / COUNT(*) AS avg_center_dot,
+           ANY_VALUE(c.cv[1]) AS c0, ANY_VALUE(c.cv[2]) AS c1,
+           ANY_VALUE(c.cv[3]) AS c2, ANY_VALUE(c.cv[4]) AS c3
+    FROM (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT p.vec_id, p.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_dot_product(p.v, c.cv)
+                       - 0.5 * list_dot_product(c.cv, c.cv) DESC,
+                       c.cid) AS rn
+            FROM km_pts p CROSS JOIN km_c c) WHERE rn = 1
+    ) a JOIN km_c c ON a.cluster = c.cid
+    GROUP BY a.cluster
+    """,
+)
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative k-means (3 Lloyd rounds, deterministic init from the
-    first k vectors) — cluster sizes + per-cluster mean self-cosine.
-    Non-SQL-expressible (iterative); invariants are pytest-checked
-    (determinism, monotone inertia, exact copies co-clustered)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = similarity.kmeans(emb, k=8, max_iter=3)
+    """Iterative k-means — 3 full Lloyd rounds through the REAL
+    operator (operators/similarity.py::kmeans: numpy argmax-L2
+    assignment, Catalyst coordinate sums, driver re-center, final
+    reassignment) — certified END TO END against a DuckDB oracle that
+    replays the identical iterations in SQL (per-round temp tables).
+    Certifiable because the input is the dyadic-exact grid above
+    (_KMEANS_GRID): integer coordinates, power-of-two populations at
+    every iteration, so means and scores are exact doubles in any
+    summation order on all three engines — no rounding surface at
+    all; the output carries RAW doubles. Emits per-cluster size, mean
+    dot-to-center, and the final centroid coordinates. The
+    real-embedding invariants (determinism, monotone inertia, exact
+    copies co-clustered) stay pytest-pinned in tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 256)
+    pts = emb.select(
+        "vec_id",
+        F.array(*[F.expr(c) for c in _KMEANS_GRID]).alias("embedding"),
+    )
+    assigned, cents = similarity.kmeans(pts, k=4, max_iter=3)
     cents_lit = F.lit(cents).cast("array<array<double>>")
+    center = F.element_at(cents_lit, F.col("cluster") + 1)
     return (
-        assigned.withColumn(
-            "dist2center",
-            V.dot(F.col("embedding"), F.element_at(cents_lit, F.col("cluster") + 1)),
-        )
+        assigned.withColumn("d2c", V.dot(F.col("embedding"), center))
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg("dist2center"), 4).alias("avg_center_cosine"),
+            F.avg("d2c").alias("avg_center_dot"),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            "avg_center_dot",
+            *[
+                F.element_at(
+                    F.element_at(cents_lit, F.col("cluster") + 1), i + 1
+                ).alias(f"c{i}")
+                for i in range(4)
+            ],
         )
         .orderBy("cluster")
     )

@@ -22,6 +22,7 @@ indexes exist for).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _VOCAB = (
@@ -118,6 +119,68 @@ def synth_embeddings(
     )
 
 
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def synth_events(
+    spark: SparkSession,
+    n_events: int,
+    seed: int = 7,
+    n_users: int = 0,
+    hot_frac: float = 0.01,
+    span_days: int = 30,
+    parts: int = 32,
+) -> DataFrame:
+    """events-shaped frame: (event_id, ts, user_id, event_type, value,
+    props) — same schema and flavor as the driver table (5 event
+    types, 30-day span, JSON props), but with SKEWED user activity:
+    user 0 is a deliberate hot key absorbing ``hot_frac`` of ALL
+    events (it stresses the per-user state of the temporal family —
+    the funnel's collect+fold array, sessionize's single merged
+    session, retention's per-user week set), and the remaining users
+    draw with quadratic density toward low ids instead of uniformly.
+    Counter-seeded per event id, so the x1 corpus is the literal
+    prefix of the x10/x100 corpora and scale runs are reproducible at
+    any parallelism.
+    """
+    if n_users <= 0:
+        # mirror the driver table's ~67 events/user density
+        n_users = max(2, n_events // 67)
+    types = list(_EVENT_TYPES)
+    span_us = span_days * 24 * 3600 * 1_000_000
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            ts_us = np.empty(len(ids), dtype="int64")
+            users = np.empty(len(ids), dtype="int64")
+            etypes, values, props = [], [], []
+            for j, i in enumerate(ids):
+                rng = np.random.default_rng(seed * 3000017 + int(i))
+                ts_us[j] = int(rng.integers(0, span_us))
+                if rng.random() < hot_frac:
+                    users[j] = 0
+                else:
+                    users[j] = 1 + int((n_users - 1) * rng.random() ** 2)
+                etypes.append(types[int(rng.integers(0, len(types)))])
+                values.append(round(float(rng.uniform(0, 200)), 2))
+                props.append('{"k": %d}' % int(rng.integers(0, 100)))
+            yield pdf.assign(
+                event_id=ids,
+                ts=pd.to_datetime(ts_us, unit="us", origin="2024-01-01"),
+                user_id=users,
+                event_type=etypes,
+                value=values,
+                props=props,
+            ).drop(columns=["id"])
+
+    return _range_frame(spark, n_events, parts).mapInPandas(
+        gen,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
 def write_synth_sf(
     spark: SparkSession,
     out_dir: str,
@@ -125,13 +188,19 @@ def write_synth_sf(
     n_vecs: int,
     seed: int = 7,
     n_clusters: int = 0,
+    n_events: int = 0,
 ) -> str:
-    """Write a documents+embeddings fixture dir usable as ``sf_dir``
-    by every query that touches only those two tables."""
+    """Write a documents+embeddings(+events when ``n_events``>0)
+    fixture dir usable as ``sf_dir`` by every query that touches only
+    those tables."""
     synth_documents(spark, n_docs, seed=seed).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/documents.parquet")
     synth_embeddings(
         spark, n_vecs, seed=seed, n_clusters=n_clusters
     ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    if n_events > 0:
+        synth_events(spark, n_events, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/events.parquet")
     return out_dir

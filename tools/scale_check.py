@@ -29,16 +29,27 @@ ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
-SYNTH_TABLES = {"documents", "embeddings"}
 
 
-def docemb_only_queries() -> list[str]:
+def synth_tables(synth_dir: str) -> set[str]:
+    """The tables the synth corpus actually carries — derived from the
+    directory (synth.write_synth_sf grows over rounds: documents +
+    embeddings since r6, events since r9), so newly-synthesized tables
+    automatically pull their whole query family into the gate."""
+    return {
+        t
+        for t in ALL_TABLES
+        if os.path.exists(os.path.join(synth_dir, f"{t}.parquet"))
+    }
+
+
+def coverable_queries(tables: set[str]) -> list[str]:
     import __spark_entry__ as entry_mod
 
     out = []
     for name, sql in entry_mod.oracle_sql().items():
         refs = {t for t in ALL_TABLES if re.search(rf"\b{t}\b", sql)}
-        if refs and refs <= SYNTH_TABLES:
+        if refs and refs <= tables:
             out.append(name)
     return out
 
@@ -52,10 +63,11 @@ def main() -> int:
             file=sys.stderr,
         )
         return 2
-    names = docemb_only_queries()
+    tables = synth_tables(synth_dir)
+    names = coverable_queries(tables)
     print(
-        f"{len(names)} doc/emb-only oracled queries derived from the "
-        f"registry; checking against {synth_dir}",
+        f"{len(names)} oracled queries derived from the registry "
+        f"(synth tables: {sorted(tables)}); checking against {synth_dir}",
         file=sys.stderr,
     )
     return subprocess.call(
