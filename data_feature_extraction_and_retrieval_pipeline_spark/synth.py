@@ -139,9 +139,12 @@ def synth_events(
     the funnel's collect+fold array, sessionize's single merged
     session, retention's per-user week set), and the remaining users
     draw with quadratic density toward low ids instead of uniformly.
-    Counter-seeded per event id, so the x1 corpus is the literal
-    prefix of the x10/x100 corpora and scale runs are reproducible at
-    any parallelism.
+    Counter-seeded per event id: the same (n_events, n_users, seed)
+    yields the identical corpus at any parallelism. Unlike
+    documents/embeddings, scales are NOT prefix-nested — the user
+    population grows with the corpus (fixed users at 100x events
+    would give an absurd per-user density), so each scale is
+    distributionally matched instead.
     """
     if n_users <= 0:
         # mirror the driver table's ~67 events/user density

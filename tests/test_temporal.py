@@ -297,3 +297,44 @@ def test_retention_cohorts_hand_values(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_funnel_hot_user_million_events(spark):
+    """The funnel's one per-key unbounded state is the per-user
+    collect+array_sort+fold array (the same bound sessionization
+    accepts). This pins the behavior at a 10^6-event single user —
+    the pathological hot key a 100 TB event log will contain: the
+    single-task array must build, sort, and fold without spilling or
+    wrong answers. Events are generated JVM-side (range → pmod type,
+    id-second timestamps descending by id parity trick avoided — ids
+    map 1:1 to seconds so first-touch times are analytic): type
+    cycles (purchase, click, view), so the first 'view' is id 2, the
+    first 'click' strictly after it is id 4, the first 'purchase'
+    strictly after that is id 6 — depth 3 with exactly computable
+    step micros. If this single-key array ever becomes the limit,
+    SCALING.md ("Funnel hot-user bound") documents the salted
+    two-phase fallback: per-(user, day) partial folds merged by a
+    second fold over the day-ordered partials."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        funnel,
+    )
+
+    n = 1_000_000
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    ev = spark.range(0, n, 1, 8).select(
+        F.lit(7).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(1_000_000)
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("purchase"), F.lit("click"), F.lit("view")),
+            (F.col("id") % 3).cast("int") + 1,
+        ).alias("event_type"),
+    )
+    rows = funnel(ev, ["view", "click", "purchase"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 7 and r.depth == 3
+    assert r.step1_us == base_us + 2 * 1_000_000
+    assert r.step2_us == base_us + 4 * 1_000_000
+    assert r.step3_us == base_us + 6 * 1_000_000

@@ -31,8 +31,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-BASE_DOCS = 5000   # sf0.1 documents rows
-BASE_VECS = 2000   # sf0.1 embeddings rows
+BASE_DOCS = 5000     # sf0.1 documents rows
+BASE_VECS = 2000     # sf0.1 embeddings rows
+BASE_EVENTS = 100000  # sf0.1 events rows
 OUT_BASE = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/dferp_scale")
 
 # The documents/embeddings-only subset of the expensive headline
@@ -88,7 +89,24 @@ QUERIES = [
     "dedup_cosine_incremental",
     "retrieval_rrf_fusion",
     "percolate_join_stream",
+    # round 9 additions: the events temporal family (the synth corpora
+    # now carry an events table with skewed users + one deliberate hot
+    # user). The funnel and sessionize curves bound the per-user
+    # collect/fold state; retention bounds the (user, week) dedup +
+    # cohort self-join; the window/interval/as-of trio bounds the
+    # time-bucketed aggregation and range-join shapes.
+    "events_funnel",
+    "events_retention",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_interval_join",
+    "asof_join_clicks",
 ]
+
+# Marker versioning: v2 fixtures added the events table — older dirs
+# regenerate in place (documents/embeddings are counter-seeded, so the
+# rewrite reproduces the identical rows).
+_MARKER = "ok-v2-events"
 
 
 def ensure_fixture(spark, mult: int) -> str:
@@ -96,11 +114,15 @@ def ensure_fixture(spark, mult: int) -> str:
 
     out = f"{OUT_BASE}/x{mult}"
     marker = Path(out) / "_done"
-    if not marker.exists():
+    if not (marker.exists() and marker.read_text() == _MARKER):
         synth.write_synth_sf(
-            spark, out, n_docs=BASE_DOCS * mult, n_vecs=BASE_VECS * mult
+            spark,
+            out,
+            n_docs=BASE_DOCS * mult,
+            n_vecs=BASE_VECS * mult,
+            n_events=BASE_EVENTS * mult,
         )
-        marker.write_text("ok")
+        marker.write_text(_MARKER)
     return out
 
 

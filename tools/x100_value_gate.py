@@ -27,7 +27,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-# Round-7 set (12) + round-8 additions (6).
+# Round-7 set (12) + round-8 additions (6) + round-9 temporal pair.
 QUERIES = [
     # round-7 spot set
     "dedup_exact",
@@ -49,6 +49,12 @@ QUERIES = [
     "ann_ingest_pq",
     "ann_recenter_compact",
     "percolate_join_stream",
+    # round-9 additions — the events family's first at-scale value
+    # check (10M events, skewed users + one hot user with ~100k
+    # events stressing the funnel's per-user collect+fold and
+    # sessionize's merged mega-session)
+    "events_funnel",
+    "events_retention",
 ]
 
 
