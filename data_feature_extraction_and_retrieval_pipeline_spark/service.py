@@ -13,6 +13,25 @@ Endpoint-for-endpoint parity with the reference:
 ``POST /api/search``      app.py:296-321 — unified mode dispatcher
 ====================  =====================================================
 
+Extension beyond the reference surface (the Flask app exposes no
+percolation; the ES deployment does it via the percolator index —
+search_with_segments.py:167-183's reversed shape): the standing-query
+lifecycle over HTTP, wrapping :class:`~.api.Percolator` on the bound
+``documents`` corpus —
+
+==============================  =====================================
+``POST /percolate/register``    JSON {query_id, terms, min_score} —
+                                first call constructs the percolator
+                                (freezes corpus stats), later calls
+                                use the incremental df extension
+``POST /percolate/unregister``  JSON {query_id}
+``GET  /percolate/queries``     the registered standing queries
+``POST /percolate/match``       JSON {docs: [{doc_id, text}, …]} —
+                                which standing queries does each doc
+                                clear (the alerting call; ≤500 docs
+                                per request, state never grows)
+==============================  =====================================
+
 Behavioral parity pinned by tests/test_service.py: the 16 MB upload
 cap answers **413** before any work (app.py:27,325-326), a missing /
 empty / wrong-extension image answers **400** with the same error
@@ -102,6 +121,11 @@ def _rows_json(df, top_k: int) -> list[dict]:
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine = None  # bound by serve()
     model_loader = None
+    documents = None  # optional corpus frame for the percolate routes
+    percolator = None  # constructed lazily on first register
+    _perc_lock = threading.Lock()  # register/unregister are mutations
+
+    _MAX_MATCH_DOCS = 500  # bounded per-request inline batch
 
     # -- plumbing -----------------------------------------------------
     def log_message(self, fmt, *args):  # quiet by default
@@ -144,7 +168,22 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- endpoints ----------------------------------------------------
     def do_GET(self):  # noqa: N802 (stdlib casing)
-        if self.path == "/health":
+        if self.path == "/percolate/queries":
+            p = type(self).percolator
+            self._json(
+                200,
+                {
+                    "queries": [
+                        {
+                            "query_id": q.query_id,
+                            "terms": list(q.terms),
+                            "min_score": q.min_score,
+                        }
+                        for q in (p.queries if p is not None else [])
+                    ]
+                },
+            )
+        elif self.path == "/health":
             self._json(
                 200,
                 {
@@ -174,6 +213,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._tag_search(body)
             elif self.path == "/api/search":
                 self._unified(body)
+            elif self.path == "/percolate/register":
+                self._percolate_register(body)
+            elif self.path == "/percolate/unregister":
+                self._percolate_unregister(body)
+            elif self.path == "/percolate/match":
+                self._percolate_match(body)
             else:
                 self._err(404, "not found")
         except ValueError as e:
@@ -289,18 +334,107 @@ class _Handler(BaseHTTPRequestHandler):
              "results": _rows_json(df, top_k)},
         )
 
+    # -- percolate lifecycle (extension; ES percolator shape) ----------
+    def _percolate_json(self, body: bytes) -> dict:
+        ctype = self.headers.get("Content-Type", "")
+        if not ctype.startswith("application/json"):
+            raise ValueError("percolate endpoints take application/json")
+        try:
+            data = json.loads(body.decode("utf-8"))
+        except Exception:
+            raise ValueError("Invalid JSON body")
+        if not isinstance(data, dict):
+            raise ValueError("Invalid JSON body")
+        return data
+
+    def _percolate_register(self, body: bytes) -> None:
+        if type(self).documents is None:
+            raise ValueError(
+                "no documents corpus bound — serve(documents=...)"
+            )
+        data = self._percolate_json(body)
+        qid = str(data.get("query_id", "")).strip()
+        if not qid:
+            raise ValueError("query_id required")
+        terms = data.get("terms", [])
+        if isinstance(terms, str):
+            terms = [t.strip() for t in terms.split(",") if t.strip()]
+        terms = tuple(str(t).strip() for t in terms if str(t).strip())
+        min_score = float(data.get("min_score", 0.0))
+        from .api import Percolator
+
+        with self._perc_lock:
+            p = type(self).percolator
+            if p is None:
+                # first registration constructs the percolator — the
+                # index-a-query call that freezes the corpus stats
+                type(self).percolator = Percolator(
+                    type(self).documents, [(qid, terms, min_score)]
+                )
+            else:
+                p.register((qid, terms, min_score))
+            n = len(type(self).percolator.queries)
+        self._json(200, {"registered": qid, "n_queries": n})
+
+    def _percolate_unregister(self, body: bytes) -> None:
+        data = self._percolate_json(body)
+        qid = str(data.get("query_id", "")).strip()
+        p = type(self).percolator
+        if p is None:
+            raise ValueError("no standing queries registered")
+        with self._perc_lock:
+            try:
+                p.unregister(qid)
+            except KeyError as e:
+                raise ValueError(str(e).strip("'\""))
+            n = len(p.queries)
+        self._json(200, {"unregistered": qid, "n_queries": n})
+
+    def _percolate_match(self, body: bytes) -> None:
+        data = self._percolate_json(body)
+        p = type(self).percolator
+        if p is None:
+            raise ValueError("no standing queries registered")
+        docs = data.get("docs")
+        if docs is None and "text" in data:
+            docs = [data]
+        if not isinstance(docs, list) or not docs:
+            raise ValueError("docs must be a non-empty list")
+        if len(docs) > self._MAX_MATCH_DOCS:
+            raise ValueError(
+                f"too many docs per call (max {self._MAX_MATCH_DOCS})"
+            )
+        rows = []
+        for i, d in enumerate(docs):
+            if not isinstance(d, dict) or "text" not in d:
+                raise ValueError("each doc needs a text field")
+            rows.append((int(d.get("doc_id", i)), str(d["text"])))
+        spark = type(self).documents.sparkSession
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        with self._perc_lock:  # matches() reads the registry
+            df = p.matches(batch)
+            cap = len(rows) * len(p.queries)
+        self._json(
+            200,
+            {"n_docs": len(rows), "matches": _rows_json(df, cap)},
+        )
+
 
 def serve(
     engine: Engine,
     host: str = "127.0.0.1",
     port: int = 0,
     model_loader=None,
+    documents=None,
 ) -> ThreadingHTTPServer:
     """Start the service on a background thread and return the server
     (``server.server_address`` carries the bound port when ``port=0``;
     ``server.shutdown()`` stops it). ``model_loader`` threads through
     to ``Engine.search_content`` — the CLIP seam (tests inject the
-    deterministic stub; a GPU deployment passes the real loader)."""
+    deterministic stub; a GPU deployment passes the real loader).
+    ``documents`` (optional) is the text corpus the /percolate/*
+    routes freeze their standing-query statistics against; without it
+    those routes answer 400."""
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -312,6 +446,9 @@ def serve(
                 staticmethod(model_loader) if model_loader is not None
                 else None
             ),
+            "documents": documents,
+            "percolator": None,
+            "_perc_lock": threading.Lock(),
         },
     )
     server = ThreadingHTTPServer((host, port), handler)
@@ -336,7 +473,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark()
     engine = Engine.from_sf_dir(spark, args.sf_dir)
-    server = serve(engine, host=args.host, port=args.port)
+    from .sources import load_table
+
+    docs = load_table(spark, args.sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    server = serve(engine, host=args.host, port=args.port, documents=docs)
     print(f"serving on {server.server_address}")
     try:
         threading.Event().wait()

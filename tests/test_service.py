@@ -70,7 +70,10 @@ def server(spark):
         "image_id long, tags array<struct<tag string, confidence float>>",
     )
     # stub model seam: loader returns None -> hash-projection encoder
-    srv = serve(eng, model_loader=lambda: None)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    srv = serve(eng, model_loader=lambda: None, documents=docs)
     host, port = srv.server_address
     yield f"http://{host}:{port}"
     srv.shutdown()
@@ -277,3 +280,100 @@ class TestCLI:
         assert rc == 1 and "--tags required for tag mode" in text
         rc, text = self._run(spark, ["--mode", "whole"], tmp_path)
         assert rc == 1 and "--image required" in text
+
+
+def _post_json(base: str, path: str, obj) -> tuple[int, dict]:
+    body = json.dumps(obj).encode()
+    return _post(base, path, body, "application/json")
+
+
+class TestPercolateEndpoints:
+    """The standing-query lifecycle over HTTP (extension beyond the
+    reference Flask surface — the ES deployment's percolator-index
+    shape): register constructs then incrementally extends the frozen
+    stats, match answers the alerting call on an inline micro-batch,
+    and every documented 4xx path answers 400, not 500. Ordered:
+    later tests build on earlier registrations (the server fixture is
+    module-scoped)."""
+
+    def test_register_constructs_then_extends(self, server):
+        code, resp = _post_json(
+            server, "/percolate/register",
+            {"query_id": "svc_q1", "terms": ["data", "table"],
+             "min_score": 0.3},
+        )
+        assert code == 200 and resp == {
+            "registered": "svc_q1", "n_queries": 1
+        }
+        # second registration brings a NOVEL term — the incremental
+        # df-extension path (df=0 terms must still alert)
+        code, resp = _post_json(
+            server, "/percolate/register",
+            {"query_id": "svc_q2", "terms": "zzqxnovel", "min_score": 0.1},
+        )
+        assert code == 200 and resp["n_queries"] == 2
+        with urllib.request.urlopen(
+            server + "/percolate/queries", timeout=30
+        ) as r:
+            listed = json.loads(r.read())["queries"]
+        assert {q["query_id"] for q in listed} == {"svc_q1", "svc_q2"}
+
+    def test_register_errors(self, server):
+        code, resp = _post_json(
+            server, "/percolate/register",
+            {"query_id": "svc_q1", "terms": ["data"]},
+        )
+        assert code == 400 and "already registered" in resp["error"]
+        code, resp = _post_json(
+            server, "/percolate/register", {"terms": ["data"]}
+        )
+        assert code == 400 and "query_id" in resp["error"]
+        code, resp = _post(
+            server, "/percolate/register", b"query_id=q",
+            "application/x-www-form-urlencoded",
+        )
+        assert code == 400
+
+    def test_match_alerts(self, server):
+        code, resp = _post_json(
+            server, "/percolate/match",
+            {"docs": [
+                {"doc_id": 901, "text": "zzqxnovel data arrives"},
+                {"doc_id": 902, "text": "nothing relevant here"},
+            ]},
+        )
+        assert code == 200 and resp["n_docs"] == 2
+        hits = {(m["doc_id"], m["query_id"]) for m in resp["matches"]}
+        # the novel-term standing query fires on the carrying doc only
+        assert (901, "svc_q2") in hits
+        assert not any(d == 902 for d, _ in hits)
+        for m in resp["matches"]:
+            assert m["bm25"] >= 0.1 and m["n_matched_terms"] >= 1
+
+    def test_match_errors(self, server):
+        code, resp = _post_json(server, "/percolate/match", {"docs": []})
+        assert code == 400
+        code, resp = _post_json(
+            server, "/percolate/match",
+            {"docs": [{"doc_id": i, "text": "x"} for i in range(501)]},
+        )
+        assert code == 400 and "too many docs" in resp["error"]
+        code, resp = _post_json(
+            server, "/percolate/match", {"docs": [{"doc_id": 1}]}
+        )
+        assert code == 400 and "text" in resp["error"]
+
+    def test_unregister(self, server):
+        code, resp = _post_json(
+            server, "/percolate/unregister", {"query_id": "svc_q2"}
+        )
+        assert code == 200 and resp["n_queries"] == 1
+        code, resp = _post_json(
+            server, "/percolate/unregister", {"query_id": "svc_q2"}
+        )
+        assert code == 400
+        # the LAST standing query cannot be unregistered (api contract)
+        code, resp = _post_json(
+            server, "/percolate/unregister", {"query_id": "svc_q1"}
+        )
+        assert code == 400 and "last standing query" in resp["error"]
