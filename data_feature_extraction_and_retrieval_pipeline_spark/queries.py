@@ -281,12 +281,12 @@ def register(name: str, oracle: str | None = None):
 
 # Driver-facing registry order. The driver evaluates only the first 50
 # entries of queries(), so ordering is part of the contract. Round-9
-# rotation: first the SEVEN queries whose round-9 code changes demand
+# rotation: first the EIGHT queries whose round-9 code changes demand
 # fresh rows (the single-broadcast percolator pair, the one-crossing
 # cosine gate pair, the calendar retention offset, the modal-dim
 # recenter, and the newly-certified kmeans), then ALL 39 keepers whose
 # newest rows are r06 (the oldest witnesses — three rounds stale),
-# then the 4 alphabetically-first r07-row keepers to fill the slots.
+# then the 3 alphabetically-first r07-row keepers to fill the slots.
 # The full query → newest-row / witness-floor table is generated into
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
@@ -299,6 +299,7 @@ _DRIVER_ORDER: list[str] = [
     "events_retention",
     "ann_recenter_compact",
     "ml_kmeans_clusters",
+    "asof_join_clicks",
     # -- all 39 keepers whose newest rows are r06 (oldest witnesses) --
     "ml_multimodal_meta",
     "ml_resize_plan",
@@ -339,11 +340,10 @@ _DRIVER_ORDER: list[str] = [
     "text_bm25_topk",
     "text_tfidf_keywords",
     "win_lag_delta",
-    # -- 4 alphabetically-first r07-row keepers fill the last slots --
+    # -- 3 alphabetically-first r07-row keepers fill the last slots --
     "agg_keyword_scan",
     "agg_salted_group",
     "ann_brute_force",
-    "ann_ivfpq_portable",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -455,6 +455,10 @@ _TOUCHED: dict[str, int] = {
     "events_retention": 9,
     "ann_recenter_compact": 9,
     "ml_kmeans_clusters": 9,
+    # round 9: avg_lag_s produced via exact integer half-up at the
+    # microsecond boundary (ROUND(double,6) digit-7 ties split the
+    # engines at the x10 synth corpus)
+    "asof_join_clicks": 9,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
@@ -515,7 +519,6 @@ _TOUCHED: dict[str, int] = {
     "etl_hash_split": 3,
     "etl_mixture_sample": 3,
     "etl_html_scrub": 3,
-    "asof_join_clicks": 3,
     "events_hopping_window": 3,
     "agg_rollup_acctbal": 3,
     "ml_stub_text_embeddings_portable": 3,
@@ -3425,7 +3428,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_errors,
            COUNT(cts) AS n_matched,
-           ROUND(SUM(epoch_us(ets) - epoch_us(cts))::DOUBLE / COUNT(cts) / 1000000.0, 6)
+           (CASE WHEN COUNT(cts) = 0 THEN NULL
+                 ELSE (2 * SUM(epoch_us(ets) - epoch_us(cts)) + COUNT(cts))
+                      // (2 * COUNT(cts)) END)::DOUBLE / 1000000.0
                AS avg_lag_s
     FROM j GROUP BY user_id
     """,
@@ -3443,17 +3448,27 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = temporal.asof_join(
         errors, clicks, key="user_id", right_payload=["value"]
     )
-    return joined.groupBy("user_id").agg(
+    pre = joined.select(
+        "user_id",
+        "asof_ts",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("lag_us"),
+    )
+    # ROUND(double, 6) at a digit-7 tie splits Spark's decimal HALF_UP
+    # from DuckDB's binary rounding (hit at the x10 synth corpus), so
+    # the 6-decimal seconds surface is produced EXACTLY: half-up of
+    # the exact rational Σlag/n at the microsecond boundary via pure
+    # integer arithmetic — (2S + n) div (2n) — then one /1e6 of the
+    # same ≤2^42 integer on both engines.
+    return pre.groupBy("user_id").agg(
         F.count("*").alias("n_errors"),
         F.count("asof_ts").alias("n_matched"),
-        # exact integer SUM, then division down to seconds-scale where
-        # ROUND(x, 6) is loss-free in both engines (µs-scale magnitudes
-        # overflow DuckDB's multiply-round beyond 2^53)
-        F.round(
-            F.sum(F.unix_micros("ts") - F.unix_micros("asof_ts")).cast("double")
-            / F.count("asof_ts")
-            / F.lit(1000000.0),
-            6,
+        (
+            F.expr(
+                "CASE WHEN count(asof_ts) = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE (2 * sum(lag_us) + count(asof_ts)) "
+                "div (2 * count(asof_ts)) END"
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("avg_lag_s"),
     )
 
