@@ -136,12 +136,17 @@ def main() -> None:
     )
 
     scales = [1, 5, 10]
+    names = list(QUERIES)
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--scales" and i + 1 < len(argv):
             scales = [int(x) for x in argv[i + 1].split(",")]
         elif a.startswith("--scales="):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--queries" and i + 1 < len(argv):
+            names = [x for x in argv[i + 1].split(",") if x]
+        elif a.startswith("--queries="):
+            names = [x for x in a.split("=", 1)[1].split(",") if x]
 
     spark = get_spark(app_name="scaling-report")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,7 +154,7 @@ def main() -> None:
 
     dirs = {m: ensure_fixture(spark, m) for m in scales}
     results: dict[str, dict[int, float]] = {}
-    for name in QUERIES:
+    for name in names:
         results[name] = {}
         for m in scales:
             sf_dir = dirs[m]
