@@ -220,6 +220,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-step funnel analysis — for each user, the first time
     they completed step 1, the first step-2 event STRICTLY AFTER that,
@@ -240,6 +241,16 @@ def funnel(
     twin computes with k chained aggregates; repeated step types
     (A→A funnels) work because each merge reads the PREVIOUS state.
 
+    ``within_seconds`` adds a per-transition conversion deadline: step
+    k must land strictly after step k−1 AND within the window of it
+    (the "converted within an hour" funnel). Semantics stay
+    FIRST-TOUCH GREEDY — each step anchors on the earliest qualifying
+    event given the previous anchor; a user who would only convert by
+    skipping an early qualifying event does not count (the standard
+    product-analytics reading, and the only one a single
+    left-to-right fold — or the SQL twin's chained conditional MINs —
+    computes).
+
     Rows with NULL ts/type are dropped up front (they can anchor no
     step). Output: (user, step{i}_us exact unix-microsecond longs —
     the win_lag_delta display discipline — and depth 0..k).
@@ -247,6 +258,11 @@ def funnel(
     if not steps:
         raise ValueError("funnel needs at least one step")
     k = len(steps)
+    win_us = (
+        int(within_seconds) * 1_000_000
+        if within_seconds is not None
+        else None
+    )
     ev = events.filter(
         F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
     )
@@ -275,6 +291,8 @@ def funnel(
                     & (x["y"] == st)
                     & (x["t"] > prev)
                 )
+                if win_us is not None:
+                    cond = cond & (x["t"] <= prev + F.lit(win_us))
             fields.append(F.when(cond, x["t"]).otherwise(cur).alias(f"s{i}"))
         return F.struct(*fields)
 

@@ -281,12 +281,12 @@ def register(name: str, oracle: str | None = None):
 
 # Driver-facing registry order. The driver evaluates only the first 50
 # entries of queries(), so ordering is part of the contract. Round-9
-# rotation: first the EIGHT queries whose round-9 code changes demand
+# rotation: first the NINE queries whose round-9 code changes demand
 # fresh rows (the single-broadcast percolator pair, the one-crossing
 # cosine gate pair, the calendar retention offset, the modal-dim
 # recenter, and the newly-certified kmeans), then ALL 39 keepers whose
 # newest rows are r06 (the oldest witnesses — three rounds stale),
-# then the 3 alphabetically-first r07-row keepers to fill the slots.
+# then the 2 alphabetically-first r07-row keepers to fill the slots.
 # The full query → newest-row / witness-floor table is generated into
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
@@ -300,6 +300,7 @@ _DRIVER_ORDER: list[str] = [
     "ann_recenter_compact",
     "ml_kmeans_clusters",
     "asof_join_clicks",
+    "events_funnel_windowed",
     # -- all 39 keepers whose newest rows are r06 (oldest witnesses) --
     "ml_multimodal_meta",
     "ml_resize_plan",
@@ -340,10 +341,9 @@ _DRIVER_ORDER: list[str] = [
     "text_bm25_topk",
     "text_tfidf_keywords",
     "win_lag_delta",
-    # -- 3 alphabetically-first r07-row keepers fill the last slots --
+    # -- 2 alphabetically-first r07-row keepers fill the last slots --
     "agg_keyword_scan",
     "agg_salted_group",
-    "ann_brute_force",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -459,6 +459,8 @@ _TOUCHED: dict[str, int] = {
     # microsecond boundary (ROUND(double,6) digit-7 ties split the
     # engines at the x10 synth corpus)
     "asof_join_clicks": 9,
+    # round 9: new — the conversion-deadline funnel variant
+    "events_funnel_windowed": 9,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
@@ -3559,6 +3561,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum, so the two formulations must agree exactly."""
     ev = _t(spark, sf_dir, "events")
     return temporal.funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_funnel_windowed",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    u1 AS (
+        SELECT user_id,
+               MIN(t) FILTER (WHERE event_type = 'view') AS s1
+        FROM ev GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(e.t) AS s2
+        FROM ev e JOIN u1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > u1.s1
+          AND e.t <= u1.s1 + 3600000000
+        GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, MIN(e.t) AS s3
+        FROM ev e JOIN u2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > u2.s2
+          AND e.t <= u2.s2 + 3600000000
+        GROUP BY e.user_id
+    )
+    SELECT u1.user_id,
+           u1.s1 AS step1_us, u2.s2 AS step2_us, u3.s3 AS step3_us,
+           (CASE WHEN u3.s3 IS NOT NULL THEN 3
+                 WHEN u2.s2 IS NOT NULL THEN 2
+                 WHEN u1.s1 IS NOT NULL THEN 1
+                 ELSE 0 END)::INT AS depth
+    FROM u1
+    LEFT JOIN u2 ON u1.user_id = u2.user_id
+    LEFT JOIN u3 ON u1.user_id = u3.user_id
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-deadline funnel (operators/temporal.py::funnel
+    with ``within_seconds``): each step must land strictly after the
+    previous anchor AND within one hour of it — "viewed, clicked
+    within the hour, purchased within the hour of the click".
+    First-touch greedy semantics (each step anchors on the earliest
+    qualifying event; see the operator docstring). Same one-shuffle
+    sorted-array fold as `events_funnel`; the deadline is one extra
+    comparison inside the merge, and the oracle adds the matching
+    bound to each chained conditional MIN — the window is a function
+    of the already-fixed previous anchor, so fold and chained-MIN
+    stay exactly equivalent."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.funnel(
+        ev, ["view", "click", "purchase"], within_seconds=3600
+    )
 
 
 @register(

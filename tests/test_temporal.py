@@ -338,3 +338,48 @@ def test_funnel_hot_user_million_events(spark):
     assert r.step1_us == base_us + 2 * 1_000_000
     assert r.step2_us == base_us + 4 * 1_000_000
     assert r.step3_us == base_us + 6 * 1_000_000
+
+
+def test_funnel_within_deadline_hand_values(spark):
+    """The conversion-deadline funnel: the step-2 candidate OUTSIDE
+    the window is skipped even though a later in-window one never
+    comes (user 2), the first IN-window candidate anchors (user 1),
+    and greedy first-touch means an early in-window click fixes the
+    anchor even when a later click would have let the purchase
+    convert (user 3 — depth 2, not 3: the standard first-touch
+    reading)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        funnel,
+    )
+
+    base = 1_704_067_200_000_000
+    mins = 60 * 1_000_000
+
+    def ev(u, m, y):
+        return (u, m, y)
+
+    rows = [
+        # user 1: view@0, click@30min (in 1h window), purchase@80min
+        # (in window of the click) -> depth 3
+        ev(1, 0, "view"), ev(1, 30, "click"), ev(1, 80, "purchase"),
+        # user 2: view@0, click@90min (outside the 1h window) -> depth 1
+        ev(2, 0, "view"), ev(2, 90, "click"),
+        # user 3: view@0, click@10min anchors (greedy), purchase@100min
+        # is outside 10min+1h; the click@50min that WOULD have
+        # converted is ignored -> depth 2
+        ev(3, 0, "view"), ev(3, 10, "click"), ev(3, 50, "click"),
+        ev(3, 100, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, (base + m * mins) // 1_000_000, y) for u, m, y in rows],
+        "user_id long, sec long, event_type string",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_type")
+    got = {
+        r.user_id: (r.depth, r.step2_us, r.step3_us)
+        for r in funnel(
+            df, ["view", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert got[1] == (3, base + 30 * mins, base + 80 * mins)
+    assert got[2] == (1, None, None)
+    assert got[3] == (2, base + 10 * mins, None)
