@@ -156,6 +156,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "etl_display_truncate",
+    # round 9: the conversion-deadline funnel variant
+    "events_funnel_windowed",
 ]
 
 

@@ -352,6 +352,24 @@ def retention_cohorts(
         F.col(user_col),
         F.date_trunc("week", F.col(ts_col)).alias("week"),
     ).distinct()
+    return retention_from_activity(act, user_col=user_col)
+
+
+def retention_from_activity(
+    activity: DataFrame,
+    user_col: str = "user_id",
+    week_col: str = "week",
+) -> DataFrame:
+    """The cohort triangle over an ALREADY-MAINTAINED weekly-activity
+    table — the steady-state serving shape at 100 TB: the deduped
+    (user, week) set is the small incremental artifact (one row per
+    active user-week; streaming/ingest.py::weekly_activity_stream
+    maintains it), and this report never rescans raw events. Same
+    exactness contract as :func:`retention_cohorts` (which delegates
+    here after deriving the activity set)."""
+    act = activity.select(
+        F.col(user_col), F.col(week_col).alias("week")
+    )
     cohort = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     joined = act.join(cohort, user_col)
     offset = F.floor(

@@ -281,12 +281,12 @@ def register(name: str, oracle: str | None = None):
 
 # Driver-facing registry order. The driver evaluates only the first 50
 # entries of queries(), so ordering is part of the contract. Round-9
-# rotation: first the NINE queries whose round-9 code changes demand
+# rotation: first the TEN queries whose round-9 code changes demand
 # fresh rows (the single-broadcast percolator pair, the one-crossing
 # cosine gate pair, the calendar retention offset, the modal-dim
 # recenter, and the newly-certified kmeans), then ALL 39 keepers whose
 # newest rows are r06 (the oldest witnesses — three rounds stale),
-# then the 2 alphabetically-first r07-row keepers to fill the slots.
+# then the alphabetically-first r07-row keeper to fill the last slot.
 # The full query → newest-row / witness-floor table is generated into
 # COVERAGE.md by tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
@@ -301,6 +301,7 @@ _DRIVER_ORDER: list[str] = [
     "ml_kmeans_clusters",
     "asof_join_clicks",
     "events_funnel_windowed",
+    "events_retention_stream",
     # -- all 39 keepers whose newest rows are r06 (oldest witnesses) --
     "ml_multimodal_meta",
     "ml_resize_plan",
@@ -341,9 +342,8 @@ _DRIVER_ORDER: list[str] = [
     "text_bm25_topk",
     "text_tfidf_keywords",
     "win_lag_delta",
-    # -- 2 alphabetically-first r07-row keepers fill the last slots --
+    # -- the alphabetically-first r07-row keeper fills the last slot --
     "agg_keyword_scan",
-    "agg_salted_group",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -461,6 +461,7 @@ _TOUCHED: dict[str, int] = {
     "asof_join_clicks": 9,
     # round 9: new — the conversion-deadline funnel variant
     "events_funnel_windowed": 9,
+    "events_retention_stream": 9,
     "ann_ingest_pq": 7,
     "api_percolate_register": 7,
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
@@ -3618,9 +3619,13 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_retention",
-    """
+# ONE oracle for both retention formulations: the batch query derives
+# the weekly-activity set inline; the stream drain maintains the SAME
+# set incrementally (weekly_activity_stream) and reports over the
+# read-back artifact — identical (user, week) sets ⇒ identical
+# triangles, so the stream query's green row certifies the
+# incremental-maintenance path.
+_RETENTION_ORACLE = """
     WITH act AS (
         SELECT user_id, date_trunc('week', ts) AS week
         FROM events
@@ -3634,19 +3639,53 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_users
     FROM act JOIN c USING (user_id)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("events_retention", _RETENTION_ORACLE)
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts (operators/temporal.py::
     retention_cohorts): users bucketed by their first active ISO week,
     counted per (cohort, weeks-since-cohort) cell — the activity
     triangle next to the conversion funnel. Exact by construction:
-    ISO-Monday date_trunc on both engines, offsets as exact
-    microsecond multiples of the week constant, distinct-by-
-    construction counts (the (user, week) set is deduplicated before
-    counting)."""
+    ISO-Monday date_trunc on both engines, offsets as calendar
+    datediff/7 between the two Monday dates (exact multiples of 7 in
+    any session timezone), distinct-by-construction counts (the
+    (user, week) set is deduplicated before counting)."""
     ev = _t(spark, sf_dir, "events")
     return temporal.retention_cohorts(ev)
+
+
+@register("events_retention_stream", _RETENTION_ORACLE)
+def events_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over an INCREMENTALLY MAINTAINED activity table
+    (streaming/ingest.py::weekly_activity_stream + operators/
+    temporal.py::retention_from_activity) — the steady-state 100 TB
+    shape: events drain availableNow through foreachBatch, each
+    micro-batch appends its batch-deduped (user, week) pairs to the
+    activity sink (zero streaming state — the artifact is the one row
+    per active user-week), and the cohort triangle is computed over
+    the read-back artifact after the idempotent cross-batch distinct,
+    never rescanning raw events. The maintained activity set equals
+    the batch derivation exactly, so this shares `events_retention`'s
+    oracle — the green row certifies the incremental path."""
+    import shutil
+
+    from .streaming import weekly_activity_stream
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stream_table_src(spark, sf_dir, "events", ev.schema)
+    sink = _scratch_dir("dferp_wasink", sf_dir)
+    ckpt = _scratch_dir("dferp_wack", sf_dir)
+    with _SIDE_EFFECT_LOCK:
+        # fresh drain per call: a stale checkpoint would skip the
+        # source files; a stale sink would double-count appends
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = weekly_activity_stream(src, sink, ckpt)
+        _drain_or_fail(q, "events_retention_stream")
+    activity = spark.read.parquet(sink).distinct()
+    return temporal.retention_from_activity(activity)
 
 
 @register("events_sessionize", _SESSIONIZE_ORACLE)

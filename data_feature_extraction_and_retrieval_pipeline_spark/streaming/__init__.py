@@ -4,6 +4,7 @@ from .ingest import (  # noqa: F401
     streaming_tumbling_counts,
     incremental_ingest,
     incremental_upsert,
+    weekly_activity_stream,
 )
 from .sessionize import sessionize_stream, make_sessionizer, SESSION_SCHEMA  # noqa: F401
 from .dedup import (  # noqa: F401

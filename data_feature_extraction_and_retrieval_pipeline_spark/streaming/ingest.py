@@ -189,3 +189,46 @@ def incremental_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def weekly_activity_stream(
+    stream_events: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Incrementally maintain the deduped weekly-activity table —
+    (user, ISO-Monday week) — from an event stream: the materialized
+    artifact behind retention reporting
+    (operators/temporal.py::retention_from_activity), so the cohort
+    triangle never rescans raw events. Each micro-batch projects and
+    batch-locally dedupes its (user, week) pairs and APPENDS them to
+    the activity sink; cross-batch repeats of the same pair are
+    collapsed by the reader's distinct (idempotent — at warehouse
+    scale this append+dedup-on-read becomes a lakehouse MERGE on the
+    (user, week) key, same dataflow as incremental_upsert). Streaming
+    state: NONE — a stateless map plus a batch-local aggregate; the
+    activity table itself is the bounded artifact (one row per active
+    user-week). NULL user/ts rows are dropped (they can anchor no
+    activity). Returns the started availableNow StreamingQuery."""
+
+    def _per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = (
+            batch_df.filter(
+                F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+            )
+            .select(
+                F.col(user_col),
+                F.date_trunc("week", F.col(ts_col)).alias("week"),
+            )
+            .distinct()
+        )
+        out.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_events.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
