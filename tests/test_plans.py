@@ -468,16 +468,28 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark, qs):
 
 
 def test_percolate_join_registry_rides_as_broadcast(spark, qs):
-    """percolate_join_batch: the standing-query registry and the
-    frozen stats must join as BROADCASTS (plan cost independent of the
-    registry size — the past-the-codegen-wall contract), with no
-    sort-merge join anywhere; the only hash exchanges are the
-    (doc,term) tf count and the per-(doc,query) fold."""
+    """percolate_join_batch (round-9 shape): the standing-query
+    registry and the frozen stats ride as EXACTLY ONE denormalized
+    broadcast, built from an inline-VALUES LocalRelation (plan cost
+    independent of the registry size — the past-the-codegen-wall
+    contract), with no sort-merge join anywhere. The two hash
+    exchanges — the per-(doc,query,term) tf count and the
+    per-(doc,query) fold — are both downstream of the broadcast join,
+    so they carry only standing-query vocab hits, never the raw token
+    stream."""
     text = _plan_text(qs["percolate_join_batch"](spark, SF_DIR))
+    assert text.count("BroadcastExchange") == 1, (
+        f"one combined registry+stats broadcast expected:\n{text[:1500]}"
+    )
     assert "BroadcastHashJoin" in text, text[:1500]
+    assert "LocalTableScan" in text, (
+        f"registry must be an inline-VALUES LocalRelation:\n{text[:1500]}"
+    )
     assert "SortMergeJoin" not in text, (
         f"registry/stats joins must broadcast, not sort-merge:\n{text[:1500]}"
     )
+    n = text.count("Exchange hashpartitioning")
+    assert n == 2, f"expected the two fold exchanges, got {n}:\n{text[:1500]}"
 
 
 def test_ann_staleness_assignment_stays_in_codegen(spark, qs):
