@@ -90,8 +90,12 @@ def main() -> None:
         wide_stats, schema=bm25_stats(docs, vocab).schema
     )
     ts, tot = bm25_stats_table(docs, vocab)
-    term_stats = spark.createDataFrame(ts.collect(), schema=ts.schema)
-    totals = spark.createDataFrame(tot.collect(), schema=tot.schema)
+    ts_rows = ts.collect()
+    tot_rows = tot.collect()
+    term_stats = spark.createDataFrame(ts_rows, schema=ts.schema)
+    totals = spark.createDataFrame(tot_rows, schema=tot.schema)
+    stats_rows = [(r["term"], r["df"]) for r in ts_rows]
+    totals_rows = [(r["n"], r["sumdl"]) for r in tot_rows]
 
     import os
 
@@ -126,6 +130,18 @@ def main() -> None:
             t0 = time.time()
             row["join_rows"] = out.count()
             row["join_exec_s"] = round(time.time() - t0, 2)
+            # the rows/inline-VALUES serving path (round 9): the whole
+            # registry+stats as ONE LocalRelation broadcast — times the
+            # VALUES parse at |pairs| rows on top of the same pipeline
+            t0 = time.time()
+            out_r = percolate_join(
+                docs, qs, stats_rows=stats_rows, totals_rows=totals_rows
+            )
+            row["rows_plan_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            row["rows_rows"] = out_r.count()
+            row["rows_exec_s"] = round(time.time() - t0, 2)
+            assert row["rows_rows"] == row["join_rows"], row
             if row["join_plan_s"] + row["join_exec_s"] > EXPR_SKIP_AFTER_S:
                 join_dead = True
         else:
