@@ -641,3 +641,97 @@ def test_percolate_matches_python(spark, docs, terms, min_score):
         if score >= min_score:
             want.append((i, "q", matched, _round6(score)))
     assert got == sorted(want), (docs, terms, min_score)
+
+
+def _py_funnel(events, steps, within_us=None):
+    """Plain-Python reference: greedy first-touch over the
+    time-sorted (t, type) list (ties on t resolved by the array_sort
+    struct order: (t, y) lexicographic, matching the operator's
+    sorted fold)."""
+    # the fold evaluates EVERY step's condition per event (struct of
+    # k WHENs), so mirror that: no early break — one event may anchor
+    # step k reading the prev anchor set by an EARLIER event only
+    # (conditions use the accumulator, and t > prev is strict)
+    anchors = [None] * len(steps)
+    for t, y in sorted(events):
+        for i, s in enumerate(steps):
+            if anchors[i] is not None:
+                continue
+            if i == 0:
+                if y == s:
+                    anchors[i] = t
+            elif (
+                anchors[i - 1] is not None
+                and y == s
+                and t > anchors[i - 1]
+                and (within_us is None or t <= anchors[i - 1] + within_us)
+            ):
+                anchors[i] = t
+    depth = 0
+    for i, a in enumerate(anchors):
+        if a is not None:
+            depth = i + 1
+        else:
+            break
+    # depth counts the contiguous filled prefix (later anchors can
+    # only fill when the previous one is set, so it IS contiguous)
+    return anchors, depth
+
+
+@given(
+    st.lists(  # one inner list of (minute, type-index) per user
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=200),
+                st.integers(min_value=0, max_value=3),
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([None, 30, 90]),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_python(spark, user_events, within_min):
+    """funnel() (incl. the within_seconds deadline) against a plain
+    greedy-fold reference on random timelines — duplicate timestamps,
+    repeated types, empty users, steps in any arrival order."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        funnel,
+    )
+
+    types = ["view", "click", "purchase", "other"]
+    steps = ["view", "click", "purchase"]
+    base = 1_704_067_200_000_000
+    mins = 60 * 1_000_000
+    rows = [
+        (u, (base + m * mins) // 1_000_000, types[ty])
+        for u, evs in enumerate(user_events)
+        for m, ty in evs
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string"
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: ([r.step1_us, r.step2_us, r.step3_us], r.depth)
+        for r in funnel(
+            df,
+            steps,
+            within_seconds=within_min * 60 if within_min else None,
+        ).collect()
+    }
+    for u, evs in enumerate(user_events):
+        if not evs:
+            continue  # no rows -> no output group
+        pyev = [(base + m * mins, types[ty]) for m, ty in evs]
+        want = _py_funnel(
+            pyev, steps,
+            within_us=within_min * 60 * 1_000_000 if within_min else None,
+        )
+        assert got[u] == want, (u, evs, got[u], want)
