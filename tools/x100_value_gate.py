@@ -52,9 +52,12 @@ QUERIES = [
     # round-9 additions — the events family's first at-scale value
     # check (10M events, skewed users + one hot user with ~100k
     # events stressing the funnel's per-user collect+fold and
-    # sessionize's merged mega-session)
+    # sessionize's merged mega-session), incl. the conversion-deadline
+    # funnel and the incrementally-maintained retention drain
     "events_funnel",
     "events_retention",
+    "events_funnel_windowed",
+    "events_retention_stream",
 ]
 
 
