@@ -778,7 +778,16 @@ class Percolator:
         Incremental ≡ batch: registering queries one at a time over an
         unchanged corpus yields bit-identical matches to constructing
         with all of them up front (oracle-certified:
-        `api_percolate_register` shares the all-at-once SQL twin)."""
+        `api_percolate_register` shares the all-at-once SQL twin).
+
+        Under ``strategy="auto"`` the formulation is RE-EVALUATED here:
+        the moment the registry crosses ``JOIN_THRESHOLD`` the
+        percolator upgrades itself expression→join in place (a pure
+        driver-side re-shape of the already-frozen statistics — no
+        corpus scan, no score change), so a percolator constructed
+        with ONE query and grown incrementally (the HTTP lifecycle's
+        exact pattern) never walks into the ~300-query codegen wall
+        the expression form dies at."""
         from .streaming.percolate import StandingQuery
 
         q = StandingQuery(*query) if not isinstance(query, StandingQuery) else query
@@ -791,6 +800,38 @@ class Percolator:
             self._extend_stats(new_terms)
             self.terms.extend(new_terms)
         self.queries.append(q)
+        if (
+            self.strategy == "auto"
+            and not self._join_form
+            and len(self.queries) >= self.JOIN_THRESHOLD
+        ):
+            self._upgrade_to_join_form()
+
+    def _upgrade_to_join_form(self) -> None:
+        """Re-shape the frozen wide-form statistics (one row,
+        ``__n``/``__sumdl``/``__df_<i>`` positional on ``self.terms``)
+        into the join form's long artifact — ``(term, df)`` rows plus
+        the 1-row totals. Driver-side only: the statistics stay frozen
+        bit-for-bit, so every registered query's scores are unchanged;
+        only the PLAN SHAPE of future matches() calls switches (to the
+        registry-as-data broadcast whose compile cost is independent
+        of |queries|)."""
+        row = self.stats.collect()[0]
+        n_val = int(row["__n"] or 0)
+        sumdl_val = int(row["__sumdl"] or 0)
+        self._stats_rows = [
+            (t, int(row[f"__df_{i}"] or 0)) for i, t in enumerate(self.terms)
+        ]
+        self._totals_rows = [(n_val, sumdl_val)]
+        spark = self._corpus.sparkSession
+        self.term_stats = spark.createDataFrame(
+            self._stats_rows, "term string, df long"
+        )
+        self.totals = spark.createDataFrame(
+            self._totals_rows, "n long, sumdl long"
+        )
+        self.stats = None
+        self._join_form = True
 
     def unregister(self, query_id: str) -> None:
         """Drop a standing query. Frozen statistics keep covering its

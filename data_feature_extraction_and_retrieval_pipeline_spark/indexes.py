@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
 _VALUE_CACHE: dict[tuple[int, str], object] = {}
+# id(spark) → session, recorded whenever a value is cached: value
+# entries carry no session reference of their own, so liveness
+# pruning needs this map — and the strong reference it holds pins the
+# CPython id against reuse while entries keyed by it still exist (a
+# recycled id would otherwise hand a NEW session a value frozen under
+# a dead one).
+_VALUE_SESSIONS: dict[int, SparkSession] = {}
 _ENABLED = False
 
 # Wall seconds to materialize each resident artifact from scratch,
@@ -54,6 +61,7 @@ def enable_index_cache(enabled: bool = True) -> None:
                 pass
         _INDEX_CACHE.clear()
         _VALUE_CACHE.clear()
+        _VALUE_SESSIONS.clear()
         # timings describe the dropped artifacts — keep the two
         # transparency fields (resident list / build seconds) in sync
         BUILD_SECONDS.clear()
@@ -75,6 +83,18 @@ def _prune_dead_sessions() -> None:
             alive = False
         if not alive:
             _INDEX_CACHE.pop(k, None)
+    # value entries leak the same way but are keyed by id(spark) only;
+    # check liveness through the recorded session and drop every value
+    # frozen under a dead one
+    for sid, spark in list(_VALUE_SESSIONS.items()):
+        try:
+            alive = spark.sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if not alive:
+            _VALUE_SESSIONS.pop(sid, None)
+            for k in [k for k in _VALUE_CACHE if k[0] == sid]:
+                _VALUE_CACHE.pop(k, None)
 
 
 def materialized_value(
@@ -100,6 +120,7 @@ def materialized_value(
                 _prune_dead_sessions()
                 t0 = time.perf_counter()
                 _VALUE_CACHE[k] = build()
+                _VALUE_SESSIONS[id(spark)] = spark
                 BUILD_SECONDS[key] = round(time.perf_counter() - t0, 4)
     return _VALUE_CACHE[k]
 

@@ -351,7 +351,10 @@ def retention_cohorts(
     act = ev.select(
         F.col(user_col),
         F.date_trunc("week", F.col(ts_col)).alias("week"),
-    ).distinct()
+    )
+    # retention_from_activity dedups internally — no distinct here
+    # (Catalyst's RemoveRedundantAggregates would drop a second one,
+    # but there is no reason to emit it)
     return retention_from_activity(act, user_col=user_col)
 
 
@@ -366,10 +369,17 @@ def retention_from_activity(
     active user-week; streaming/ingest.py::weekly_activity_stream
     maintains it), and this report never rescans raw events. Same
     exactness contract as :func:`retention_cohorts` (which delegates
-    here after deriving the activity set)."""
+    here).
+
+    Duplicate (user, week) rows are deduped HERE, not by precondition:
+    weekly_activity_stream deliberately appends cross-batch duplicates
+    (zero streaming state), so a caller reading the sink raw must not
+    get inflated n_users. The distinct costs nothing extra — the
+    groupBy shuffles on these keys anyway and the partial aggregate
+    combines map-side."""
     act = activity.select(
         F.col(user_col), F.col(week_col).alias("week")
-    )
+    ).distinct()
     cohort = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     joined = act.join(cohort, user_col)
     offset = F.floor(

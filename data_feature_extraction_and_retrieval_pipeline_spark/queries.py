@@ -280,70 +280,71 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-9
-# rotation: first the TEN queries whose round-9 code changes demand
-# fresh rows (the single-broadcast percolator pair, the one-crossing
-# cosine gate pair, the calendar retention offset, the modal-dim
-# recenter, and the newly-certified kmeans), then ALL 39 keepers whose
-# newest rows are r06 (the oldest witnesses — three rounds stale),
-# then the alphabetically-first r07-row keeper to fill the last slot.
-# The full query → newest-row / witness-floor table is generated into
-# COVERAGE.md by tools/freshness_report.py and asserted current by
+# entries of queries(), so ordering is part of the contract. Round-10
+# rotation: first the queries whose round-10 code changes demand fresh
+# rows (the percolator pair under the new parser-mode-aware registry
+# escaping + the register() auto expression->join upgrade, and the
+# retention pair now deduping inside retention_from_activity), then
+# ALL 42 keepers whose newest rows are r07 (the oldest witnesses --
+# three rounds stale), then the alphabetically-first r08-row keepers
+# to fill the remaining slots. The full query -> newest-row /
+# witness-floor table is generated into COVERAGE.md by
+# tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-9 semantic changes / certifications (floor 9 => head) --
+    # -- round-10 semantic changes (floor 10 => head) --
+    "events_retention",
+    "events_retention_stream",
+    "api_percolate_register",
     "percolate_join_batch",
     "percolate_join_stream",
-    "dedup_cosine_incremental",
-    "dedup_embedding_cosine",
-    "events_retention",
-    "ann_recenter_compact",
-    "ml_kmeans_clusters",
-    "asof_join_clicks",
-    "events_funnel_windowed",
-    "events_retention_stream",
-    # -- all 39 keepers whose newest rows are r06 (oldest witnesses) --
-    "ml_multimodal_meta",
-    "ml_resize_plan",
-    "win_global_topk",
-    "win_topn_per_group",
-    "agg_cube_lang_source",
-    "agg_sketch_profile",
-    "ann_ivf_filtered",
-    "ann_pq",
-    "api_engine_hybrid",
-    "api_engine_segment",
-    "api_engine_tags",
-    "api_engine_whole",
-    "api_pipeline_curate",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "dedup_minhash_stream",
-    "dedup_simhash",
-    "etl_bucketed_roundtrip",
-    "etl_compact_roundtrip",
-    "etl_csv_roundtrip",
-    "etl_json_feature_roundtrip",
-    "etl_orc_roundtrip",
-    "etl_partitioned_roundtrip",
-    "etl_sorted_export",
-    "etl_zorder_roundtrip",
-    "events_interval_join_stream",
-    "events_sessionize_stream",
-    "ml_image_dir_scan",
-    "ml_ingest_pipeline",
-    "ml_segment_pipeline",
-    "ml_segment_portable",
-    "ml_stub_text_embeddings",
-    "percolate_stream",
-    "report_dataset",
-    "report_segment_stats",
-    "tag_search_bm25",
-    "text_bm25_topk",
-    "text_tfidf_keywords",
-    "win_lag_delta",
-    # -- the alphabetically-first r07-row keeper fills the last slot --
-    "agg_keyword_scan",
+    # -- all 42 keepers whose newest rows are r07 (oldest witnesses) --
+    "agg_decade_orders",
+    "agg_pivot_roundtrip",
+    "agg_rollup_acctbal",
+    "agg_salted_group",
+    "ann_brute_force",
+    "ann_ingest_assign",
+    "ann_ingest_pq",
+    "ann_ivf",
+    "ann_ivfpq_portable",
+    "ann_lsh",
+    "ann_pq_portable",
+    "ann_range_search",
+    "api_percolate",
+    "dedup_chunks",
+    "dedup_cluster_canonical",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "etl_regex_extract_path",
+    "etl_safe_cast",
+    "etl_sentinel_cleanse",
+    "etl_upsert_merge",
+    "events_interval_join",
+    "events_sessionize",
+    "events_tumbling_window",
+    "join_anti_customers",
+    "join_meta_counters",
+    "join_semi_allowlist",
+    "join_tag_category",
+    "ml_frame_sample",
+    "nested_roundtrip",
+    "report_quality_constraints",
+    "sql_api_revenue",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_bpe",
+    "text_token_count",
+    "vec_mean_per_label",
+    "win_ntile_quartiles",
+    # -- alphabetically-first r08-row keepers fill the last slots --
+    "agg_bool_flags",
+    "agg_distinct_counts",
+    "agg_explode_count",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -448,11 +449,16 @@ _TOUCHED: dict[str, int] = {
     # Catalyst (gate is the only Arrow crossing); retention offsets
     # are calendar datediff/7; recenter's dim probe is modal;
     # ml_kmeans_clusters certified end-to-end on the dyadic grid
-    "percolate_join_batch": 9,
-    "percolate_join_stream": 9,
+    # round 10: parser-mode-aware registry escaping + non-finite
+    # min_score rejection (join-form percolator), call-site arg
+    # validation on the stream twin, and the Percolator auto
+    # expression→join upgrade in register(); retention dedup moved
+    # INSIDE retention_from_activity (raw sink reads are now exact)
+    "percolate_join_batch": 10,
+    "percolate_join_stream": 10,
     "dedup_cosine_incremental": 9,
     "dedup_embedding_cosine": 9,
-    "events_retention": 9,
+    "events_retention": 10,
     "ann_recenter_compact": 9,
     "ml_kmeans_clusters": 9,
     # round 9: avg_lag_s produced via exact integer half-up at the
@@ -461,9 +467,11 @@ _TOUCHED: dict[str, int] = {
     "asof_join_clicks": 9,
     # round 9: new — the conversion-deadline funnel variant
     "events_funnel_windowed": 9,
-    "events_retention_stream": 9,
+    "events_retention_stream": 10,
     "ann_ingest_pq": 7,
-    "api_percolate_register": 7,
+    # round 10: register() now auto-upgrades expr→join past the
+    # threshold (incremental ≡ batch re-certified under the upgrade)
+    "api_percolate_register": 10,
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
     # service layer's facade path (service.py wraps Engine, no new
     # query semantics), and the F18 display-truncation function
@@ -3665,8 +3673,9 @@ def events_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch appends its batch-deduped (user, week) pairs to the
     activity sink (zero streaming state — the artifact is the one row
     per active user-week), and the cohort triangle is computed over
-    the read-back artifact after the idempotent cross-batch distinct,
-    never rescanning raw events. The maintained activity set equals
+    the read-back artifact (retention_from_activity dedups the
+    cross-batch appends internally), never rescanning raw events.
+    The maintained activity set equals
     the batch derivation exactly, so this shares `events_retention`'s
     oracle — the green row certifies the incremental path."""
     import shutil
@@ -3684,7 +3693,7 @@ def events_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         q = weekly_activity_stream(src, sink, ckpt)
         _drain_or_fail(q, "events_retention_stream")
-    activity = spark.read.parquet(sink).distinct()
+    activity = spark.read.parquet(sink)
     return temporal.retention_from_activity(activity)
 
 

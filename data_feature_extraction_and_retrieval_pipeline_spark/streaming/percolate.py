@@ -31,6 +31,7 @@ TB nothing about this plan changes except the number of input splits.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -265,9 +266,16 @@ def bm25_stats_table(
     return term_stats, totals
 
 
-def _sql_str(s: str) -> str:
-    """Single-quote-escaped SQL string literal body."""
-    return s.replace("\\", "\\\\").replace("'", "\\'")
+def _sql_str(s: str, escaped_literals: bool = False) -> str:
+    """Single-quote-escaped SQL string literal body, parser-mode
+    aware: quote DOUBLING (``''``) is valid under both the default
+    parser and ``spark.sql.parser.escapedStringLiterals=true``, so it
+    is the injection-safe quote escape regardless of session config;
+    backslashes need doubling only under the default parser (with
+    escapedStringLiterals they are literal characters)."""
+    if not escaped_literals:
+        s = s.replace("\\", "\\\\")
+    return s.replace("'", "''")
 
 
 def percolate_join(
@@ -352,12 +360,29 @@ def percolate_join(
             raise ValueError("stats_rows requires totals_rows")
         df_by_term = {str(t): int(d) for t, d in stats_rows}
         n_val, sumdl_val = (int(x) for x in totals_rows[0])
+        # terms/ids arrive from untrusted callers (the HTTP
+        # /percolate/register body reaches this VALUES statement) —
+        # escape per the session's actual parser mode, and reject
+        # non-finite thresholds up front (repr('nan'/'inf') would CAST
+        # to NULL and silently disable the floor)
+        esc = (
+            spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            == "true"
+        )
+        for qid, _term, _idx, ms in qrows:
+            if not math.isfinite(ms):
+                raise ValueError(
+                    f"standing query {qid!r} has non-finite "
+                    f"min_score {ms!r}"
+                )
         brows = [
             # repr() emits the shortest round-tripping decimal and
             # Spark's CAST(string AS DOUBLE) parses correctly-rounded,
             # so the min_score double survives bit-identically
             "('{}', '{}', {}, CAST('{}' AS DOUBLE), {}L, {}L, {}L)".format(
-                _sql_str(qid), _sql_str(term), int(idx), repr(ms),
+                _sql_str(qid, esc), _sql_str(term, esc), int(idx), repr(ms),
                 df_by_term[term], n_val, sumdl_val,
             )
             for qid, term, idx, ms in qrows
@@ -488,6 +513,13 @@ def percolate_join_stream(
     the plan; exactly-once across restarts comes from the checkpointed
     source offsets plus the idempotent append of a deterministic
     transform. Returns the started StreamingQuery (availableNow)."""
+    # fail at the CALL SITE, not inside the first micro-batch's
+    # foreachBatch (where a None sink/checkpoint surfaces as an opaque
+    # executor-side parquet error long after .start() returned)
+    if sink_path is None or checkpoint is None:
+        raise ValueError(
+            "percolate_join_stream requires sink_path and checkpoint"
+        )
 
     def _per_batch(batch_df: DataFrame, batch_id: int) -> None:
         hits = percolate_join(

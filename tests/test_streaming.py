@@ -862,6 +862,89 @@ class TestPercolatorRegister:
         with pytest.raises(ValueError, match="last standing query"):
             p.unregister("b")
 
+    def test_register_auto_upgrades_to_join_form(self, spark):
+        """Under strategy='auto' the formulation is re-evaluated at
+        register() time: a percolator constructed with ONE query (the
+        HTTP lifecycle's pattern) upgrades expression→join in place
+        the moment the registry crosses JOIN_THRESHOLD — matches stay
+        bit-identical to a batch-constructed join-form percolator, so
+        incremental registration can never walk into the ~300-query
+        expression codegen wall."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+
+        docs = self._docs(spark)
+        qs = [
+            ("a", ("data", "table"), 0.3),
+            ("b", ("vector", "join"), 0.2),
+            ("c", ("row",), 0.15),
+        ]
+        inc = Percolator(docs, [qs[0]])
+        inc.JOIN_THRESHOLD = 3  # instance override keeps the test fast
+        assert not inc._join_form and inc.stats is not None
+        inc.register(qs[1])
+        assert not inc._join_form  # 2 < 3: still expression form
+        inc.register(qs[2])
+        assert inc._join_form and inc.stats is None
+        assert inc.term_stats is not None and inc._stats_rows
+        batch = Percolator(docs, qs, strategy="join")
+        got = sorted(map(tuple, inc.matches(docs).collect()))
+        want = sorted(map(tuple, batch.matches(docs).collect()))
+        assert got == want and len(got) > 0
+
+    def test_join_form_quoted_terms_and_nonfinite_floor(self, spark):
+        """Registry terms/ids reach a SQL VALUES literal (the HTTP
+        register body is untrusted input): quote-bearing strings must
+        parse under quote-doubling, and a non-finite min_score must
+        fail loudly instead of CASTing to NULL and disabling the
+        threshold."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            Percolator,
+        )
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming.percolate import (
+            _sql_str,
+        )
+
+        assert _sql_str("it's") == "it''s"
+        assert _sql_str("a\\'b") == "a\\\\''b"
+        assert _sql_str("a\\'b", escaped_literals=True) == "a\\''b"
+
+        docs = self._docs(spark)
+        p = Percolator(
+            docs,
+            [("q'0; DROP", ("data", "o'brien"), 0.0)],
+            strategy="join",
+        )
+        out = p.matches(docs)  # must parse and run, not inject
+        assert {r.query_id for r in out.collect()} <= {"q'0; DROP"}
+        with pytest.raises(ValueError, match="non-finite"):
+            Percolator(
+                docs, [("q", ("data",), float("nan"))], strategy="join"
+            ).matches(docs).collect()
+
+    def test_percolate_join_stream_requires_sink_and_checkpoint(
+        self, spark
+    ):
+        from data_feature_extraction_and_retrieval_pipeline_spark.streaming import (
+            StandingQuery,
+            percolate_join_stream,
+        )
+
+        docs = self._docs(spark)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet("/root/testdata/sf0.001")
+        )
+        with pytest.raises(ValueError, match="sink_path and checkpoint"):
+            percolate_join_stream(
+                stream,
+                [StandingQuery("a", ("data",), 0.0)],
+                stats_rows=[("data", 1)],
+                totals_rows=[(1, 1)],
+            )
+
 
 def test_percolate_join_stream_equals_batch(spark, tmp_path):
     """The foreachBatch join-form percolation drain over a multi-file

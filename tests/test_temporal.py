@@ -299,6 +299,36 @@ def test_retention_cohorts_hand_values(spark):
     }
 
 
+def test_retention_from_activity_dedups_raw_appends(spark):
+    """weekly_activity_stream appends cross-batch duplicate
+    (user, week) pairs by design; retention_from_activity must dedup
+    them itself so a caller reading the sink RAW (no .distinct()) gets
+    exact n_users, not append-count-inflated ones."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        retention_from_activity,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:00:00"),  # duplicate append — must not inflate
+        (1, "2024-01-08 00:00:00"),
+        (2, "2024-01-08 00:00:00"),
+        (2, "2024-01-08 00:00:00"),  # duplicate append
+    ]
+    act = spark.createDataFrame(rows, "user_id long, week string").select(
+        "user_id", F.to_timestamp("week").alias("week")
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_from_activity(act).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
 def test_funnel_hot_user_million_events(spark):
     """The funnel's one per-key unbounded state is the per-user
     collect+array_sort+fold array (the same bound sessionization
