@@ -158,6 +158,9 @@ HEADLINE = [
     "etl_display_truncate",
     # round 9: the conversion-deadline funnel variant
     "events_funnel_windowed",
+    # round 10: perceptual image near-dup (stub decode → dHash bands →
+    # banded Hamming blocking → exact verify)
+    "dedup_image_phash",
 ]
 
 

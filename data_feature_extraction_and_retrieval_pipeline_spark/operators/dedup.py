@@ -929,3 +929,134 @@ def incremental_exact_filter(
     return new_batch.join(
         F.broadcast(survivors.select(id_col)), id_col, "left_semi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual near-dup (dHash + banded Hamming blocking)
+# ---------------------------------------------------------------------------
+
+def image_dhash_bands(
+    pixels: DataFrame,
+    rows: int = 8,
+    cols: int = 9,
+    n_bands: int = 4,
+    id_col: str = "filename",
+    pixels_col: str = "pixels",
+) -> DataFrame:
+    """Difference hash over a rows×cols grayscale grid, emitted as
+    ``n_bands`` SMALL unsigned band integers instead of one 64-bit
+    long — ``(id, band0..band{n-1})``.
+
+    dHash (the standard perceptual fingerprint: bit(r,c) =
+    pixel[r][c+1] > pixel[r][c], gradient direction per adjacent
+    pair) gives rows·(cols-1) bits; splitting them into bands at
+    ASSEMBLY time serves both consumers at once — the banded LSH
+    join keys AND the Hamming verify (Σ per-band popcounts) — while
+    dodging every signed-64-bit portability hazard (no sign bit, no
+    engine-specific shift semantics; each band fits an int). Pure
+    Catalyst over the decoded pixel array: the whole hash is
+    codegen'd comparisons + literal-weight sums, no Python.
+    """
+    n_bits = rows * (cols - 1)
+    if n_bits % n_bands:
+        raise ValueError(
+            f"{n_bits} dhash bits do not split into {n_bands} bands"
+        )
+    per_band = n_bits // n_bands
+    p = F.col(pixels_col)
+    outs = []
+    for b in range(n_bands):
+        val = F.lit(0)
+        for j in range(per_band):
+            g = b * per_band + j
+            r, c = divmod(g, cols - 1)
+            bit = (p[r * cols + c + 1] > p[r * cols + c]).cast("int")
+            val = val + bit * F.lit(1 << j)
+        outs.append(val.alias(f"band{b}"))
+    return pixels.select(F.col(id_col), *outs)
+
+
+def image_phash_pairs(
+    images: DataFrame,
+    max_distance: int = 6,
+    rows: int = 8,
+    cols: int = 9,
+    n_bands: int = 4,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    broadcast_buckets: bool = False,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs — the multimodal analogue
+    of the MinHash/SimHash text family (the reference corpus is ~13.9k
+    photos with known near-duplicate scans, SRS §2; the reference
+    itself ships no dedup): decode to a small grid (STUB here —
+    multimodal.decode_image_pixels_stub documents the real-decoder
+    swap-in), dHash into ``n_bands`` band integers, block by EXACT
+    band equality (two hashes within Hamming distance < n_bands must
+    share at least one untouched band — pigeonhole — so blocking is
+    COMPLETE below n_bands and best-effort up to ``max_distance``),
+    then exact-Hamming verify on candidates only.
+
+    Output: (file_a, file_b, hamming) with file_a < file_b and
+    hamming <= max_distance.
+
+    Scale posture — the MinHash recipe at the image layer: the banded
+    frame is O(corpus·n_bands) rows, the self-join shuffles on
+    (band, key) (or broadcasts, caller's size policy), candidate
+    pairs are collisions-only, and the verify joins touch only the
+    tiny per-image band tuple — the corpus pixels never self-join.
+    """
+    from . import multimodal
+
+    px = multimodal.decode_image_pixels_stub(
+        images, content_col=content_col, filename_col=filename_col,
+        rows=rows, cols=cols,
+    )
+    hashed = image_dhash_bands(
+        px, rows=rows, cols=cols, n_bands=n_bands, id_col="filename"
+    )
+    # feeds both sides of the bucket join + both verify joins — one
+    # decode pass, not four (mapInPandas re-evaluates per reference)
+    hashed = caching.persist(hashed)
+
+    banded = hashed.select(
+        F.col("filename"),
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    if broadcast_buckets:
+        b = F.broadcast(b)
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.filename") < F.col("b.filename"))
+        .select(
+            F.col("a.filename").alias("file_a"),
+            F.col("b.filename").alias("file_b"),
+        )
+        .dropDuplicates(["file_a", "file_b"])
+    )
+    ha = hashed.select(
+        F.col("filename").alias("file_a"),
+        *[F.col(f"band{i}").alias(f"__a{i}") for i in range(n_bands)],
+    )
+    hb = hashed.select(
+        F.col("filename").alias("file_b"),
+        *[F.col(f"band{i}").alias(f"__b{i}") for i in range(n_bands)],
+    )
+    ham = F.lit(0)
+    for i in range(n_bands):
+        ham = ham + F.bit_count(
+            F.col(f"__a{i}").cast("long").bitwiseXOR(
+                F.col(f"__b{i}").cast("long")
+            )
+        )
+    return (
+        cand.join(ha, "file_a")
+        .join(hb, "file_b")
+        .select(
+            "file_a", "file_b", ham.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -182,6 +182,61 @@ def sample_frames(
     )
 
 
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("pixels", T.ArrayType(IntegerType())),
+    ]
+)
+
+
+def decode_image_pixels_stub(
+    images: DataFrame,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    rows: int = 8,
+    cols: int = 9,
+) -> DataFrame:
+    """binary content → a small integer "grayscale grid" (rows×cols
+    flat array), the perceptual-hash input (dedup.image_dhash_bands).
+
+    STUB decode — a real implementation replaces the body with
+    grayscale-decode + area-resize to the grid (PIL/libvips); the
+    mapInPandas batch shape, pruned output (binary column never
+    leaves the stage), and array<int> contract stay identical. The
+    stub samples ``rows·cols`` bytes at stride-37 positions modulo
+    the payload length (pure integer arithmetic, so the DuckDB oracle
+    replays it on ASCII payloads via ``ascii(substr(...))``), which
+    preserves the property perceptual hashing needs: a small edit to
+    the payload changes few samples, so near-identical payloads land
+    within a small Hamming distance. NULL/empty payloads decode to
+    the all-zero grid (the all-black image) instead of crashing.
+    """
+    n_px = rows * cols
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ks = np.arange(n_px, dtype=np.int64) * 37
+        zero = np.zeros(n_px, dtype=np.int32)
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                arr = (
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    if b is not None and len(b)
+                    else None
+                )
+                out.append(
+                    zero if arr is None else arr[ks % arr.size].astype("int32")
+                )
+            yield pd.DataFrame({"filename": pdf[filename_col], "pixels": out})
+
+    return images.select(filename_col, content_col).mapInPandas(
+        _decode, PIXEL_SCHEMA
+    )
+
+
 def decode_image_real(content: bytes):
     """Real single-payload image decode (PIL). Raises ImportError with
     install guidance when Pillow is absent; the DataFrame-level twin is

@@ -582,6 +582,7 @@ def incremental_cosine_filter(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_assigned: DataFrame | None = None,
+    gate: str = "arrow",
 ) -> DataFrame:
     """Batch-vs-corpus embedding near-dup gate — the daily-ingest
     decision table at the VECTOR layer (the cosine sibling of
@@ -593,23 +594,82 @@ def incremental_cosine_filter(
     cluster holds no residents), ``keep`` = no resident at/above the
     threshold.
 
-    Plan (round 8, single-pass): the two sides are TAGGED and
-    unioned, coarse-assigned against the frozen centroids in ONE
-    Arrow pass, then grouped by cluster — each cluster scores with
-    ONE matmul (arrivals × residents), splitting the sides inside the
-    pandas frame. Two Python crossings and one exchange total, where
-    the round-7 cogroup formulation paid three crossings (two assign
-    maps + the cogrouped gate) and two exchanges — at sf0.1 the
-    operator's cost was almost entirely Arrow worker spin-up, not
-    data. The corpus is still never self-joined and the batch never
-    leaves its cluster block; at 100 TB the resident side is the
+    Two physical gates, same verdicts (pytest-pinned equal):
+
+    - ``gate="arrow"`` (default, the 100 TB shape): the two sides are
+      TAGGED and unioned, coarse-assigned against the frozen
+      centroids in pure Catalyst, then grouped by cluster — each
+      cluster scores with ONE numpy matmul (arrivals × residents),
+      splitting the sides inside the pandas frame. One exchange and
+      one Python crossing total (round 9; the round-7 cogroup paid
+      three crossings and two exchanges). BLAS throughput makes this
+      the winner once blocks carry real data.
+    - ``gate="expr"`` (pure JVM, zero Python): cluster-blocked LEFT
+      join (arrivals ⟕ residents on cluster) + higher-order dot per
+      pair + per-arrival aggregate — the oracle's own formulation.
+      Every pair pays an interpreted dim-step fold, so this loses to
+      the matmul as B×R_c grows; it wins in the small-batch regime
+      where the Arrow gate's cost is all worker spin-up (measured at
+      sf0.1/x10 in SCALING.md "Cosine gate: expr vs arrow"). With
+      dims ≤ 64 and bounded daily batches it is also the shape that
+      lets a plan pin assert NO Python anywhere in the operator.
+
+    The corpus is never self-joined and the batch never leaves its
+    cluster block in either gate; at 100 TB the resident side is the
     bucketed serving layout (ann_ingest) whose cluster is already
-    materialized, so a caller there feeds ``assigned`` frames and
-    only the (small) daily batch pays the assignment map. Exactly
-    duplicate vectors always share a cluster, so blocking loses no
-    true duplicates at high thresholds.
+    materialized, so a caller there feeds ``corpus_assigned`` frames
+    and only the (small) daily batch pays the assignment (itself pure
+    Catalyst). Exactly duplicate vectors always share a cluster, so
+    blocking loses no true duplicates at high thresholds.
     """
+    if gate not in ("arrow", "expr"):
+        raise ValueError(f"unknown gate {gate!r}")
     thr = float(threshold)
+    if gate == "expr":
+        arr = assign_clusters(
+            batch.select(F.col(id_col), F.col(vec_col)),
+            centroids,
+            vec_col=vec_col,
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__bvec"),
+            F.col("cluster"),
+        )
+        res_src = (
+            corpus_assigned
+            if corpus_assigned is not None
+            else assign_clusters(
+                corpus.select(F.col(id_col), F.col(vec_col)),
+                centroids,
+                vec_col=vec_col,
+            )
+        )
+        # null-cluster residents can never match (nothing cosines
+        # against an unscorable vector); null-cluster ARRIVALS keep
+        # their row because null join keys never match — the left
+        # join leaves __rvec null, the dot folds to null, and the
+        # aggregate lands on the same (0, NULL, keep) verdict the
+        # Arrow gate emits for them
+        res = res_src.filter(F.col("cluster").isNotNull()).select(
+            F.col(vec_col).alias("__rvec"), F.col("cluster")
+        )
+        scored = arr.join(res, "cluster", "left").select(
+            "__id", V.dot("__bvec", "__rvec").alias("__dot")
+        )
+        out = scored.groupBy("__id").agg(
+            F.sum(
+                F.when(F.col("__dot") >= thr, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_matches"),
+            F.max("__dot").alias("best_cosine"),
+        )
+        return out.select(
+            F.col("__id").alias("vec_id"),
+            "n_matches",
+            "best_cosine",
+            (F.col("n_matches") == 0).alias("keep"),
+        )
     if corpus_assigned is not None:
         # serving-layout path: the resident side already carries its
         # cluster column (read from the partitionBy(cluster) index the

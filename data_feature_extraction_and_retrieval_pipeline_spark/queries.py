@@ -292,7 +292,8 @@ def register(name: str, oracle: str | None = None):
 # tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-10 semantic changes (floor 10 => head) --
+    # -- round-10 semantic changes / new queries (floor 10 => head) --
+    "dedup_image_phash",
     "events_retention",
     "events_retention_stream",
     "api_percolate_register",
@@ -344,7 +345,6 @@ _DRIVER_ORDER: list[str] = [
     # -- alphabetically-first r08-row keepers fill the last slots --
     "agg_bool_flags",
     "agg_distinct_counts",
-    "agg_explode_count",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -456,6 +456,9 @@ _TOUCHED: dict[str, int] = {
     # INSIDE retention_from_activity (raw sink reads are now exact)
     "percolate_join_batch": 10,
     "percolate_join_stream": 10,
+    # round 10: new — perceptual image near-dup (dHash bands + banded
+    # Hamming blocking over the integer-pure decode stub)
+    "dedup_image_phash": 10,
     "dedup_cosine_incremental": 9,
     "dedup_embedding_cosine": 9,
     "events_retention": 10,
@@ -2766,6 +2769,125 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.groupBy("band", "key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def _image_phash_sql(
+    rows: int = 8, cols: int = 9, n_bands: int = 4, max_distance: int = 6
+) -> str:
+    """Generated DuckDB twin of dedup_image_phash: replays the stub
+    decode (stride-37 byte samples — ascii(substr) == byte on the
+    ASCII corpora), the dHash band assembly, the banded candidate
+    join, and the Hamming verify, bit for bit."""
+    n_px = rows * cols
+    px_cols = ",\n               ".join(
+        f"ascii(substr(text, (({k} * 37) % strlen(text)) + 1, 1)) AS p{k}"
+        for k in range(n_px)
+    )
+    per_band = rows * (cols - 1) // n_bands
+    band_exprs = []
+    for b in range(n_bands):
+        terms = []
+        for j in range(per_band):
+            g = b * per_band + j
+            r, c = divmod(g, cols - 1)
+            terms.append(
+                f"CASE WHEN p{r * cols + c + 1} > p{r * cols + c} "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        band_exprs.append(" + ".join(terms) + f" AS band{b}")
+    bands_sql = ",\n               ".join(band_exprs)
+    banded_union = "\n        UNION ALL ".join(
+        f"SELECT filename, {b} AS band, band{b} AS key FROM h"
+        for b in range(n_bands)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(ha.band{b}::BIGINT, hb.band{b}::BIGINT))"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH imgs AS (
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS filename, text
+        FROM documents
+        UNION ALL
+        SELECT 'img_' || CAST(doc_id + 1000000 AS VARCHAR), text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'img_' || CAST(doc_id + 3000000 AS VARCHAR),
+               CASE WHEN strlen(text) >= 5
+                    THEN substr(text, 1, strlen(text) - 5) || 'XXXXX'
+                    ELSE text END
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    px AS (
+        SELECT filename,
+               {px_cols}
+        FROM imgs
+    ),
+    h AS (
+        SELECT filename,
+               {bands_sql}
+        FROM px
+    ),
+    banded AS (
+        {banded_union}
+    ),
+    cand AS (
+        SELECT DISTINCT a.filename AS file_a, b.filename AS file_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.filename < b.filename
+    )
+    SELECT file_a, file_b, hamming FROM (
+        SELECT c.file_a, c.file_b, ({ham})::INT AS hamming
+        FROM cand c
+        JOIN h ha ON ha.filename = c.file_a
+        JOIN h hb ON hb.filename = c.file_b
+    ) WHERE hamming <= {max_distance}
+    """
+
+
+@register("dedup_image_phash", _image_phash_sql())
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (operators/dedup.py::image_phash_pairs
+    + operators/multimodal.py::decode_image_pixels_stub) — the
+    multimodal analogue of the MinHash/SimHash text family, closing
+    the image-dedup gap (text had four dedup families; images only
+    exact bytes). Images are the usual binary-column simulation
+    (content = utf-8 bytes of the document text; the decode kernel is
+    the clearly-marked stub a real grayscale-resize replaces), with
+    planted duplicates: exact byte copies (doc_id%5, Hamming 0 —
+    banding is COMPLETE below n_bands so these are guaranteed found)
+    and same-length tail edits (doc_id%7, last 5 bytes overwritten —
+    few stride samples move, landing within the Hamming budget).
+    Pipeline: mapInPandas stub decode → pure-Catalyst dHash as 4
+    unsigned 16-bit bands → banded self-join (exact band equality =
+    Hamming-ball blocking, O(n·bands) shuffle, never all-pairs) →
+    exact per-band popcount verify ≤ 6."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fname = lambda c: F.concat(F.lit("img_"), c.cast("string"))  # noqa: E731
+    t = F.col("text")
+    edited = F.when(
+        F.length(t) >= 5,
+        F.concat(t.substr(F.lit(1), F.length(t) - 5), F.lit("XXXXX")),
+    ).otherwise(t)
+    imgs = (
+        docs.select(fname(F.col("doc_id")).alias("filename"), t.alias("__t"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                fname(F.col("doc_id") + 1000000).alias("filename"),
+                t.alias("__t"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                fname(F.col("doc_id") + 3000000).alias("filename"),
+                edited.alias("__t"),
+            )
+        )
+        .select("filename", F.encode(F.col("__t"), "utf-8").alias("content"))
+    )
+    return dedup.image_phash_pairs(
+        imgs, max_distance=6, broadcast_buckets=True
     )
 
 

@@ -215,17 +215,18 @@ def test_incremental_cosine_filter_hand_values(spark):
         ],
         "vec_id long, embedding array<double>",
     )
-    rows = {
-        r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
-        for r in incremental_cosine_filter(
-            batch, corpus, cents, threshold=0.99
-        ).collect()
-    }
-    assert rows[10][0] == 1 and rows[10][2] is False
-    assert rows[10][1] == pytest.approx(1.0)
-    assert rows[11][0] == 0 and rows[11][2] is True
-    assert rows[11][1] == pytest.approx(0.96 * 0.8 + 0.28 * 0.6)
-    assert rows[12] == (0, None, True)
+    for gate in ("arrow", "expr"):
+        rows = {
+            r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
+            for r in incremental_cosine_filter(
+                batch, corpus, cents, threshold=0.99, gate=gate
+            ).collect()
+        }
+        assert rows[10][0] == 1 and rows[10][2] is False, gate
+        assert rows[10][1] == pytest.approx(1.0)
+        assert rows[11][0] == 0 and rows[11][2] is True, gate
+        assert rows[11][1] == pytest.approx(0.96 * 0.8 + 0.28 * 0.6)
+        assert rows[12] == (0, None, True), gate
 
 
 def test_incremental_cosine_filter_null_and_ragged(spark):
@@ -252,16 +253,71 @@ def test_incremental_cosine_filter_null_and_ragged(spark):
         ],
         "vec_id long, embedding array<double>",
     )
-    rows = {
-        r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
-        for r in incremental_cosine_filter(
-            batch, corpus, cents, threshold=0.99
-        ).collect()
-    }
-    assert len(rows) == 3  # every batch row verdicted exactly once
-    assert rows[10][0] == 1 and rows[10][2] is False
-    assert rows[11] == (0, None, True)
-    assert rows[12] == (0, None, True)
+    for gate in ("arrow", "expr"):
+        rows = {
+            r["vec_id"]: (r["n_matches"], r["best_cosine"], r["keep"])
+            for r in incremental_cosine_filter(
+                batch, corpus, cents, threshold=0.99, gate=gate
+            ).collect()
+        }
+        assert len(rows) == 3, gate  # every batch row verdicted once
+        assert rows[10][0] == 1 and rows[10][2] is False, gate
+        assert rows[11] == (0, None, True), gate
+        assert rows[12] == (0, None, True), gate
+
+
+def test_cosine_gate_expr_equals_arrow_on_real_vectors(spark):
+    """The two physical gates are the same operator: on the sf0.001
+    embeddings (64-dim, both the serving corpus_assigned path and the
+    raw-corpus path) the expr gate's verdicts equal the Arrow gate's
+    bit-for-bit after the standard round-6 surface. The expr form is
+    the small-regime / zero-Python option; arrow is the at-scale
+    default (x10: 1.1s vs 4.0s — SCALING.md "Cosine gate: expr vs
+    arrow")."""
+    from pyspark.sql import functions as F
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        assign_clusters_np,
+        incremental_cosine_filter,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    ca = assign_clusters_np(corpus, cents)
+    for kwargs in (
+        {"corpus_assigned": ca},
+        {},
+    ):
+        c = None if "corpus_assigned" in kwargs else corpus
+        out = {}
+        for gate in ("arrow", "expr"):
+            out[gate] = sorted(
+                map(
+                    tuple,
+                    incremental_cosine_filter(
+                        batch, c, cents, threshold=0.99, gate=gate, **kwargs
+                    )
+                    .select(
+                        "vec_id",
+                        "n_matches",
+                        F.round("best_cosine", 6).alias("bc"),
+                        "keep",
+                    )
+                    .collect(),
+                )
+            )
+        assert out["expr"] == out["arrow"] and len(out["expr"]) > 0
 
 
 def test_maintenance_loop_end_to_end(spark, tmp_path):

@@ -605,3 +605,76 @@ def test_assign_three_forms_agree(spark):
     assert expr == np_map == col and len(expr) > 2
     # null/ragged vectors -> null cluster in every form
     assert expr[9001] is None and expr[9002] is None
+
+
+def test_image_phash_lsh_subset_and_complete_below_bands(spark):
+    """image_phash_pairs vs brute-force Hamming over the full hash
+    set: (soundness) every emitted pair appears in the brute-force
+    table with the IDENTICAL hamming and within max_distance;
+    (completeness) every pair with hamming < n_bands is emitted — the
+    pigeonhole guarantee the banded blocking is built on (4 bands,
+    <=3 differing bits leave >=1 band untouched)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.dedup import (
+        image_dhash_bands,
+        image_phash_pairs,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.multimodal import (
+        decode_image_pixels_stub,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    imgs = docs.select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias(
+            "filename"
+        ),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    ).unionByName(
+        # planted near-dups: same-length tail edit (few stride samples
+        # move) and exact copies (hamming 0)
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(
+                F.lit("img_"), (F.col("doc_id") + 500000).cast("string")
+            ).alias("filename"),
+            F.encode(
+                F.concat(
+                    F.col("text").substr(F.lit(1), F.length("text") - 3),
+                    F.lit("ZZZ"),
+                ),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    n_bands, max_d = 4, 6
+    got = {
+        (r.file_a, r.file_b): r.hamming
+        for r in image_phash_pairs(
+            imgs, max_distance=max_d, n_bands=n_bands
+        ).collect()
+    }
+    hashes = {
+        r.filename: [r.band0, r.band1, r.band2, r.band3]
+        for r in image_dhash_bands(
+            decode_image_pixels_stub(imgs), n_bands=n_bands
+        ).collect()
+    }
+    names = sorted(hashes)
+    brute = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            h = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(hashes[a], hashes[b])
+            )
+            if h <= max_d:
+                brute[(a, b)] = h
+    # soundness: emitted == brute on every emitted pair
+    for pair, h in got.items():
+        assert brute.get(pair) == h, pair
+    # completeness below n_bands (pigeonhole)
+    guaranteed = {p: h for p, h in brute.items() if h < n_bands}
+    missing = set(guaranteed) - set(got)
+    assert not missing, f"pigeonhole-guaranteed pairs missed: {missing}"
+    assert len(guaranteed) > 0  # the planted dups make this non-vacuous

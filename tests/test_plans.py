@@ -561,6 +561,41 @@ def test_cosine_gate_single_pass_single_exchange(spark):
     assert "CartesianProduct" not in text
 
 
+def test_cosine_gate_expr_form_zero_python(spark):
+    """incremental_cosine_filter(gate='expr'): the whole operator —
+    assignment, cluster-blocked left join, higher-order dot,
+    per-arrival aggregate — plans with NO Python stage of any kind.
+    The zero-crossing option for small-batch / dim<=64 regimes (the
+    Arrow matmul gate remains the at-scale default; SCALING.md
+    "Cosine gate: expr vs arrow")."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.similarity import (
+        incremental_cosine_filter,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    text = _plan_text(
+        incremental_cosine_filter(
+            batch, corpus, cents, threshold=0.99, gate="expr"
+        )
+    )
+    for stage in (
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert stage not in text, f"{stage} in expr-gate plan:\n{text[:1500]}"
+    assert "CartesianProduct" not in text
+
+
 def test_funnel_single_exchange(spark, qs):
     """events_funnel: the collect-sort-fold formulation keeps the
     whole funnel at ONE hash exchange (per-user grouping) — the

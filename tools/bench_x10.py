@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Per-query Spark/DuckDB ratios at the x10 synth corpus — the
+empirical replacement for the "floor class" narrative.
+
+At sf0.1 the ~40-100 ms scheduler/exchange floor makes per-query
+ratios unmeasurable for every sub-160 ms query: the floor-adjusted
+ratio of a 90 ms query against a 3 ms oracle says nothing about the
+plan. This tool re-measures EVERY oracled query the synth corpus can
+cover (derived from oracle SQL table refs, same rule as
+tools/scale_check.py) at 10× the sf0.1 rows, where real work
+dominates the fixed overhead, and emits per-query Spark seconds,
+DuckDB-oracle seconds, and both raw and floor-adjusted ratios.
+
+Protocol matches bench.py exactly (steady-state serving model: plan/
+table/index caches on, per-query warm pass + min of 3 consecutive
+timed runs for Spark, warm + min of 2 for DuckDB) so the x10 ratios
+read on the same scale as the sf0.1 headline ratios.
+
+Writes BENCH_x10_r{N}.json at the repo root (full per-query detail —
+this artifact is committed, not driver-parsed) and prints a compact
+totals line.
+
+Usage: python tools/bench_x10.py [--round N] [--mult 10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> int:
+    import duckdb
+
+    import scale_check
+    import scaling_report
+    from data_feature_extraction_and_retrieval_pipeline_spark import (
+        caching,
+        indexes,
+        queries as Q,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.session import (
+        get_spark,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.sources import (
+        readers,
+    )
+
+    argv = sys.argv[1:]
+    rnd = 10
+    mult = 10
+    names_filter = None
+    for i, a in enumerate(argv):
+        if a == "--round" and i + 1 < len(argv):
+            rnd = int(argv[i + 1])
+        elif a.startswith("--round="):
+            rnd = int(a.split("=", 1)[1])
+        elif a == "--mult" and i + 1 < len(argv):
+            mult = int(argv[i + 1])
+        elif a.startswith("--mult="):
+            mult = int(a.split("=", 1)[1])
+        elif a == "--queries" and i + 1 < len(argv):
+            names_filter = set(argv[i + 1].split(","))
+        elif a.startswith("--queries="):
+            names_filter = set(a.split("=", 1)[1].split(","))
+
+    spark = get_spark(
+        app_name="dferp-spark-bench-x10",
+        cpus=int(CPUS),
+        # x10 reduce inputs are 10³-10⁶ rows — more reduce tasks than
+        # the sf0.1 bench's 4, still far under the 32-thread executor;
+        # AQE off for run-to-run plan stability, same as bench.py
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0ms",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = scaling_report.ensure_fixture(spark, mult)
+    tables = scale_check.synth_tables(sf_dir)
+    names = scale_check.coverable_queries(tables)
+    if names_filter is not None:
+        names = [n for n in names if n in names_filter]
+    print(
+        f"x{mult} corpus at {sf_dir} (tables: {sorted(tables)}); "
+        f"{len(names)} oracled queries",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    qs = Q.queries()
+    oracles = Q.oracle_sql()
+
+    Q.enable_plan_cache(True)
+    readers.enable_table_cache(True)
+    indexes.enable_index_cache(True)
+    for t in sorted(tables):
+        readers.load_table(spark, sf_dir, t).count()
+    # fork + warm the reusable Python workers (same as bench.py)
+    qs["dedup_exact"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm: compile + JIT + index build
+        caching.release(name)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            caching.release(name)
+        print(f"spark {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    # same fixed-floor probe as bench.py — the floor is ~constant in
+    # data volume, so at x10 it adjusts far less of each number
+    floor = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).count()
+        dt = time.perf_counter() - t0
+        floor = dt if floor is None else min(floor, dt)
+
+    con = duckdb.connect()
+    for t in sorted(tables):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark-written tables are DIRECTORIES of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    oracle_timings: dict[str, float] = {}
+    for name in names:
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        oracle_timings[name] = round(best, 4)
+        print(f"duckdb {name}: {best:.4f}s", file=sys.stderr, flush=True)
+
+    ratio = {
+        n: (round(timings[n] / o, 2) if o > 0 else None)
+        for n, o in oracle_timings.items()
+    }
+    floor_adj = {
+        n: (round(max(timings[n] - floor, 0.0) / o, 2) if o > 0 else None)
+        for n, o in oracle_timings.items()
+    }
+    # the done-bar population: queries whose oracle is big enough to
+    # measure against (>= 0.1 s at x10)
+    measurable = {n for n, o in oracle_timings.items() if o >= 0.1}
+    over_bar = sorted(
+        n for n in measurable if floor_adj[n] is not None and floor_adj[n] > 2
+    )
+
+    out = {
+        "metric": f"x{mult}_oracled_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "oracle_total": round(sum(oracle_timings.values()), 3),
+        "ratio_total": round(
+            sum(timings.values()) / sum(oracle_timings.values()), 3
+        ),
+        "job_floor_s": round(floor, 4),
+        "n_measurable": len(measurable),
+        "over_2x_measurable": over_bar,
+        "queries": dict(sorted(timings.items())),
+        "oracle_queries": dict(sorted(oracle_timings.items())),
+        "ratio": dict(sorted(ratio.items())),
+        "floor_adj_ratio": dict(sorted(floor_adj.items())),
+        "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
+        "mult": mult,
+        "sf_dir": sf_dir,
+    }
+    path = REPO / f"BENCH_x10_r{rnd:02d}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "n_queries", "oracle_total",
+            "ratio_total", "job_floor_s", "n_measurable",
+            "over_2x_measurable",
+        )
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+    print(f"wrote {path}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
