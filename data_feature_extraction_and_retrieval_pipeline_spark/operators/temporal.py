@@ -221,6 +221,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: int | None = None,
+    salted: bool = False,
 ) -> DataFrame:
     """Ordered-step funnel analysis — for each user, the first time
     they completed step 1, the first step-2 event STRICTLY AFTER that,
@@ -254,6 +255,20 @@ def funnel(
     Rows with NULL ts/type are dropped up front (they can anchor no
     step). Output: (user, step{i}_us exact unix-microsecond longs —
     the win_lag_delta display discipline — and depth 0..k).
+
+    ``salted=True`` switches to the two-phase skew fallback for keys
+    that outgrow the single-task array (≫10⁷ events — a bot, not a
+    user): phase 1 groups by (user, day) and reduces each day to a
+    BOUNDED partial — for every possible entry depth e, the day's
+    within-day continuation chain (k(k+1)/2 longs, all chained
+    conditional MINs); phase 2 folds the day-ordered partials per
+    user, selecting each day's chain by the depth accumulated so far.
+    Exact by construction (see _funnel_salted — the naive single
+    fresh-state partial is NOT exact; pytest pins salted ≡ plain on
+    the synth hot-user corpora). Two exchanges instead of one; state
+    bounded by events/day (phase 1) and days/user (phase 2).
+    Unwindowed funnels only — the deadline bound depends on the
+    previous anchor's value, which bounded day partials cannot carry.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -266,6 +281,19 @@ def funnel(
     ev = events.filter(
         F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
     )
+    # only step-typed events can anchor anything — drop the rest
+    # BEFORE the shuffle (at 100 TB with a wide event vocabulary this
+    # is most of the wire volume; semantics are untouched)
+    ev = ev.filter(F.col(type_col).isin(list(dict.fromkeys(steps))))
+    if salted:
+        if win_us is not None:
+            raise ValueError(
+                "salted=True supports only unwindowed funnels: the "
+                "conversion-deadline bound depends on the previous "
+                "anchor's VALUE, so bounded per-day partials cannot "
+                "answer it exactly"
+            )
+        return _funnel_salted(ev, steps, user_col, ts_col, type_col)
     item = F.struct(
         F.unix_micros(F.col(ts_col)).alias("t"),
         F.col(type_col).alias("y"),
@@ -299,6 +327,117 @@ def funnel(
     walked = per_user.select(
         F.col(user_col),
         F.aggregate(F.col("__evs"), init, _merge).alias("__w"),
+    )
+    depth = F.lit(0)
+    for i in range(k):
+        depth = F.when(
+            F.col("__w")[f"s{i}"].isNotNull(), F.lit(i + 1)
+        ).otherwise(depth)
+    return walked.select(
+        F.col(user_col),
+        *[
+            F.col("__w")[f"s{i}"].alias(f"step{i + 1}_us")
+            for i in range(k)
+        ],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def _funnel_salted(
+    ev: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """The exact two-phase (user, day)-salted funnel.
+
+    Why the obvious partial is WRONG: reducing each day to its own
+    fresh-state funnel chain and replaying those candidates loses
+    pairs where the GLOBAL anchor precedes the day but the day's own
+    chain anchors later — e.g. day events [click@10, view@11,
+    click@12] with the global first view in an earlier day: the true
+    step-2 time is click@10, but the day's fresh chain anchors on
+    view@11 and offers click@12. (This was the shape SCALING.md
+    documented before round 10 — the gap surfaced while turning it
+    into code.)
+
+    The exact bounded partial: for EVERY possible entry depth e
+    (steps 1..e completed before the day — their anchors therefore
+    precede every event of the day, so step e+1 anchors on the day's
+    UNCONDITIONAL first step-(e+1) event), precompute the within-day
+    continuation chain
+
+        v(e, e)   = min(t | type = steps[e])
+        v(e, j)   = min(t | type = steps[j], t > v(e, j-1))   j > e
+
+    — k(k+1)/2 chained conditional MINs, each a pure-Catalyst
+    array_min over the day's per-step times. Phase 2 sorts each
+    user's day partials by day and folds left-to-right: the depth
+    accumulated BEFORE a day selects which chain fills the remaining
+    steps (all of one day's fills come from that single chain, whose
+    internal t > v(...) conditions carry within-day strictness;
+    cross-day strictness is free because a prior-day anchor is
+    strictly below the day's midnight).
+    """
+    k = len(steps)
+    t = F.unix_micros(F.col(ts_col))
+    aggs = []
+    for i in range(k):
+        aggs.append(
+            F.min(F.when(F.col(type_col) == steps[i], t)).alias(f"__m{i}")
+        )
+        if i >= 1:
+            # collect_list skips the non-matching (null) rows — the
+            # array holds ONLY this step type's times within the day
+            aggs.append(
+                F.collect_list(
+                    F.when(F.col(type_col) == steps[i], t)
+                ).alias(f"__a{i}")
+            )
+    g = ev.groupBy(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).agg(*aggs)
+
+    def _after(prev):
+        # closure factory: HOF lambda arity is read from the Python
+        # signature, so no default-arg capture
+        return lambda x: x > prev
+
+    chain_fields = []
+    for e in range(k):
+        prev = F.col(f"__m{e}")
+        chain_fields.append(prev.alias(f"c{e}_{e}"))
+        for j in range(e + 1, k):
+            prev = F.array_min(F.filter(F.col(f"__a{j}"), _after(prev)))
+            chain_fields.append(prev.alias(f"c{e}_{j}"))
+    # __day first: array_sort on structs orders by leading field
+    day_struct = F.struct(F.col("__day"), *chain_fields)
+    per_user = g.groupBy(F.col(user_col)).agg(
+        F.array_sort(F.collect_list(day_struct)).alias("__days")
+    )
+
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"s{i}") for i in range(k)]
+    )
+
+    def _merge(acc, d):
+        # fills are prefix-monotone (v(e, j) needs v(e, j-1)), so the
+        # accumulated depth is the count of non-null anchors
+        e_expr = F.lit(0)
+        for i in range(k):
+            e_expr = e_expr + acc[f"s{i}"].isNotNull().cast("int")
+        fields = []
+        for j in range(k):
+            cand = F.lit(None).cast("long")
+            for e in range(j + 1):
+                cand = F.when(e_expr == e, d[f"c{e}_{j}"]).otherwise(cand)
+            fields.append(F.coalesce(acc[f"s{j}"], cand).alias(f"s{j}"))
+        return F.struct(*fields)
+
+    walked = per_user.select(
+        F.col(user_col),
+        F.aggregate(F.col("__days"), init, _merge).alias("__w"),
     )
     depth = F.lit(0)
     for i in range(k):

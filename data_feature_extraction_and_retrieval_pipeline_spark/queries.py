@@ -283,17 +283,20 @@ def register(name: str, oracle: str | None = None):
 # entries of queries(), so ordering is part of the contract. Round-10
 # rotation: first the queries whose round-10 code changes demand fresh
 # rows (the percolator pair under the new parser-mode-aware registry
-# escaping + the register() auto expression->join upgrade, and the
-# retention pair now deduping inside retention_from_activity), then
+# escaping + the register() auto expression->join upgrade, the
+# retention pair now deduping inside retention_from_activity, the
+# funnel pair with the step-type filter below the shuffle, and the
+# new perceptual image near-dup), then
 # ALL 42 keepers whose newest rows are r07 (the oldest witnesses --
-# three rounds stale), then the alphabetically-first r08-row keepers
-# to fill the remaining slots. The full query -> newest-row /
+# three rounds stale). The full query -> newest-row /
 # witness-floor table is generated into COVERAGE.md by
 # tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
     # -- round-10 semantic changes / new queries (floor 10 => head) --
     "dedup_image_phash",
+    "events_funnel",
+    "events_funnel_windowed",
     "events_retention",
     "events_retention_stream",
     "api_percolate_register",
@@ -342,9 +345,6 @@ _DRIVER_ORDER: list[str] = [
     "text_token_count",
     "vec_mean_per_label",
     "win_ntile_quartiles",
-    # -- alphabetically-first r08-row keepers fill the last slots --
-    "agg_bool_flags",
-    "agg_distinct_counts",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -468,8 +468,9 @@ _TOUCHED: dict[str, int] = {
     # microsecond boundary (ROUND(double,6) digit-7 ties split the
     # engines at the x10 synth corpus)
     "asof_join_clicks": 9,
-    # round 9: new — the conversion-deadline funnel variant
-    "events_funnel_windowed": 9,
+    # round 10: step-type filter pushed below the funnel shuffle
+    # (plan change, values identical); salted= fallback implemented
+    "events_funnel_windowed": 10,
     "events_retention_stream": 10,
     "ann_ingest_pq": 7,
     # round 10: register() now auto-upgrades expr→join past the
@@ -480,7 +481,7 @@ _TOUCHED: dict[str, int] = {
     # query semantics), and the F18 display-truncation function
     "retrieval_rrf_fusion": 8,
     "etl_display_truncate": 8,
-    "events_funnel": 8,
+    "events_funnel": 10,  # r10: isin prefilter below the shuffle
     "agg_pivot_roundtrip": 7,
     "win_ntile_quartiles": 7,
     # round 6 second half: layout-correct stream sources (the

@@ -413,3 +413,70 @@ def test_funnel_within_deadline_hand_values(spark):
     assert got[1] == (3, base + 30 * mins, base + 80 * mins)
     assert got[2] == (1, None, None)
     assert got[3] == (2, base + 10 * mins, None)
+
+
+def test_funnel_salted_exact_on_naive_partial_counterexample(spark):
+    """The case the single-fresh-state-per-day partial gets WRONG
+    (the pre-round-10 SCALING.md sketch): global step-1 anchor in an
+    earlier day, and the critical day holds [click, view, click] — the
+    true step-2 time is the day's FIRST click (the global anchor
+    precedes the day), not the click after the day's own view. The
+    entry-depth chain partial must return the first click."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        funnel,
+    )
+
+    rows = [
+        (1, "2024-01-01 09:00:00", "view"),
+        (1, "2024-01-03 10:00:00", "click"),     # TRUE s2
+        (1, "2024-01-03 11:00:00", "view"),
+        (1, "2024-01-03 12:00:00", "click"),     # the naive partial's pick
+        (1, "2024-01-04 08:00:00", "purchase"),
+        (2, "2024-01-02 08:00:00", "click"),     # click before any view
+        (2, "2024-01-05 09:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    plain = sorted(
+        map(tuple, funnel(ev, ["view", "click", "purchase"]).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            funnel(ev, ["view", "click", "purchase"], salted=True).collect(),
+        )
+    )
+    assert salted == plain
+    u1 = next(r for r in salted if r[0] == 1)
+    import datetime
+
+    assert datetime.datetime.utcfromtimestamp(u1[2] / 1e6).hour == 10
+    assert u1[4] == 3  # full depth
+
+
+def test_funnel_salted_equals_plain_on_skewed_synth(spark):
+    """salted ≡ plain on a synth corpus with the planted hot user
+    (x10-shaped skew at in-test size): 200k events, ~3k users, user 0
+    hot — the corpus family the x10/x100 gates run. Also pins the
+    salted form's rejection of windowed funnels."""
+    import pytest as _pytest
+
+    from data_feature_extraction_and_retrieval_pipeline_spark import synth
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators.temporal import (
+        funnel,
+    )
+
+    ev = synth.synth_events(spark, 200_000, hot_frac=0.02).select(
+        "user_id", "ts", "event_type"
+    )
+    ev = ev.persist()
+    try:
+        steps = ["view", "click", "purchase"]
+        plain = sorted(map(tuple, funnel(ev, steps).collect()))
+        salted = sorted(map(tuple, funnel(ev, steps, salted=True).collect()))
+        assert salted == plain and len(plain) > 1000
+        with _pytest.raises(ValueError, match="unwindowed"):
+            funnel(ev, steps, within_seconds=3600, salted=True)
+    finally:
+        ev.unpersist()
