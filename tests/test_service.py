@@ -377,3 +377,89 @@ class TestPercolateEndpoints:
             server, "/percolate/unregister", {"query_id": "svc_q1"}
         )
         assert code == 400 and "last standing query" in resp["error"]
+
+
+def test_concurrent_burst_32way_hybrid_and_percolate(server):
+    """SRS §5's concurrency posture at single-driver scale: a 32-way
+    burst of mixed /search/hybrid and /percolate/match requests
+    against the shared server. Pins the properties a single driver
+    CAN guarantee: (1) every request answers 200; (2) each response
+    is byte-identical to its payload's serial baseline — no
+    cross-request state bleed through the shared SparkSession,
+    engine, or percolator; (3) no convoy — concurrent wall-clock
+    beats the serial sum by a real overlap factor (a lock held across
+    EXECUTION, the pre-round-10 match handler, caps overlap at ≤1×;
+    the plan-build-only lock restores it).
+
+    Measured context (documented, not asserted tightly — shared-host
+    noise): one plan-per-request Spark query costs ~0.5-0.9s of
+    driver-side work and the 32-way overlap factor plateaus at ~2×
+    regardless of HTTP or locks (same plateau with raw threads on
+    p.matches() — DAGScheduler's single event loop + GIL-bound py4j),
+    so a single driver serves ~2-3 plan-heavy rps and queueing
+    dominates tail latency (p95 here ~10-25s at 64 queued requests).
+    The SRS 1000-user <2s target is a horizontal posture — N drivers
+    behind a balancer over the same (immutable) artifacts — not a
+    single-container property; SCALING.md "Serving concurrency"."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    code, resp = _post_json(
+        server, "/percolate/register",
+        {"query_id": "burst_q", "terms": ["data", "vector"],
+         "min_score": 0.0},
+    )
+    assert code == 200
+
+    def hybrid(i: int):
+        body, ctype = _multipart(
+            {"top_k": 3, "whole_weight": 0.5, "segment_weight": 0.5},
+            {"image": (f"q{i}.png", f"payload-{i % 4}".encode())},
+        )
+        t0 = time.perf_counter()
+        code, resp = _post(server, "/search/hybrid", body, ctype)
+        return "hybrid", i % 4, code, resp, time.perf_counter() - t0
+
+    def match(i: int):
+        docs = [{"doc_id": i % 3, "text": f"data table {i % 3} vector"}]
+        t0 = time.perf_counter()
+        code, resp = _post_json(server, "/percolate/match", {"docs": docs})
+        return "match", i % 3, code, resp, time.perf_counter() - t0
+
+    # serial baselines (timed): one per distinct payload
+    base = {}
+    serial = []
+    for v in range(4):
+        kind, key, code, resp, dt = hybrid(v)
+        assert code == 200
+        base[(kind, key)] = resp
+        serial.append(dt)
+    for v in range(3):
+        kind, key, code, resp, dt = match(v)
+        assert code == 200
+        base[(kind, key)] = resp
+        serial.append(dt)
+    per_req = sum(serial) / len(serial)
+
+    n = 64
+    tasks = [hybrid if i % 2 == 0 else match for i in range(n)]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        got = list(ex.map(lambda p: p[0](p[1]), zip(tasks, range(n))))
+    wall = time.perf_counter() - t0
+
+    lats = sorted(g[4] for g in got)
+    p95 = lats[int(0.95 * (len(lats) - 1))]
+    overlap = (per_req * n) / wall
+    print(
+        f"\n32-way burst: {n} requests in {wall:.2f}s wall "
+        f"(serial ~{per_req:.2f}s/req -> overlap {overlap:.2f}x), "
+        f"p50={lats[len(lats) // 2]:.3f}s p95={p95:.3f}s"
+    )
+    for kind, key, code, resp, _ in got:
+        assert code == 200, (kind, key)
+        assert resp == base[(kind, key)], f"state bleed: {kind} {key}"
+    # no convoy: genuine overlap (an execution-wide lock gives <=1x;
+    # the platform plateau is ~2x — assert the floor with margin)
+    assert overlap > 1.3, f"overlap {overlap:.2f}x — requests convoyed"
+    assert wall < 60, f"burst wall {wall:.1f}s — pathological serialization"
