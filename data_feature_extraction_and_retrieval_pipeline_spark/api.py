@@ -317,6 +317,90 @@ class Engine:
         }
 
 
+class EventsAnalytics:
+    """Facade over the temporal/event suite — the product-analytics
+    face of the engine (funnel, retention, sessionization, as-of and
+    interval joins). Extension beyond the reference (which has no
+    event processing); certified through the same facade-twin
+    convention as ``Engine`` (api_events_* queries share the raw
+    operators' oracles, so a dispatch bug shows as a red row).
+
+    ``events`` needs (user, ts, type[, value]) columns; names are
+    bound at construction so call sites stay positional."""
+
+    def __init__(
+        self,
+        events: DataFrame,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        value_col: str | None = "value",
+    ):
+        self.events = events
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.type_col = type_col
+        self.value_col = value_col
+
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str) -> "EventsAnalytics":
+        return cls(load_table(spark, sf_dir, "events"))
+
+    def funnel(
+        self,
+        steps: Sequence[str],
+        within_seconds: int | None = None,
+        salted: bool = False,
+    ) -> DataFrame:
+        """Ordered-step conversion funnel (operators/temporal.py::
+        funnel — see its docstring for the first-touch greedy
+        semantics, the deadline variant, and the salted skew
+        fallback)."""
+        from .operators import temporal
+
+        return temporal.funnel(
+            self.events,
+            list(steps),
+            user_col=self.user_col,
+            ts_col=self.ts_col,
+            type_col=self.type_col,
+            within_seconds=within_seconds,
+            salted=salted,
+        )
+
+    def retention(self) -> DataFrame:
+        """Weekly cohort-retention triangle over raw events
+        (operators/temporal.py::retention_cohorts)."""
+        from .operators import temporal
+
+        return temporal.retention_cohorts(
+            self.events, user_col=self.user_col, ts_col=self.ts_col
+        )
+
+    def retention_from_activity(self, activity: DataFrame) -> DataFrame:
+        """The triangle over an already-maintained (user, week)
+        activity table — the steady-state serving shape
+        (streaming/ingest.py::weekly_activity_stream maintains it)."""
+        from .operators import temporal
+
+        return temporal.retention_from_activity(
+            activity, user_col=self.user_col
+        )
+
+    def sessionize(self, gap: str = "30 minutes") -> DataFrame:
+        """Inactivity-gap sessions (the batch-optimized spans
+        formulation; value-equal to session_window)."""
+        from .operators import temporal
+
+        return temporal.sessionize_spans(
+            self.events,
+            gap,
+            key=self.user_col,
+            ts_col=self.ts_col,
+            value_col=self.value_col,
+        )
+
+
 # One-time eager-checkpoint seconds per pipeline scope (the near-dup
 # pair-mining materialization at plan construction) — the excluded
 # build cost bench_detail.json reports as curate_checkpoint_s next to

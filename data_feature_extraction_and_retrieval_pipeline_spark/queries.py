@@ -295,6 +295,8 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_ORDER: list[str] = [
     # -- round-10 semantic changes / new queries (floor 10 => head) --
     "dedup_image_phash",
+    "api_events_funnel",
+    "api_events_retention",
     "events_funnel",
     "events_funnel_windowed",
     "events_retention",
@@ -343,8 +345,6 @@ _DRIVER_ORDER: list[str] = [
     "text_quality",
     "text_token_bpe",
     "text_token_count",
-    "vec_mean_per_label",
-    "win_ntile_quartiles",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -457,8 +457,11 @@ _TOUCHED: dict[str, int] = {
     "percolate_join_batch": 10,
     "percolate_join_stream": 10,
     # round 10: new — perceptual image near-dup (dHash bands + banded
-    # Hamming blocking over the integer-pure decode stub)
+    # Hamming blocking over the integer-pure decode stub) and the
+    # EventsAnalytics facade twins (the funnel one drives salted=True)
     "dedup_image_phash": 10,
+    "api_events_funnel": 10,
+    "api_events_retention": 10,
     "dedup_cosine_incremental": 9,
     "dedup_embedding_cosine": 9,
     "events_retention": 10,
@@ -3645,9 +3648,7 @@ _SESSIONIZE_ORACLE = """
     """
 
 
-@register(
-    "events_funnel",
-    """
+_FUNNEL_ORACLE = """
     WITH ev AS (
         SELECT user_id, event_type, epoch_us(ts) AS t
         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -3678,8 +3679,10 @@ _SESSIONIZE_ORACLE = """
     FROM u1
     LEFT JOIN u2 ON u1.user_id = u2.user_id
     LEFT JOIN u3 ON u1.user_id = u3.user_id
-    """,
-)
+    """
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel (operators/temporal.py::funnel):
     per user, the first view, the first click STRICTLY AFTER it, and
@@ -3785,6 +3788,33 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, week) set is deduplicated before counting)."""
     ev = _t(spark, sf_dir, "events")
     return temporal.retention_cohorts(ev)
+
+
+@register("api_events_funnel", _FUNNEL_ORACLE)
+def api_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal family through the EventsAnalytics facade
+    (api.py) — AND the salted two-phase fold certified end-to-end:
+    the facade dispatches funnel(salted=True), whose per-entry-depth
+    day partials + day-ordered fold must reproduce the chained
+    conditional MINs of the shared `events_funnel` oracle exactly.
+    One green row certifies both the facade wiring and the skew
+    fallback's exactness against the SQL twin (the pytest pin covers
+    salted ≡ plain; this covers salted ≡ oracle)."""
+    from .api import EventsAnalytics
+
+    ev = EventsAnalytics.from_sf_dir(spark, sf_dir)
+    return ev.funnel(["view", "click", "purchase"], salted=True)
+
+
+@register("api_events_retention", _RETENTION_ORACLE)
+def api_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention through the EventsAnalytics facade — the facade twin
+    of `events_retention` (same oracle; a dispatch bug shows as a red
+    row), mirroring how api_engine_* certified the search
+    dispatcher."""
+    from .api import EventsAnalytics
+
+    return EventsAnalytics.from_sf_dir(spark, sf_dir).retention()
 
 
 @register("events_retention_stream", _RETENTION_ORACLE)

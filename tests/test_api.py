@@ -545,3 +545,53 @@ class TestPercolator:
 
         with pytest.raises(ValueError):
             Percolator(docs, [])
+
+
+class TestEventsAnalytics:
+    """EventsAnalytics facade wiring: dispatch equals the raw
+    operators (the oracled api_events_* rows certify funnel/retention
+    against SQL; this pins the remaining surface + column binding)."""
+
+    def test_dispatch_equals_operators(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            EventsAnalytics,
+        )
+        from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+            temporal,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ev = EventsAnalytics.from_sf_dir(spark, sf)
+        raw = ev.events
+
+        def rows(df):
+            return sorted(map(tuple, df.collect()))
+
+        assert rows(ev.sessionize("30 minutes")) == rows(
+            temporal.sessionize_spans(raw, "30 minutes")
+        )
+        assert rows(ev.retention()) == rows(temporal.retention_cohorts(raw))
+        steps = ["view", "click"]
+        assert rows(ev.funnel(steps)) == rows(temporal.funnel(raw, steps))
+        assert rows(ev.funnel(steps, within_seconds=600)) == rows(
+            temporal.funnel(raw, steps, within_seconds=600)
+        )
+
+    def test_custom_column_binding(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+            EventsAnalytics,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:01:00", "b")],
+            "uid long, at string, kind string",
+        ).select("uid", F.to_timestamp("at").alias("at"), "kind")
+        ev = EventsAnalytics(
+            df, user_col="uid", ts_col="at", type_col="kind", value_col=None
+        )
+        out = {r.uid: r.depth for r in ev.funnel(["a", "b"]).collect()}
+        assert out == {1: 2}
