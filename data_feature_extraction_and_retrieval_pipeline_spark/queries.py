@@ -297,6 +297,9 @@ _DRIVER_ORDER: list[str] = [
     "dedup_image_phash",
     "api_events_funnel",
     "api_events_retention",
+    "dedup_keep_best_per_source",
+    "text_quality_classifier",
+    "api_pipeline_curate",
     "events_funnel",
     "events_funnel_windowed",
     "events_retention",
@@ -343,8 +346,6 @@ _DRIVER_ORDER: list[str] = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality",
-    "text_token_bpe",
-    "text_token_count",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -462,6 +463,11 @@ _TOUCHED: dict[str, int] = {
     "dedup_image_phash": 10,
     "api_events_funnel": 10,
     "api_events_retention": 10,
+    # round 10: alpha_ratio recounted via regexp_count (same integer,
+    # ~6x cheaper scan) — plan change for its Catalyst-form users
+    "dedup_keep_best_per_source": 10,
+    "text_quality_classifier": 10,
+    "api_pipeline_curate": 10,
     "dedup_cosine_incremental": 9,
     "dedup_embedding_cosine": 9,
     "events_retention": 10,

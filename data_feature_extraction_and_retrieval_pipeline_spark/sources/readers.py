@@ -146,7 +146,20 @@ def load_table(
         try:
             import os as _os
 
-            nbytes = _os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
+            _p = f"{sf_dir.rstrip('/')}/{name}.parquet"
+            if _os.path.isdir(_p):
+                # Spark-written tables are DIRECTORIES of part files
+                # (the synth scale corpora); getsize() on the dir is
+                # ~4 KB and silently collapsed every cached table to
+                # ONE partition — the whole x10 suite ran its cached
+                # scans single-threaded until this summed the parts
+                nbytes = sum(
+                    e.stat().st_size
+                    for e in _os.scandir(_p)
+                    if e.name.endswith(".parquet")
+                )
+            else:
+                nbytes = _os.path.getsize(_p)
         except OSError:
             nbytes = None
         if nbytes is not None:
