@@ -14,9 +14,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import text as X
 
 
-def value_counts(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
-    """A1 — pandas ``value_counts`` (analyze_dataset_distribution.py:62...)."""
+def value_counts(
+    df: DataFrame, col: str, desc: bool = True, ordered: bool = True
+) -> DataFrame:
+    """A1 — pandas ``value_counts`` (analyze_dataset_distribution.py:62...).
+
+    ``ordered=False`` skips the display sort (a range exchange + a
+    chunk of Catalyst analysis time) for consumers that re-sort or
+    hash the rows anyway — e.g. the long-form report union, where 9
+    cosmetic per-branch sorts dominated the PLAN cost of the whole
+    bundle."""
     out = df.groupBy(col).agg(F.count("*").alias("count"))
+    if not ordered:
+        return out
     order = [F.desc("count"), F.col(col)] if desc else [F.col(col)]
     return out.orderBy(*order)
 
@@ -35,20 +45,24 @@ def explode_counts(
 
 
 def histogram(
-    df: DataFrame, col: str, bin_width: float, min_value: float = 0.0
+    df: DataFrame,
+    col: str,
+    bin_width: float,
+    min_value: float = 0.0,
+    ordered: bool = True,
 ) -> DataFrame:
     """A7 — fixed-width binning (numpy hist analogue). Bin label is the
-    inclusive lower bound."""
+    inclusive lower bound. ``ordered=False`` as in value_counts."""
     bin_col = (
         F.floor((F.col(col) - F.lit(min_value)) / F.lit(bin_width)) * F.lit(bin_width)
         + F.lit(min_value)
     ).cast("double")
-    return (
+    out = (
         df.filter(F.col(col).isNotNull())
         .groupBy(bin_col.alias("bin"))
         .agg(F.count("*").alias("count"))
-        .orderBy("bin")
     )
+    return out.orderBy("bin") if ordered else out
 
 
 def decade(col) -> F.Column:
@@ -57,14 +71,17 @@ def decade(col) -> F.Column:
     return (F.floor(c / 10) * 10).cast("int")
 
 
-def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def group_stats(
+    df: DataFrame, group_col: str, value_col: str, ordered: bool = True
+) -> DataFrame:
     """A6 — per-group mean/median/min/max (visualize_segmented_tags.py:171-177).
 
     Median is the exact interpolated percentile (matches the oracle's
     ``quantile_cont``); swap for ``percentile_approx`` at 100 TB where
-    an exact median forces a full sort per group.
+    an exact median forces a full sort per group. ``ordered=False``
+    as in value_counts.
     """
-    return (
+    out = (
         df.groupBy(group_col)
         .agg(
             F.count("*").alias("n"),
@@ -73,8 +90,8 @@ def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             F.min(value_col).alias("min"),
             F.max(value_col).alias("max"),
         )
-        .orderBy(group_col)
     )
+    return out.orderBy(group_col) if ordered else out
 
 
 def top_n_per_group(

@@ -19,6 +19,7 @@ def dataset_report(
     documents: DataFrame,
     events: DataFrame,
     embeddings: DataFrame,
+    ordered: bool = True,
 ) -> dict[str, DataFrame]:
     """The analyze_dataset_distribution.py report set, over the
     engine's tables:
@@ -36,8 +37,10 @@ def dataset_report(
     from ..functions import vectors as V
 
     return {
-        "source_counts": analytics.value_counts(documents, "source"),
-        "lang_counts": analytics.value_counts(documents, "lang"),
+        "source_counts": analytics.value_counts(
+            documents, "source", ordered=ordered
+        ),
+        "lang_counts": analytics.value_counts(documents, "lang", ordered=ordered),
         "token_leaderboard": (
             documents.select(
                 F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
@@ -48,8 +51,12 @@ def dataset_report(
             .orderBy(F.desc("count"), F.col("value"))
             .limit(30)
         ),
-        "length_histogram": analytics.histogram(documents, "n_chars", 50.0),
-        "length_stats_by_lang": analytics.group_stats(documents, "lang", "n_chars"),
+        "length_histogram": analytics.histogram(
+            documents, "n_chars", 50.0, ordered=ordered
+        ),
+        "length_stats_by_lang": analytics.group_stats(
+            documents, "lang", "n_chars", ordered=ordered
+        ),
         "distinct_counters": documents.agg(
             F.countDistinct("source").alias("n_sources"),
             F.countDistinct("lang").alias("n_langs"),
@@ -59,7 +66,9 @@ def dataset_report(
             documents.groupBy((F.col("n_chars") >= 100).alias("has_long_text"))
             .agg(F.count("*").alias("count"))
         ),
-        "event_type_counts": analytics.value_counts(events, "event_type"),
+        "event_type_counts": analytics.value_counts(
+            events, "event_type", ordered=ordered
+        ),
         "events_per_user_stats": (
             events.groupBy("user_id")
             .agg(F.count("*").alias("n_events"))
@@ -139,7 +148,11 @@ def dataset_report_long(
     set emitted as section/key/value rows). NULL group keys are made
     explicit ('<null>') so the key column never drops rows on a join
     or concat (NULL-identity discipline)."""
-    r = dataset_report(documents, events, embeddings)
+    # unordered members: the long frame is re-sorted or hashed by every
+    # consumer, and the 9 cosmetic per-branch sorts cost more CATALYST
+    # ANALYSIS time than the whole bundle's execution (measured ~2 s
+    # re-plan vs 0.12 s exec at x10 — SCALING.md "analysis floor")
+    r = dataset_report(documents, events, embeddings, ordered=False)
     nn = lambda c: F.coalesce(F.col(c), F.lit("<null>"))  # noqa: E731
     parts = [
         _kv(r["source_counts"], "source_counts", nn("source"), F.col("count")),

@@ -281,10 +281,6 @@ def funnel(
     ev = events.filter(
         F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
     )
-    # only step-typed events can anchor anything — drop the rest
-    # BEFORE the shuffle (at 100 TB with a wide event vocabulary this
-    # is most of the wire volume; semantics are untouched)
-    ev = ev.filter(F.col(type_col).isin(list(dict.fromkeys(steps))))
     if salted:
         if win_us is not None:
             raise ValueError(
@@ -294,9 +290,20 @@ def funnel(
                 "answer it exactly"
             )
         return _funnel_salted(ev, steps, user_col, ts_col, type_col)
-    item = F.struct(
-        F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(type_col).alias("y"),
+    # Only step-typed events can anchor anything — drop the rest
+    # INSIDE the aggregate (collect_list skips nulls, and its partial
+    # combines map-side, so non-step events never reach the wire — at
+    # 100 TB with a wide event vocabulary that is most of the volume).
+    # NOT a pre-shuffle row filter: a user whose events are ALL
+    # non-step types must still emit a depth-0 row (the oracle groups
+    # over every non-null event; a hypothesis counterexample caught
+    # the row-filter form dropping those users, round 10).
+    item = F.when(
+        F.col(type_col).isin(list(dict.fromkeys(steps))),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("y"),
+        ),
     )
     per_user = ev.groupBy(F.col(user_col)).agg(
         F.array_sort(F.collect_list(item)).alias("__evs")

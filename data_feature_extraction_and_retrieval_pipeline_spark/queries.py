@@ -300,6 +300,7 @@ _DRIVER_ORDER: list[str] = [
     "dedup_keep_best_per_source",
     "text_quality_classifier",
     "api_pipeline_curate",
+    "report_dataset",
     "events_funnel",
     "events_funnel_windowed",
     "events_retention",
@@ -345,7 +346,6 @@ _DRIVER_ORDER: list[str] = [
     "sql_api_revenue",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -400,7 +400,7 @@ _ROWS_ONLY_TAIL: list[str] = [
 _TOUCHED: dict[str, int] = {
     # round 6: new queries, the rows-only first-witness set, and the
     # queries whose code round 6 touches
-    "report_dataset": 6,
+    "report_dataset": 10,  # r10: unordered members (analysis-floor cut)
     "report_segment_stats": 6,
     "ann_pq": 6,
     "dedup_minhash_lsh": 6,
