@@ -210,20 +210,36 @@ def unigram_logprob(
     as (id, n_tokens=0, avg_nll=null) so the caller decides their
     fate explicitly.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    # One corpus explode feeds everything: the (id, tok) term-frequency
+    # aggregate is the shared subtree — the vocabulary re-aggregates it
+    # by token (ReusedExchange picks up the tf exchange), and the
+    # scoring join runs at tf-level (one row per DISTINCT (id, tok))
+    # instead of token-instance level. The per-document mean is the
+    # tf-weighted form Σ tf·(−ln(c/total)) / Σ tf — mathematically the
+    # instance mean (each distinct token contributes tf identical
+    # instances). Previously the corpus was exploded twice and the
+    # frequency join ran per token instance — measured ~2× slower.
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("__tf"))
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     vocab = freq.crossJoin(F.broadcast(total))
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
     scored = (
-        toks.join(vocab, "tok")
+        tf.join(vocab, "tok")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.avg(-F.log(F.col("c") / F.col("total"))).alias("avg_nll"),
+            F.sum("__tf").alias("n_tokens"),
+            (
+                F.sum(F.col("__tf") * -F.log(F.col("c") / F.col("total")))
+                / F.sum("__tf")
+            ).alias("avg_nll"),
         )
     )
     if not include_empty:
@@ -272,23 +288,31 @@ def tfidf_keywords(
     Ranking compares the ROUNDED score with a token tiebreak, so the
     kept set is engine-exact.
     """
+    # dl (document length) is computed map-side from the token array
+    # BEFORE the explode and carried through the (id, tok) aggregation
+    # as a per-id constant — identical to the window SUM(tf) OVER
+    # (PARTITION BY id) it replaces (sum of per-token counts ≡ array
+    # size), but it saves a full window pass: only the rank window
+    # remains on the id exchange.
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            X.tokens(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("tok"),
+        X.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl0"),
+        F.explode("__toks").alias("tok"),
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count("*").alias("tf"), F.max("__dl0").alias("dl")
+    )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
     if broadcast_vocab:
         dfreq = F.broadcast(dfreq)
     n_docs = df.groupBy().agg(F.count("*").alias("__n"))
 
-    w_doc = Window.partitionBy(id_col)
     scored = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("dl", F.sum("tf").over(w_doc))
         .select(
             F.col(id_col),
             F.col("tok").alias("term"),

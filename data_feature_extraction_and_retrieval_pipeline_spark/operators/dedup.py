@@ -85,17 +85,18 @@ def ngram_jaccard_pairs(
     # sizes skips the explode entirely (word_shingles is already
     # distinct, so |exploded rows| ≡ size of the shingle array —
     # map-side only).
-    sh = df.select(
+    # tokenize ONCE into a column before shingling: word_shingles(n)
+    # references its input ~n+2 times, and embedding the tokenization
+    # expression re-splits the text per reference (measured 2× on the
+    # x10 corpus — same finding as bm25_topk's tokenize-once refactor)
+    tok = df.select(F.col(id_col), X.tokens(F.col(text_col)).alias("__t"))
+    sh = tok.select(
         F.col(id_col),
-        F.explode(
-            X.word_shingles(X.tokens(F.col(text_col)), n)
-        ).alias("shingle"),
+        F.explode(X.word_shingles(F.col("__t"), n)).alias("shingle"),
     )
-    sizes = df.select(
+    sizes = tok.select(
         F.col(id_col),
-        F.size(X.word_shingles(X.tokens(F.col(text_col)), n)).alias(
-            "n_shingles"
-        ),
+        F.size(X.word_shingles(F.col("__t"), n)).alias("n_shingles"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -440,13 +441,19 @@ def contamination_flags(
     (id, n_shared) for flagged documents only; n_shared counts the
     DISTINCT shared n-grams (both shingle sides are de-duplicated).
     """
+    # tokenize once per side — word_shingles(n=8) references its input
+    # ~10 times; embedding the tokenization re-splits per reference
     c_sh = corpus.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("__t")
+    ).select(
         F.col(id_col),
-        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle"),
+        F.explode(X.word_shingles(F.col("__t"), n)).alias("shingle"),
     )
-    b_sh = benchmark.select(
-        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle")
-    ).distinct()
+    b_sh = (
+        benchmark.select(X.tokens(F.col(text_col)).alias("__t"))
+        .select(F.explode(X.word_shingles(F.col("__t"), n)).alias("shingle"))
+        .distinct()
+    )
     return (
         c_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy(id_col)
@@ -470,13 +477,15 @@ def contamination_ids(
     count aggregate (the broadcast semi-join short-circuits per
     shingle). Same flagged ID SET by construction — use
     ``contamination_flags`` when the n_shared audit column matters."""
-    sh = F.expr(
-        X.word_shingles_sql(X.tokens_sql(text_col), n, distinct=False)
+    sh = F.expr(X.word_shingles_sql("__t", n, distinct=False))
+    c_sh = corpus.select(
+        F.col(id_col), F.expr(X.tokens_sql(text_col)).alias("__t")
+    ).select(F.col(id_col), F.explode(sh).alias("shingle"))
+    b_sh = (
+        benchmark.select(X.tokens(F.col(text_col)).alias("__t"))
+        .select(F.explode(X.word_shingles(F.col("__t"), n)).alias("shingle"))
+        .distinct()
     )
-    c_sh = corpus.select(F.col(id_col), F.explode(sh).alias("shingle"))
-    b_sh = benchmark.select(
-        F.explode(X.word_shingles(X.tokens(F.col(text_col)), n)).alias("shingle")
-    ).distinct()
     return (
         c_sh.join(F.broadcast(b_sh), "shingle", "left_semi")
         .select(id_col)

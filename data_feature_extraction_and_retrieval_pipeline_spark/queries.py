@@ -3095,18 +3095,22 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree. Per-doc features are one scan; the bigram mode is one
     explode + two aggregations on the same doc_id partitioning."""
     docs = _t(spark, sf_dir, "documents", wide=True)
-    toks = X.tokens(F.col("text"))
-    feats = docs.select(
+    # tokenize ONCE per branch: embedding X.tokens in each feature
+    # column (and 5× inside the shingle zip_with) re-splits the text
+    # per reference — measured 2× slower on the x10 corpus (same
+    # finding as bm25_topk's tokenize-once refactor)
+    tok_df = docs.select("doc_id", X.tokens(F.col("text")).alias("__t"))
+    feats = tok_df.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        X.mean_word_length(toks).alias("__mwl"),
-        X.dup_word_fraction(toks).alias("__dwf"),
+        F.size("__t").cast("long").alias("n_words"),
+        X.mean_word_length(F.col("__t")).alias("__mwl"),
+        X.dup_word_fraction(F.col("__t")).alias("__dwf"),
     )
-    bigrams_arr = F.expr(X.word_shingles_sql(X.tokens_sql("text"), 2, distinct=False))
-    bigrams = docs.select(
+    bigrams_arr = F.expr(X.word_shingles_sql("__t", 2, distinct=False))
+    bigrams = tok_df.select(
         "doc_id",
         F.explode(
-            F.when(F.size(toks) >= 2, bigrams_arr).otherwise(
+            F.when(F.size("__t") >= 2, bigrams_arr).otherwise(
                 F.array().cast("array<string>")
             )
         ).alias("bg"),
@@ -6200,11 +6204,13 @@ def etl_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             t -> LENGTH(t) > 0)) AS tok
         FROM documents
     ),
-    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    freq AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
     tot AS (SELECT SUM(c) AS total FROM freq)
-    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-           ROUND(AVG(-LN(c / total)), 6) AS avg_nll
-    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    SELECT doc_id, SUM(tf)::BIGINT AS n_tokens,
+           ROUND(SUM(tf * -LN(c / total)) / SUM(tf), 6) AS avg_nll
+    FROM tf JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id
     """,
 )

@@ -388,18 +388,20 @@ def test_bm25_scoring_path_has_no_hash_shuffle(spark, qs):
 
 
 def test_tfidf_windows_share_one_doc_exchange(spark, qs):
-    """text_tfidf_keywords: the dl-sum window and the rank-limit
-    window both partition by doc_id and must share ONE exchange; the
-    rank cut must plan WindowGroupLimit (map-side ≤n pruning); the
-    vocabulary joins back as a BroadcastHashJoin."""
+    """text_tfidf_keywords: dl comes map-side from the token array
+    (carried through the (doc, tok) aggregate), so the ONLY window is
+    the rank limit — exactly one doc_id exchange total, planned as
+    WindowGroupLimit (map-side ≤n pruning); the vocabulary joins back
+    as a BroadcastHashJoin."""
     import re
 
     text = _plan_text(qs["text_tfidf_keywords"](spark, SF_DIR))
     assert "WindowGroupLimit" in text
     assert "BroadcastHashJoin" in text
+    assert text.count("Window") >= 1
     doc_only = re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", text)
     assert len(doc_only) == 1, (
-        f"both windows should reuse one doc_id exchange:\n{doc_only}"
+        f"the rank window should be the only doc_id exchange:\n{doc_only}"
     )
 
 
