@@ -232,15 +232,17 @@ def funnel(
 
     Plan: ONE shuffle. The sequential dependency (step k's timestamp
     depends on step k−1's) rules out independent conditional
-    aggregates without k passes over the events; instead each user's
-    events are collected and sorted once (bounded by per-user
-    activity, the same assumption sessionization makes) and a single
-    left-to-right ``F.aggregate`` fold walks the array carrying the
-    (s1..sk) state — the sessionize shape applied to conversion. The
-    fold's "first step-k event with t > s{k−1}" over the sorted array
-    equals MIN(t | type=step_k, t > s{k−1}), which is what the SQL
-    twin computes with k chained aggregates; repeated step types
-    (A→A funnels) work because each merge reads the PREVIOUS state.
+    aggregates in separate passes over the events table; instead each
+    user's step-typed event times are collected once, one UNSORTED
+    array per distinct step type (bounded by per-user activity, the
+    same assumption sessionization makes), and the anchors are k
+    chained conditional MINs over those arrays — s_i = array_min of
+    the step-i times strictly after (and optionally within the window
+    of) s_{i−1}. That is exactly what the SQL twin computes with k
+    chained aggregates; repeated step types (A→A funnels) work
+    because each step filters its own type's array against the
+    PREVIOUS anchor. No sort and no per-event state struct — the
+    conditional-MIN identity makes event order irrelevant.
 
     ``within_seconds`` adds a per-transition conversion deadline: step
     k must land strictly after step k−1 AND within the window of it
@@ -290,62 +292,63 @@ def funnel(
                 "answer it exactly"
             )
         return _funnel_salted(ev, steps, user_col, ts_col, type_col)
-    # Only step-typed events can anchor anything — drop the rest
-    # INSIDE the aggregate (collect_list skips nulls, and its partial
-    # combines map-side, so non-step events never reach the wire — at
-    # 100 TB with a wide event vocabulary that is most of the volume).
-    # NOT a pre-shuffle row filter: a user whose events are ALL
-    # non-step types must still emit a depth-0 row (the oracle groups
-    # over every non-null event; a hypothesis counterexample caught
-    # the row-filter form dropping those users, round 10).
-    item = F.when(
-        F.col(type_col).isin(list(dict.fromkeys(steps))),
-        F.struct(
-            F.unix_micros(F.col(ts_col)).alias("t"),
-            F.col(type_col).alias("y"),
-        ),
-    )
+    # Only step-typed events can anchor anything — collect ONE array
+    # of event times per DISTINCT step type (collect_list skips the
+    # when()-nulls, and its partial combines map-side, so non-step
+    # events never reach the wire — at 100 TB with a wide event
+    # vocabulary that is most of the volume). NOT a pre-shuffle row
+    # filter: a user whose events are ALL non-step types must still
+    # emit a depth-0 row (the oracle groups over every non-null
+    # event; a hypothesis counterexample caught the row-filter form
+    # dropping those users, round 10).
+    uniq = list(dict.fromkeys(steps))
+    t_us = F.unix_micros(F.col(ts_col))
     per_user = ev.groupBy(F.col(user_col)).agg(
-        F.array_sort(F.collect_list(item)).alias("__evs")
+        *[
+            F.collect_list(F.when(F.col(type_col) == ty, t_us)).alias(
+                f"__a{j}"
+            )
+            for j, ty in enumerate(uniq)
+        ]
     )
-    init = F.struct(
-        *[F.lit(None).cast("long").alias(f"s{i}") for i in range(k)]
-    )
+    arr_of = {ty: f"__a{j}" for j, ty in enumerate(uniq)}
 
-    def _merge(acc: Column, x: Column) -> Column:
-        fields = []
-        for i, st in enumerate(steps):
-            cur = acc[f"s{i}"]
-            if i == 0:
-                cond = cur.isNull() & (x["y"] == st)
-            else:
-                prev = acc[f"s{i - 1}"]
-                cond = (
-                    cur.isNull()
-                    & prev.isNotNull()
-                    & (x["y"] == st)
-                    & (x["t"] > prev)
-                )
-                if win_us is not None:
-                    cond = cond & (x["t"] <= prev + F.lit(win_us))
-            fields.append(F.when(cond, x["t"]).otherwise(cur).alias(f"s{i}"))
-        return F.struct(*fields)
+    # Chained conditional MINs — literally the SQL twin's shape:
+    # s1 = MIN(t | type=step1); s_i = MIN(t | type=step_i, t > s_{i-1}
+    # [, t <= s_{i-1} + win]) — evaluated per user over the collected
+    # per-type arrays (array_min over filter; empty → NULL, and a
+    # NULL anchor cascades because `t > NULL` filters everything, so
+    # depth still counts consecutive completions). Same first-touch
+    # greedy semantics as the sorted-array left fold this replaces
+    # (the fold's "first step-k event after s_{k-1}" IS the
+    # conditional MIN), but with no array_sort and no per-element
+    # struct allocation. Each s_i is materialized as a projection
+    # column so the next step's lambda captures a bound attribute,
+    # never a re-evaluated subtree.
+    def _after(p: Column):
+        return lambda t: t > p
 
-    walked = per_user.select(
-        F.col(user_col),
-        F.aggregate(F.col("__evs"), init, _merge).alias("__w"),
-    )
+    def _within(p: Column):
+        return lambda t: (t > p) & (t <= p + F.lit(win_us))
+
+    cur = per_user
+    for i, st in enumerate(steps):
+        arr = F.col(arr_of[st])
+        if i == 0:
+            expr = F.array_min(arr)
+        else:
+            prev = F.col(f"__s{i - 1}")
+            pred = _within(prev) if win_us is not None else _after(prev)
+            expr = F.array_min(F.filter(arr, pred))
+        cur = cur.withColumn(f"__s{i}", expr)
     depth = F.lit(0)
     for i in range(k):
         depth = F.when(
-            F.col("__w")[f"s{i}"].isNotNull(), F.lit(i + 1)
+            F.col(f"__s{i}").isNotNull(), F.lit(i + 1)
         ).otherwise(depth)
-    return walked.select(
+    return cur.select(
         F.col(user_col),
-        *[
-            F.col("__w")[f"s{i}"].alias(f"step{i + 1}_us")
-            for i in range(k)
-        ],
+        *[F.col(f"__s{i}").alias(f"step{i + 1}_us") for i in range(k)],
         depth.cast("int").alias("depth"),
     )
 

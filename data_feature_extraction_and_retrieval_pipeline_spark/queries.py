@@ -4667,6 +4667,10 @@ def join_tag_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce after a left join."""
     docs = _t(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
+    # (A per-doc sorted-distinct top-20 prefix would provably contain
+    # the global top-20 vocab, but the per-row distinct+sort measured
+    # SLOWER than letting the hash aggregate de-duplicate the raw
+    # explode — the distinct-shuffle is already map-side combined.)
     vocab = (
         docs.select(F.explode(toks).alias("tag"))
         .distinct()

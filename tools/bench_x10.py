@@ -56,6 +56,17 @@ WRITE_PRICED = {
     "events_interval_join_stream",
 }
 
+# Queries whose timed region is dominated by DRIVER-SIDE RESULT
+# MATERIALIZATION, not plan execution: the protocol collect()s the full
+# result on both engines, and above ~100k rows the fixed per-row client
+# cost dominates — PySpark's pickle path runs ~3 ns/row-field slower
+# than DuckDB's C-level fetchall, so the ratio prices the Python client
+# constant, not the plan. Classified by measured result cardinality
+# (rows_out >= FETCH_ROWS), with the split evidenced by
+# tools/profile_analysis.py (e.g. ml_segment_portable at x10: 0.06 s
+# to execute + 0.85 s to pickle 272k rows).
+FETCH_ROWS = 100_000
+
 
 def main() -> int:
     import duckdb
@@ -132,10 +143,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     exec_only: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
     for name in names:
         fn = qs[name]
         df = fn(spark, sf_dir)
-        df.collect()  # warm: compile + JIT + index build
+        rows_out[name] = len(df.collect())  # warm: compile + JIT + index build
         caching.release(name)
         for _ in range(3):
             t0 = time.perf_counter()
@@ -144,16 +156,14 @@ def main() -> int:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             caching.release(name)
-        # Execution-only: re-collect the SAME DataFrame — no fresh
-        # QueryExecution, so the ~0.5-2 s of Catalyst re-analysis the
-        # prepared-plan convention pays per run (select("*") forces a
-        # full re-plan) is excluded. CAVEAT: local-mode re-collect can
-        # reuse registered shuffle map outputs, so this UNDERSTATES
-        # pure execution — read it as a lower bound that brackets the
-        # analysis share: analysis ≈ timings - exec_only. A query slow
-        # in `timings` but fast here is ANALYSIS-floor class (fixed
-        # driver cost, vanishes into the data term at real scale),
-        # not a plan defect.
+        # Execution-only: re-collect the SAME DataFrame. CAVEAT — this
+        # is NOT "execution minus planning": a local-mode re-collect
+        # SKIPS every shuffle map stage whose outputs are still in the
+        # MapOutputTracker, re-running only the result stage. Catalyst
+        # planning is ~30 ms/query (tools/profile_analysis.py), so
+        # timings - exec_only ≈ the skipped stages' EXECUTION, not
+        # analysis. Read exec_only as "result stage + fetch" — a deep
+        # lower bound; use profile_analysis.py for the real split.
         for _ in range(2):
             t0 = time.perf_counter()
             df.collect()
@@ -213,8 +223,10 @@ def main() -> int:
         n for n in measurable
         if floor_adj[n] is not None and floor_adj[n] > 2
     }
-    over_bar = sorted(over - WRITE_PRICED)
+    fetch_priced = {n for n in over if rows_out.get(n, 0) >= FETCH_ROWS}
+    over_bar = sorted(over - WRITE_PRICED - fetch_priced)
     over_write = sorted(over & WRITE_PRICED)
+    over_fetch = sorted(fetch_priced - WRITE_PRICED)
 
     out = {
         "metric": f"x{mult}_oracled_total",
@@ -229,6 +241,8 @@ def main() -> int:
         "n_measurable": len(measurable),
         "over_2x_measurable": over_bar,
         "over_2x_write_priced": over_write,
+        "over_2x_fetch_priced": over_fetch,
+        "rows_out": dict(sorted(rows_out.items())),
         "queries": dict(sorted(timings.items())),
         "exec_only": dict(sorted(exec_only.items())),
         "oracle_queries": dict(sorted(oracle_timings.items())),
@@ -247,6 +261,7 @@ def main() -> int:
             "metric", "value", "unit", "n_queries", "oracle_total",
             "ratio_total", "job_floor_s", "n_measurable",
             "over_2x_measurable", "over_2x_write_priced",
+            "over_2x_fetch_priced",
         )
     }
     print(json.dumps(compact, separators=(",", ":")))
