@@ -308,7 +308,17 @@ _DRIVER_ORDER: list[str] = [
     "api_percolate_register",
     "percolate_join_batch",
     "percolate_join_stream",
-    # -- all 42 keepers whose newest rows are r07 (oldest witnesses) --
+    # -- late-round-10 plan changes (tokenize-once family, tfidf/
+    #    unigram rebuilds, rrf's bm25 leg) — floor 10 => head --
+    "text_bm25_topk",
+    "tag_search_bm25",
+    "text_tfidf_keywords",
+    "text_unigram_logprob",
+    "text_gopher_rules",
+    "text_contamination",
+    "retrieval_rrf_fusion",
+    # -- keepers whose newest rows are r07 (oldest witnesses); the
+    #    head cut falls inside this list --
     "agg_decade_orders",
     "agg_pivot_roundtrip",
     "agg_rollup_acctbal",
@@ -427,9 +437,12 @@ _TOUCHED: dict[str, int] = {
     "etl_sorted_export": 6,
     "agg_cube_lang_source": 6,
     "win_lag_delta": 6,
-    "text_bm25_topk": 6,
-    "tag_search_bm25": 6,
-    "text_tfidf_keywords": 6,
+    # round 10 (late): tokenize-once tf block (bm25_topk) and the
+    # map-side dl / single-window tfidf rebuild — plan changes,
+    # values identical
+    "text_bm25_topk": 10,
+    "tag_search_bm25": 10,
+    "text_tfidf_keywords": 10,
     "percolate_stream": 6,
     "etl_zorder_roundtrip": 6,
     # round 7: Percolator stats materialization (api_percolate plan),
@@ -488,7 +501,7 @@ _TOUCHED: dict[str, int] = {
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
     # service layer's facade path (service.py wraps Engine, no new
     # query semantics), and the F18 display-truncation function
-    "retrieval_rrf_fusion": 8,
+    "retrieval_rrf_fusion": 10,  # r10 late: tokenize-once bm25 leg
     "etl_display_truncate": 8,
     "events_funnel": 10,  # r10: isin prefilter below the shuffle
     "agg_pivot_roundtrip": 7,
@@ -535,10 +548,13 @@ _TOUCHED: dict[str, int] = {
     "dedup_simhash_portable": 3,
     "dedup_keep_best_per_source": 3,
     "text_redact_pii": 3,
-    "text_contamination": 3,
-    "text_gopher_rules": 3,
+    # r10 late: tokenize-once shingle/feature branches (plan change)
+    "text_contamination": 10,
+    "text_gopher_rules": 10,
     "text_chunk_windows": 3,
-    "text_unigram_logprob": 3,
+    # r10 late: one-explode tf-level rebuild, tf-weighted mean (new
+    # oracle formulation, same values)
+    "text_unigram_logprob": 10,
     "text_pack_bins": 3,
     "etl_hash_split": 3,
     "etl_mixture_sample": 3,
@@ -567,7 +583,7 @@ _TOUCHED: dict[str, int] = {
     "ann_pq_portable": 4,
     "ann_ivfpq_portable": 4,
     "ann_brute_force": 4,
-    "dedup_ngram_jaccard": 4,
+    "dedup_ngram_jaccard": 10,  # r10 late: tokenize-once shingles
     "dedup_cluster_canonical": 4,
     "text_quality": 4,
     "text_lang_id": 4,

@@ -252,7 +252,10 @@ def main() -> int:
         "mult": mult,
         "sf_dir": sf_dir,
     }
-    path = REPO / f"BENCH_x10_r{rnd:02d}.json"
+    # A --queries-filtered run is an iteration probe — never let it
+    # clobber the committed full-sweep artifact
+    suffix = "" if names_filter is None else ".partial"
+    path = REPO / f"BENCH_x10_r{rnd:02d}.json{suffix}"
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     compact = {
