@@ -15,6 +15,42 @@ from pyspark.sql import DataFrame, functions as F
 from . import analytics
 
 
+def _grouped_value_counts(
+    df: DataFrame, specs: dict[str, "F.Column"]
+) -> dict[str, DataFrame]:
+    """ONE grouping-sets pass computing ``value_counts`` for several
+    key expressions at once: the table scan, the Expand, and the hash
+    exchange are shared across every member (the union's branches pick
+    the map/shuffle work up via ReusedExchange), where separate
+    groupBys would each re-scan the table — at 100 TB this is the
+    difference between one pass over the corpus and one per report
+    section.
+
+    Grouping-sets masking uses NULL, but ``grouping_id()``
+    disambiguates a masked column from a REAL null key value, so null
+    groups survive exactly as in a standalone groupBy. Returns one
+    (key-named, count) frame per spec entry, unordered.
+    """
+    names = list(specs)
+    keyed = df.select(*[c.alias(f"__k_{n}") for n, c in specs.items()])
+    gcols = [F.col(f"__k_{n}") for n in names]
+    agg = keyed.groupingSets([[c] for c in gcols], *gcols).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.grouping_id().alias("__gid"),
+    )
+    out = {}
+    k = len(names)
+    for i, n in enumerate(names):
+        # grouping_id: one bit per grouping column, FIRST column most
+        # significant, bit set ⇔ column masked out of the set. Member
+        # i keeps only its own column ⇒ every bit set except bit i.
+        gid = (2**k - 1) ^ (2 ** (k - 1 - i))
+        out[n] = agg.filter(F.col("__gid") == F.lit(gid)).select(
+            F.col(f"__k_{n}").alias(n), F.col("count")
+        )
+    return out
+
+
 def dataset_report(
     documents: DataFrame,
     events: DataFrame,
@@ -36,11 +72,37 @@ def dataset_report(
     """
     from ..functions import vectors as V
 
+    # The four count-style document sections share ONE grouping-sets
+    # pass (scan + Expand + exchange computed once — see
+    # _grouped_value_counts); each member is value-identical to its
+    # standalone analytics twin (pytest pins this). The bin expression
+    # mirrors analytics.histogram(bin_width=50, min_value=0) exactly;
+    # a NULL n_chars yields a NULL bin, dropped below just as the
+    # standalone histogram's pre-filter drops the row.
+    shared = _grouped_value_counts(
+        documents,
+        {
+            "source": F.col("source"),
+            "lang": F.col("lang"),
+            "bin": (
+                F.floor((F.col("n_chars") - F.lit(0.0)) / F.lit(50.0))
+                * F.lit(50.0)
+                + F.lit(0.0)
+            ).cast("double"),
+            "has_long_text": (F.col("n_chars") >= 100),
+        },
+    )
+    src = shared["source"]
+    lng = shared["lang"]
+    hist = shared["bin"].filter(F.col("bin").isNotNull())
+    if ordered:
+        src = src.orderBy(F.desc("count"), F.col("source"))
+        lng = lng.orderBy(F.desc("count"), F.col("lang"))
+        hist = hist.orderBy("bin")
+
     return {
-        "source_counts": analytics.value_counts(
-            documents, "source", ordered=ordered
-        ),
-        "lang_counts": analytics.value_counts(documents, "lang", ordered=ordered),
+        "source_counts": src,
+        "lang_counts": lng,
         "token_leaderboard": (
             documents.select(
                 F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
@@ -51,9 +113,7 @@ def dataset_report(
             .orderBy(F.desc("count"), F.col("value"))
             .limit(30)
         ),
-        "length_histogram": analytics.histogram(
-            documents, "n_chars", 50.0, ordered=ordered
-        ),
+        "length_histogram": hist,
         "length_stats_by_lang": analytics.group_stats(
             documents, "lang", "n_chars", ordered=ordered
         ),
@@ -62,10 +122,7 @@ def dataset_report(
             F.countDistinct("lang").alias("n_langs"),
             F.count("*").alias("n_docs"),
         ),
-        "coverage_split": (
-            documents.groupBy((F.col("n_chars") >= 100).alias("has_long_text"))
-            .agg(F.count("*").alias("count"))
-        ),
+        "coverage_split": shared["has_long_text"],
         "event_type_counts": analytics.value_counts(
             events, "event_type", ordered=ordered
         ),

@@ -223,3 +223,52 @@ def test_drift_report_hand_values(spark):
 
     with pytest.raises(ValueError):
         drift_report(ref, cur)
+
+
+def test_grouped_value_counts_matches_standalone(spark):
+    """The shared grouping-sets pass must be VALUE-identical to the
+    standalone analytics twins for every member — including real NULL
+    key values, which grouping_id must keep distinct from the
+    grouping-sets masking NULLs."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        analytics,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")),
+    )
+    shared = reports._grouped_value_counts(
+        docs,
+        {
+            "source": F.col("source"),
+            "lang": F.col("lang"),
+            "bin": (
+                F.floor((F.col("n_chars") - F.lit(0.0)) / F.lit(50.0))
+                * F.lit(50.0)
+                + F.lit(0.0)
+            ).cast("double"),
+            "has_long_text": (F.col("n_chars") >= 100),
+        },
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()), key=repr)
+
+    assert rows(shared["source"]) == rows(
+        analytics.value_counts(docs, "source", ordered=False)
+    )
+    assert rows(shared["lang"]) == rows(
+        analytics.value_counts(docs, "lang", ordered=False)
+    )
+    assert rows(shared["bin"].filter(F.col("bin").isNotNull())) == rows(
+        analytics.histogram(docs, "n_chars", 50.0, ordered=False)
+    )
+    assert rows(shared["has_long_text"]) == rows(
+        docs.groupBy((F.col("n_chars") >= 100).alias("has_long_text")).agg(
+            F.count("*").alias("count")
+        )
+    )
+    # real NULL lang groups survive (doc_id % 7 planted them)
+    lang_rows = dict(rows(shared["lang"]))
+    assert None in lang_rows and lang_rows[None] > 0
