@@ -735,3 +735,111 @@ def test_funnel_matches_python(spark, user_events, within_min):
             within_us=within_min * 60 * 1_000_000 if within_min else None,
         )
         assert got[u] == want, (u, evs, got[u], want)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics operators (round-10 rebuilds): tf-weighted unigram
+# NLL and tf-idf keywords vs plain-Python references
+# ---------------------------------------------------------------------------
+
+
+def _py_unigram(docs: dict[int, list[str]]):
+    """(id -> (n_tokens, avg_nll)) under the corpus unigram model."""
+    from collections import Counter
+
+    freq = Counter(t for toks in docs.values() for t in toks)
+    total = sum(freq.values())
+    out = {}
+    for i, toks in docs.items():
+        if not toks:
+            continue  # token-less docs vanish at the explode
+        nll = [-math.log(freq[t] / total) for t in toks]
+        out[i] = (len(toks), sum(nll) / len(nll))
+    return out
+
+
+@given(
+    st.lists(st.lists(token, min_size=0, max_size=10), min_size=1, max_size=6)
+)
+@settings(**SETTINGS)
+def test_unigram_logprob_matches_python(spark, token_lists):
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        curation,
+    )
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in curation.unigram_logprob(df).collect()
+    }
+    want = _py_unigram(docs)
+    assert set(got) == set(want)
+    for i, (n, nll) in want.items():
+        assert got[i][0] == n
+        assert math.isclose(got[i][1], nll, rel_tol=1e-9), (i, docs[i])
+
+
+def _py_tfidf_top3(docs: dict[int, list[str]]):
+    """(id -> [(rank, term, tfidf)]) with the operator's exact formula
+    and (rounded score desc, term asc) ordering."""
+    from collections import Counter
+
+    n_docs = len(docs)
+    dfreq = Counter()
+    tfs = {}
+    for i, toks in docs.items():
+        tf = Counter(toks)
+        tfs[i] = tf
+        dfreq.update(tf.keys())
+    out = {}
+    for i, tf in tfs.items():
+        dl = sum(tf.values())
+        scored = [
+            (
+                round(
+                    (c / dl) * math.log((n_docs + 1) / (dfreq[t] + 1)), 6
+                ),
+                t,
+            )
+            for t, c in tf.items()
+        ]
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        out[i] = [
+            (r + 1, t, s) for r, (s, t) in enumerate(scored[:3])
+        ]
+    return out
+
+
+@given(
+    st.lists(st.lists(token, min_size=1, max_size=10), min_size=1, max_size=6)
+)
+@settings(**SETTINGS)
+def test_tfidf_keywords_matches_python(spark, token_lists):
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        curation,
+    )
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id: long, text: string",
+    )
+    got: dict[int, list] = {}
+    for r in curation.tfidf_keywords(df, top_n=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"])
+        )
+    for i in got:
+        got[i].sort()
+    want = _py_tfidf_top3(docs)
+    assert set(got) == set(want)
+    for i in want:
+        assert [(r, t) for r, t, _ in got[i]] == [
+            (r, t) for r, t, _ in want[i]
+        ], (i, docs[i])
+        for (_, _, g), (_, _, w) in zip(got[i], want[i]):
+            assert math.isclose(g, w, rel_tol=0, abs_tol=1.5e-6), (i, docs[i])
