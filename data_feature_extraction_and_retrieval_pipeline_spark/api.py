@@ -559,16 +559,19 @@ class CurationPipeline:
         polynomial hash an external engine can replay (certification)."""
         from .operators.dedup import incremental_exact_filter
 
-        # persist: the arriving batch feeds the key projection (twice,
-        # via the broadcast collision probe) plus the survivor
-        # semi-join (see dedup_exact for the stage-boundary policy)
+        # persist: the arriving batch feeds the key projection plus the
+        # survivor semi-join (see dedup_exact for the stage-boundary
+        # policy). The operator additionally persists its batch-key
+        # frame internally — construct it INSIDE the chain's cache
+        # scope so that persist is released with this chain, not
+        # orphaned in the ambient scope.
         src = self._persist(self.df)
-        return self._with(
-            incremental_exact_filter(
+        with caching.scope(self._cache_scope):
+            out = incremental_exact_filter(
                 src, corpus, text_col=self.text_col, id_col=self.id_col,
                 portable=portable,
             )
-        )
+        return self._with(out)
 
     def dedup_near(
         self,

@@ -488,6 +488,85 @@ def _term_eq(term: str):
     return lambda t: t == F.lit(term)
 
 
+def _bm25_base(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str | None,
+    tokens_col: str | None,
+    keep_cols: Sequence[str],
+) -> tuple[DataFrame, list[str]]:
+    """Per-document (dl, tf_i...) projection shared by the scorer and
+    the corpus-stats aggregate."""
+    from ..functions import text as X
+
+    if tokens_col is not None:
+        # NULL-array identity: a missing token list is the empty doc —
+        # without the coalesce, F.size(NULL) is -1 and the dl/tf
+        # arithmetic silently skews instead of scoring zero
+        toks = F.coalesce(
+            F.col(tokens_col), F.array().cast("array<string>")
+        )
+    else:
+        toks = X.tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    tf_names = [f"__tf_{i}" for i in range(len(terms))]
+    # Tokenize ONCE into a column, then derive dl and every per-term
+    # tf from it. Embedding the tokenization expression in each tf
+    # column re-splits the text per term (codegen subexpression
+    # elimination does not collapse the repeated HOF trees) — measured
+    # 2× slower at 8 terms on the x10 corpus. CollapseProject leaves
+    # the two-level select alone because __toks is referenced many
+    # times.
+    pre = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("__toks"),
+    )
+    base = pre.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size("__toks").alias("__dl"),
+        *[
+            F.size(F.filter(F.col("__toks"), _term_eq(t))).alias(n)
+            for t, n in zip(terms, tf_names)
+        ],
+    )
+    return base, tf_names
+
+
+def _bm25_stats_agg(base: DataFrame, tf_names: list[str]) -> DataFrame:
+    return base.agg(
+        F.count("*").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(n) > 0).cast("long")).alias(f"__df_{i}")
+            for i, n in enumerate(tf_names)
+        ],
+    )
+
+
+def bm25_corpus_stats(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The 1-row corpus-statistics frame ``bm25_topk`` needs —
+    (N, Σdl, df per query term). This is WRITE-TIME state in a real
+    deployment (Lucene keeps N/Σdl and per-term document frequencies
+    in the index segment metadata; an ES ``match`` never rescans the
+    corpus for them): collect it once per (corpus, terms), rebuild a
+    literal 1-row frame per query, and pass it as ``stats_df`` — the
+    scoring plan drops from two corpus scans to one."""
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_corpus_stats needs at least one term")
+    base, tf_names = _bm25_base(df, terms, id_col, text_col, tokens_col, ())
+    return _bm25_stats_agg(base, tf_names)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: Sequence[str],
@@ -536,50 +615,12 @@ def bm25_topk(
     terms = list(dict.fromkeys(str(t) for t in query_terms))
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    from ..functions import text as X
-
-    if tokens_col is not None:
-        # NULL-array identity: a missing token list is the empty doc —
-        # without the coalesce, F.size(NULL) is -1 and the dl/tf
-        # arithmetic silently skews instead of scoring zero
-        toks = F.coalesce(
-            F.col(tokens_col), F.array().cast("array<string>")
-        )
-    else:
-        toks = X.tokens(F.coalesce(F.col(text_col), F.lit("")))
-
-    tf_names = [f"__tf_{i}" for i in range(len(terms))]
-    # Tokenize ONCE into a column, then derive dl and every per-term
-    # tf from it. Embedding the tokenization expression in each tf
-    # column re-splits the text per term (codegen subexpression
-    # elimination does not collapse the repeated HOF trees) — measured
-    # 2× slower at 8 terms on the x10 corpus. CollapseProject leaves
-    # the two-level select alone because __toks is referenced many
-    # times.
-    pre = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        toks.alias("__toks"),
-    )
-    base = pre.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        F.size("__toks").alias("__dl"),
-        *[
-            F.size(F.filter(F.col("__toks"), _term_eq(t))).alias(n)
-            for t, n in zip(terms, tf_names)
-        ],
+    base, tf_names = _bm25_base(
+        df, terms, id_col, text_col, tokens_col, keep_cols
     )
 
     if stats_df is None:
-        stats_df = base.agg(
-            F.count("*").alias("__n"),
-            F.sum("__dl").alias("__sumdl"),
-            *[
-                F.sum((F.col(n) > 0).cast("long")).alias(f"__df_{i}")
-                for i, n in enumerate(tf_names)
-            ],
-        )
+        stats_df = _bm25_stats_agg(base, tf_names)
 
     scored = base.crossJoin(F.broadcast(stats_df))
     nd = F.col("__n").cast("double")

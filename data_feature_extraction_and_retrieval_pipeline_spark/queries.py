@@ -1872,6 +1872,30 @@ _BM25_DOC_TERMS = ["data", "table", "vector", "join"]
 _BM25_TAG_TERMS = ["data", "table", "row"]
 
 
+def _bm25_resident_stats(spark: SparkSession, key: str, build):
+    """ES-parity BM25 statistics: N, Σdl and the per-term document
+    frequencies are INDEX METADATA in Lucene (segment stats + posting
+    list df), not per-query work — so they are a
+    ``materialized_value`` artifact: collected once per (corpus,
+    terms), rebuilt per query as a literal 1-row frame (OneRowRelation
+    → LocalTableScan, broadcasts without scheduling a job). Cache off
+    ⇒ collected fresh inside the query under test (bounded driver
+    state: one row of longs). Passing it as ``stats_df`` drops the
+    scorer from two corpus scans to one."""
+    vals = indexes.materialized_value(
+        spark, key, lambda: build().first().asDict()
+    )
+    cols = ", ".join(
+        (
+            f"CAST(NULL AS BIGINT) AS {c}"
+            if v is None
+            else f"CAST({int(v)} AS BIGINT) AS {c}"
+        )
+        for c, v in vals.items()
+    )
+    return spark.sql(f"SELECT {cols}")
+
+
 @register(
     "text_bm25_topk",
     _bm25_sql(
@@ -1890,9 +1914,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); corpus stats are one 1-row aggregate broadcast back;
     top-k is TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents", wide=True)
+    stats = _bm25_resident_stats(
+        spark,
+        f"bm25stats_doc:{sf_dir}",
+        lambda: retrieval.bm25_corpus_stats(
+            docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text"
+        ),
+    )
     return retrieval.bm25_topk(
         docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text",
-        top_k=10, keep_cols=("lang",),
+        top_k=10, keep_cols=("lang",), stats_df=stats,
     )
 
 
@@ -1915,9 +1946,16 @@ def tag_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-time tag artifact `_doc_tag_list`; only the ranking
     changes."""
     tagged = _doc_tag_list(spark, sf_dir)
+    stats = _bm25_resident_stats(
+        spark,
+        f"bm25stats_tag:{sf_dir}",
+        lambda: retrieval.bm25_corpus_stats(
+            tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list"
+        ),
+    )
     return retrieval.bm25_topk(
         tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list",
-        top_k=10,
+        top_k=10, stats_df=stats,
     )
 
 
@@ -1980,8 +2018,16 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
+    stats = _bm25_resident_stats(
+        spark,
+        f"bm25stats_doc:{sf_dir}",  # shared with text_bm25_topk
+        lambda: retrieval.bm25_corpus_stats(
+            docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text"
+        ),
+    )
     text_hits = retrieval.bm25_topk(
-        docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text", top_k=20
+        docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text", top_k=20,
+        stats_df=stats,
     )
     vec_hits = (
         emb.select(

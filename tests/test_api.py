@@ -478,12 +478,14 @@ def test_curation_pipeline_release_scopes_and_drops_caches(spark):
 
     mine1 = [sc for _, sc in caching._LIVE if sc == p1._cache_scope]
     mine2 = [sc for _, sc in caching._LIVE if sc == p2._cache_scope]
-    # p1's two stages share ONE scope (clones inherit it), p2 has its own
-    assert len(mine1) == 2 and len(mine2) == 1
+    # p1's stages share ONE scope (clones inherit it): two stage-source
+    # persists + the incremental filter's internal batch-key persist;
+    # p2 has its own scope with one
+    assert len(mine1) == 3 and len(mine2) == 1
     assert p1._cache_scope != p2._cache_scope
 
     # release() drops only p1's frames; p2's survive until its release
-    assert p1.release() == 2
+    assert p1.release() == 3
     assert [sc for _, sc in caching._LIVE if sc == p1._cache_scope] == []
     assert len([sc for _, sc in caching._LIVE if sc == p2._cache_scope]) == 1
     assert p2.release() == 1

@@ -372,18 +372,24 @@ def test_cube_has_partial_aggregation(spark, qs):
 def test_bm25_scoring_path_has_no_hash_shuffle(spark, qs):
     """text_bm25_topk: literal query terms make per-doc tf MAP-ONLY —
     the plan must contain no explode (Generate) and no hash-partition
-    exchange at all. The only exchanges are the 1-row corpus-stats
-    SinglePartition aggregate and its broadcast back; top-k is
+    exchange at all. The corpus stats arrive as a resident 1-row
+    LITERAL frame (index metadata, Lucene-style — no stats aggregate
+    in the scoring plan) broadcast back over the scan; top-k is
     TakeOrderedAndProject. This is the shape that survives 100 TB:
-    scan-bound, zero data shuffled."""
+    ONE scan, zero data shuffled."""
     df = qs["text_bm25_topk"](spark, SF_DIR)
     text = _plan_text(df)
     assert "Generate" not in text, "bm25 tf must not explode tokens"
     assert "hashpartitioning" not in text, (
         f"bm25 must not hash-shuffle anything:\n{text[:1500]}"
     )
-    assert "SinglePartition" in text  # the 1-row stats aggregate
     assert "BroadcastNestedLoopJoin" in text  # stats row broadcast back
+    assert "OneRowRelation" in text or "LocalTableScan" in text, (
+        "stats must come from the literal frame, not an aggregate"
+    )
+    assert text.count("Scan parquet") <= 1, (
+        "resident stats must leave ONE corpus scan"
+    )
     assert has_take_ordered(df)
 
 
