@@ -117,10 +117,24 @@ def dataset_report(
         "length_stats_by_lang": analytics.group_stats(
             documents, "lang", "n_chars", ordered=ordered
         ),
-        "distinct_counters": documents.agg(
-            F.countDistinct("source").alias("n_sources"),
-            F.countDistinct("lang").alias("n_langs"),
-            F.count("*").alias("n_docs"),
+        # Re-aggregates of the SHARED grouping-sets members — no extra
+        # corpus scan and no multi-countDistinct Expand: each distinct
+        # non-null value is one member group row (count(key) skips the
+        # null group, exactly countDistinct's null discipline), and
+        # every document lands in exactly one source group (null
+        # included), so n_docs = Σ member counts.
+        "distinct_counters": (
+            shared["source"]
+            .agg(
+                F.count("source").alias("n_sources"),
+                F.sum("count").alias("n_docs"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    shared["lang"].agg(F.count("lang").alias("n_langs"))
+                )
+            )
+            .select("n_sources", "n_langs", "n_docs")
         ),
         "coverage_split": shared["has_long_text"],
         "event_type_counts": analytics.value_counts(
