@@ -58,6 +58,14 @@ QUERIES = [
     "events_retention",
     "events_funnel_windowed",
     "events_retention_stream",
+    # round-10 additions — the late-round rebuilds whose formulations
+    # changed (tf-weighted unigram mean, map-side-dl tfidf, the
+    # grouping-sets + shared-aggregate report): re-prove the values at
+    # 545k docs / 10M events where float-order and null-group hazards
+    # would actually surface
+    "text_unigram_logprob",
+    "text_tfidf_keywords",
+    "report_dataset",
 ]
 
 
