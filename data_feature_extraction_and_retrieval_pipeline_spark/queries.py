@@ -3816,11 +3816,11 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the hour, purchased within the hour of the click".
     First-touch greedy semantics (each step anchors on the earliest
     qualifying event; see the operator docstring). Same one-shuffle
-    sorted-array fold as `events_funnel`; the deadline is one extra
-    comparison inside the merge, and the oracle adds the matching
-    bound to each chained conditional MIN — the window is a function
-    of the already-fixed previous anchor, so fold and chained-MIN
-    stay exactly equivalent."""
+    chained-conditional-MIN plan as `events_funnel`; the deadline is
+    one extra bound inside each step's filter, mirrored exactly by
+    the oracle's chained conditional MINs — the window is a function
+    of the already-fixed previous anchor, so both formulations stay
+    exactly equivalent."""
     ev = _t(spark, sf_dir, "events")
     return temporal.funnel(
         ev, ["view", "click", "purchase"], within_seconds=3600
@@ -6329,9 +6329,10 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 tokens by tf-idf
     (operators/curation.py::tfidf_keywords) — searchable topic keys
     for every document, the corpus-statistics analogue of the
-    reference's per-image tag vocabulary. One full-token shuffle, a
-    broadcast vocab join, and a shared-exchange window pair (dl sum +
-    rank limit)."""
+    reference's per-image tag vocabulary. One full-token shuffle with
+    document length carried map-side from the token array, a
+    broadcast vocab join, and a single rank-limit window
+    (WindowGroupLimit cuts to top-3 map-side)."""
     docs = _t(spark, sf_dir, "documents", wide=True)
     return curation.tfidf_keywords(docs, top_n=3)
 
