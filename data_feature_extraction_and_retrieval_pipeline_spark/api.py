@@ -562,15 +562,23 @@ class CurationPipeline:
         # persist: the arriving batch feeds the key projection plus the
         # survivor semi-join (see dedup_exact for the stage-boundary
         # policy). The operator additionally persists its batch-key
-        # frame internally — construct it INSIDE the chain's cache
-        # scope so that persist is released with this chain, not
-        # orphaned in the ambient scope.
+        # frame internally — same scope policy as _persist: an ambient
+        # harness scope owns the whole chain's release lifecycle
+        # (a harness releasing by its own name must see the operator's
+        # internal persist too); only without one does the chain's own
+        # scope take ownership.
         src = self._persist(self.df)
-        with caching.scope(self._cache_scope):
+        if caching.current_scope() is not None:
             out = incremental_exact_filter(
                 src, corpus, text_col=self.text_col, id_col=self.id_col,
                 portable=portable,
             )
+        else:
+            with caching.scope(self._cache_scope):
+                out = incremental_exact_filter(
+                    src, corpus, text_col=self.text_col,
+                    id_col=self.id_col, portable=portable,
+                )
         return self._with(out)
 
     def dedup_near(

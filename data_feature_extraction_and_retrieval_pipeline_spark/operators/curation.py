@@ -287,6 +287,13 @@ def tfidf_keywords(
     rank-limit window (WindowGroupLimit pushes the ≤n cut map-side).
     Ranking compares the ROUNDED score with a token tiebreak, so the
     kept set is engine-exact.
+
+    Precondition: ``id_col`` is unique (one row per document — true of
+    every corpus this engine produces; dedup runs upstream). The
+    map-side dl below is a per-id constant ONLY under that invariant:
+    with duplicate-id rows, MAX picks one row's token count where the
+    document length should be the sum across the id's rows —
+    concatenate (or dedup) multi-row documents before calling.
     """
     # dl (document length) is computed map-side from the token array
     # BEFORE the explode and carried through the (id, tok) aggregation

@@ -127,7 +127,11 @@ def dataset_report(
             shared["source"]
             .agg(
                 F.count("source").alias("n_sources"),
-                F.sum("count").alias("n_docs"),
+                # sum over zero member rows is NULL — coalesce keeps
+                # the empty-documents contract at n_docs = 0
+                F.coalesce(
+                    F.sum("count"), F.lit(0).cast("long")
+                ).alias("n_docs"),
             )
             .crossJoin(
                 F.broadcast(

@@ -44,6 +44,24 @@ def test_dataset_report_long_sections(spark):
     assert sum(v for (s, _), v in rows.items() if s == "source_counts") == n_docs
 
 
+def test_dataset_report_empty_documents_zero_counters(spark):
+    """Empty-input contract: with zero documents the counters section
+    still materializes with n_docs = 0 (sum over zero member rows is
+    NULL without the coalesce — this pins the coalesce)."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    events = spark.createDataFrame([Row(event_id=1, user_id=1, event_type="t")])
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0], label=0)])
+    out = reports.dataset_report_long(docs, events, emb)
+    counters = {
+        r["key"]: r["value"]
+        for r in out.filter(F.col("section") == "distinct_counters").collect()
+    }
+    assert counters["n_docs"] == 0
+    assert counters["n_sources"] == 0 and counters["n_langs"] == 0
+
+
 def test_dataset_report_long_null_keys_explicit(spark):
     docs = spark.createDataFrame(
         [
