@@ -235,6 +235,38 @@ class Engine:
         uses, so an item inserted through the encoder is its own top
         hit.
         """
+        qvec, seg_rows = self._encode_query(
+            payload, filename, mode, dim=dim,
+            max_segments=max_segments, model_loader=model_loader,
+        )
+        query_segments = None
+        if seg_rows is not None:
+            query_segments = self.images.sparkSession.createDataFrame(
+                seg_rows, "q_segment_id long, features array<float>"
+            )
+        return self.search(
+            mode,
+            query_vec=qvec,
+            query_segments=query_segments,
+            top_k=top_k,
+            **kwargs,
+        )
+
+    def _encode_query(
+        self,
+        payload: bytes,
+        filename: str,
+        mode: str,
+        dim: int | None = None,
+        max_segments: int = 10,
+        model_loader=None,
+    ) -> tuple[list[float] | None, list[tuple[int, list[float]]] | None]:
+        """The upload → encode step shared by the Spark and hot
+        serving paths: validate, segment the query payload when the
+        mode needs segments, batch-encode through the model seam.
+        Returns ``(query_vec | None, [(q_segment_id, features)] |
+        None)`` — driver-side values, so BOTH tiers score the
+        identical float32-exact query vectors."""
         from .ml.encoders import (
             _hash_projection,
             _l2_normalize_rows,
@@ -254,7 +286,8 @@ class Engine:
             real = loader()
             if real is None and dim is None:
                 # dim lookup only on the stub path (the real encoder
-                # knows its own dim) — it costs a Spark job per request
+                # knows its own dim); the hot tier passes its resident
+                # dim, so this Spark job runs only on the cold path
                 first = self.images.select("embedding").first()
                 if first is None:
                     raise ValueError(
@@ -288,20 +321,108 @@ class Engine:
                     [float(x) for x in _hash_projection(b, dim)] for b in blobs
                 ]
         qvec = vecs[0] if needs_vec else None
-        query_segments = None
+        seg_rows = None
         if needs_segs:
             seg_vecs = vecs[1:] if needs_vec else vecs
-            query_segments = self.images.sparkSession.createDataFrame(
-                [
-                    (sid, v)
-                    for (sid, _crop), v in zip(crops, seg_vecs)
-                ],
-                "q_segment_id long, features array<float>",
+            seg_rows = [
+                (sid, v) for (sid, _crop), v in zip(crops, seg_vecs)
+            ]
+        return qvec, seg_rows
+
+    # -- hot serving tier (serving.py — the ES-parity resident index) --
+
+    def hot(self, rebuild: bool = False):
+        """The driver-resident :class:`~.serving.HotSearchIndex` built
+        from this engine's tables (cached; ``rebuild=True`` refreshes
+        after the tables change). One bounded Spark collect per table —
+        the hot tier's index-build step."""
+        from .serving import HotSearchIndex
+
+        cached = getattr(self, "_hot", None)
+        if cached is None or rebuild:
+            cached = HotSearchIndex.from_engine(self)
+            self._hot = cached
+        return cached
+
+    def search_rows(
+        self,
+        mode: str,
+        query_vec: Sequence[float] | None = None,
+        query_rows: Sequence[tuple] | None = None,
+        tags: Sequence[str] | None = None,
+        top_k: int = 10,
+        whole_weight: float = 0.4,
+        segment_weight: float = 0.6,
+        min_confidence: float = 0.1,
+        tag_filter: Sequence[str] | None = None,
+    ) -> list[dict]:
+        """Hot-tier twin of :meth:`search` for driver-held queries —
+        same modes, same validation errors, same score algebra and row
+        shape (equivalence-pinned by tests/test_serving.py), returning
+        collected rows instead of a DataFrame. ``query_rows`` is the
+        driver-side ``[(q_segment_id, features), …]`` the serving path
+        already holds (no query DataFrame round-trip)."""
+        hot = self.hot()
+        allowed = None
+        if tag_filter:
+            if self.segment_tags is None:
+                raise ValueError("tag_filter needs a segment_tags table")
+            allowed = hot.tag_allowed(tag_filter, min_confidence)
+        if mode == "whole":
+            if query_vec is None:
+                raise ValueError("whole mode needs query_vec")
+            return hot.whole(query_vec, top_k, allowed=allowed)
+        if mode == "segment":
+            if query_rows is None:
+                raise ValueError("segment mode needs query_segments")
+            if self.segments is None:
+                raise ValueError("engine has no segments table")
+            return hot.segment(
+                query_rows, top_k, candidate_cap=top_k * 3, allowed=allowed
             )
-        return self.search(
+        if mode == "hybrid":
+            if query_vec is None or query_rows is None:
+                raise ValueError("hybrid mode needs query_vec + query_segments")
+            if self.segments is None:
+                raise ValueError("engine has no segments table")
+            return hot.hybrid(
+                query_vec, query_rows, top_k,
+                whole_weight=whole_weight, segment_weight=segment_weight,
+                allowed=allowed,
+            )
+        if mode == "tags":
+            if not tags:
+                raise ValueError("tags mode needs tags")
+            if self.segment_tags is None:
+                raise ValueError("engine has no segment_tags table")
+            return hot.tags(
+                tags, min_confidence=min_confidence, top_k=top_k
+            )
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def search_content_rows(
+        self,
+        payload: bytes,
+        filename: str = "query.jpg",
+        mode: str = "whole",
+        top_k: int = 10,
+        max_segments: int = 10,
+        model_loader=None,
+        **kwargs,
+    ) -> list[dict]:
+        """Hot-tier twin of :meth:`search_content`: the same validate →
+        segment → encode lifecycle (shared ``_encode_query``, so both
+        tiers score identical query vectors), dispatched to
+        :meth:`search_rows`. Zero Spark jobs per request."""
+        hot = self.hot()
+        qvec, seg_rows = self._encode_query(
+            payload, filename, mode, dim=hot.dim,
+            max_segments=max_segments, model_loader=model_loader,
+        )
+        return self.search_rows(
             mode,
             query_vec=qvec,
-            query_segments=query_segments,
+            query_rows=seg_rows,
             top_k=top_k,
             **kwargs,
         )
@@ -927,6 +1048,7 @@ class Percolator:
         )
         self.stats = None
         self._join_form = True
+        self._py_stats = None
 
     def unregister(self, query_id: str) -> None:
         """Drop a standing query. Frozen statistics keep covering its
@@ -979,6 +1101,88 @@ class Percolator:
             )
             spark = self._corpus.sparkSession
             self.stats = spark.createDataFrame([vals], schema=schema)
+        self._py_stats = None
+
+    def _frozen_py(self) -> tuple[dict, int, int]:
+        """The frozen statistics as plain driver values: (df-by-term,
+        n, Σdl). Memoized — register()/unregister() invalidate via
+        ``_py_stats = None`` so the hot scorer always reads the current
+        frozen state (still FROZEN w.r.t. the corpus: registration is
+        the only event that extends it, same contract as matches())."""
+        cached = getattr(self, "_py_stats", None)
+        if cached is not None:
+            return cached
+        if self._join_form:
+            df_by_term = {str(t): int(d) for t, d in self._stats_rows}
+            n, sumdl = (int(x) for x in self._totals_rows[0])
+        else:
+            row = self.stats.collect()[0]
+            n = int(row["__n"] or 0)
+            sumdl = int(row["__sumdl"] or 0)
+            df_by_term = {
+                t: int(row[f"__df_{i}"] or 0)
+                for i, t in enumerate(self.terms)
+            }
+        self._py_stats = (df_by_term, n, sumdl)
+        return self._py_stats
+
+    def matches_rows(self, rows) -> list[dict]:
+        """Hot-tier twin of :meth:`matches` for driver-held batches —
+        the serving path (``rows`` = [(doc_id, text), …], e.g. one
+        HTTP alerting call). Scores in pure Python against the SAME
+        frozen statistics with the expression form's exact arithmetic
+        (left-to-right accumulation, identical operator order), so a
+        doc matches here iff it matches the Spark forms; equivalence
+        is pinned by tests/test_serving.py. Emission order is the
+        expression form's deterministic (doc input order × query
+        registration order) — zero Spark jobs, microseconds per call,
+        which is what lets one driver hold the SRS <2 s line under
+        concurrent alerting traffic (SCALING.md "Serving
+        concurrency"). Corpus-scale batches belong on
+        :meth:`matches`; this path is O(|rows|·|queries|·|terms|)
+        driver CPU."""
+        import math
+
+        from .serving import py_tokens, round_half_up
+
+        if self.tokens_col is not None:
+            raise ValueError(
+                "matches_rows scores text rows; a tokens_col percolator "
+                "must percolate through matches()"
+            )
+        df_by_term, n, sumdl = self._frozen_py()
+        nd = float(n)
+        avgdl = (float(sumdl) / nd) if sumdl > 0 else 1.0
+        k1, b = self.k1, self.b
+        out: list[dict] = []
+        for doc_id, text in rows:
+            toks = py_tokens(text)
+            dl = float(len(toks))
+            tf_cache: dict[str, int] = {}
+            for q in self.queries:
+                score = None
+                matched = 0
+                for t in q.terms:
+                    tf = tf_cache.get(t)
+                    if tf is None:
+                        tf = sum(1 for tok in toks if tok == t)
+                        tf_cache[t] = tf
+                    dfd = float(df_by_term[t])
+                    idf = math.log(1.0 + (nd - dfd + 0.5) / (dfd + 0.5))
+                    norm = tf / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+                    contrib = idf * norm
+                    score = contrib if score is None else score + contrib
+                    matched += 1 if tf > 0 else 0
+                if matched > 0 and score >= q.min_score:
+                    out.append(
+                        {
+                            self.id_col: doc_id,
+                            "query_id": q.query_id,
+                            "n_matched_terms": matched,
+                            "bm25": round_half_up(score, 6),
+                        }
+                    )
+        return out
 
     def matches(self, docs: DataFrame) -> DataFrame:
         """(doc_id, query_id, n_matched_terms, bm25) for every standing

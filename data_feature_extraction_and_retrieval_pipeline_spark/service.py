@@ -44,11 +44,26 @@ rather than the reference's ES ``_source`` fields, which is the one
 deliberate divergence: the engine is the system of record here).
 
 Architecture note (SURVEY.md §2.10): everything below is a
-driver-side THIN wrapper — parse request → ``Engine.search_content``
-/ ``Engine.search`` → collect → JSON. No query logic lives here; the
-collect is bounded by ``top_k``. One Spark driver serves all threads
-(ThreadingHTTPServer + Spark's thread-safe session), the same
-concurrency model as the reference's single-process Flask app.
+driver-side THIN wrapper — parse request → Engine → JSON. No query
+logic lives here. Two serving tiers share the handlers (SCALING.md
+"Serving concurrency"):
+
+- **hot** (default): ``Engine.search_content_rows`` /
+  ``Percolator.matches_rows`` score against the driver-resident
+  artifact (serving.py — the reference's always-hot ES index twin;
+  ms-class requests, equivalence-pinned against the Spark plans by
+  tests/test_serving.py), fronted by a bounded response LRU keyed on
+  the request body (the ES request-cache twin — sound because the
+  engine's tables are an immutable snapshot and the one mutable
+  surface, the percolator registry, versions its keys with an epoch).
+- **hot=False**: every request runs the Spark plans
+  (``Engine.search_content`` → bounded collect) — the deployment
+  whose corpus fits nowhere resident, and the tier the hot one is
+  certified against.
+
+One driver serves all threads (ThreadingHTTPServer + Spark's
+thread-safe session), the same concurrency model as the reference's
+single-process Flask app.
 """
 
 from __future__ import annotations
@@ -118,20 +133,68 @@ def _rows_json(df, top_k: int) -> list[dict]:
     return out
 
 
+class _ResponseCache:
+    """Bounded LRU over (path, body-digest[, percolator epoch]) → 200
+    response — the reference deployment's ES REQUEST CACHE twin (ES
+    caches search responses keyed on the request body against an
+    immutable shard snapshot). Sound here for the same reason: an
+    Engine's tables are an immutable snapshot, the model seam is
+    deterministic per payload, and the one mutable surface — the
+    percolator registry — versions its cache keys with an epoch
+    counter bumped on register/unregister."""
+
+    def __init__(self, maxsize: int = 512):
+        from collections import OrderedDict
+
+        self._data: "OrderedDict" = OrderedDict()
+        self._lock = threading.Lock()
+        self.maxsize = maxsize
+
+    def get(self, key):
+        with self._lock:
+            hit = self._data.get(key)
+            if hit is not None:
+                self._data.move_to_end(key)
+            return hit
+
+    def put(self, key, value) -> None:
+        with self._lock:
+            self._data[key] = value
+            self._data.move_to_end(key)
+            while len(self._data) > self.maxsize:
+                self._data.popitem(last=False)
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine = None  # bound by serve()
     model_loader = None
     documents = None  # optional corpus frame for the percolate routes
     percolator = None  # constructed lazily on first register
     _perc_lock = threading.Lock()  # register/unregister are mutations
+    hot = False  # serve(hot=...) — resident-tier scoring (serving.py)
+    resp_cache: _ResponseCache | None = None
+    perc_epoch = 0  # bumped on register/unregister (cache versioning)
 
     _MAX_MATCH_DOCS = 500  # bounded per-request inline batch
+    # idempotent search/alert calls — pure functions of (request body,
+    # registry epoch); register/unregister are mutations, never cached
+    _CACHEABLE = frozenset(
+        (
+            "/search/whole", "/search/segment", "/search/hybrid",
+            "/search/tags", "/api/search", "/percolate/match",
+        )
+    )
 
     # -- plumbing -----------------------------------------------------
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
     def _json(self, code: int, obj) -> None:
+        key = getattr(self, "_cache_key", None)
+        if key is not None and code == 200:
+            # only successful, fully-built responses enter the cache;
+            # 4xx/5xx always recompute (errors may be transient)
+            type(self).resp_cache.put(key, (code, obj))
         payload = json.dumps(obj).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
@@ -202,6 +265,22 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._read_body()
         if body is None:
             return
+        cache = type(self).resp_cache
+        self._cache_key = None
+        if cache is not None and self.path in self._CACHEABLE:
+            import hashlib
+
+            epoch = (
+                type(self).perc_epoch
+                if self.path == "/percolate/match"
+                else 0
+            )
+            key = (self.path, hashlib.sha256(body).digest(), epoch)
+            hit = cache.get(key)
+            if hit is not None:
+                self._json(*hit)
+                return
+            self._cache_key = key
         try:
             if self.path == "/search/whole":
                 self._image_search(body, "whole")
@@ -275,18 +354,29 @@ class _Handler(BaseHTTPRequestHandler):
         if mode == "hybrid":
             kwargs["whole_weight"] = float(form.get("whole_weight", 0.4))
             kwargs["segment_weight"] = float(form.get("segment_weight", 0.6))
-        df = self.engine.search_content(
-            payload,
-            filename=filename,
-            mode=mode,
-            top_k=top_k,
-            model_loader=self.model_loader,
-            **kwargs,
-        )
+        if type(self).hot:
+            results = self.engine.search_content_rows(
+                payload,
+                filename=filename,
+                mode=mode,
+                top_k=top_k,
+                model_loader=self.model_loader,
+                **kwargs,
+            )[: int(top_k)]
+        else:
+            df = self.engine.search_content(
+                payload,
+                filename=filename,
+                mode=mode,
+                top_k=top_k,
+                model_loader=self.model_loader,
+                **kwargs,
+            )
+            results = _rows_json(df, top_k)
         resp = {
             "mode": mode,
             "top_k": top_k,
-            "results": _rows_json(df, top_k),
+            "results": results,
         }
         if mode == "hybrid":
             # app.py:210-212 echoes the weights; visualize is the
@@ -327,11 +417,18 @@ class _Handler(BaseHTTPRequestHandler):
         if not tags:
             self._err(400, "No tags provided")
             return
-        df = self.engine.search("tags", tags=tags, top_k=top_k)
+        if type(self).hot:
+            results = self.engine.search_rows(
+                "tags", tags=tags, top_k=top_k
+            )[: int(top_k)]
+        else:
+            results = _rows_json(
+                self.engine.search("tags", tags=tags, top_k=top_k), top_k
+            )
         self._json(
             200,
             {"mode": "tags", "tags": tags, "top_k": top_k,
-             "results": _rows_json(df, top_k)},
+             "results": results},
         )
 
     # -- percolate lifecycle (extension; ES percolator shape) ----------
@@ -374,6 +471,7 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 p.register((qid, terms, min_score))
             n = len(type(self).percolator.queries)
+            type(self).perc_epoch += 1  # invalidate cached match keys
         self._json(200, {"registered": qid, "n_queries": n})
 
     def _percolate_unregister(self, body: bytes) -> None:
@@ -388,6 +486,7 @@ class _Handler(BaseHTTPRequestHandler):
             except KeyError as e:
                 raise ValueError(str(e).strip("'\""))
             n = len(p.queries)
+            type(self).perc_epoch += 1  # invalidate cached match keys
         self._json(200, {"unregistered": qid, "n_queries": n})
 
     def _percolate_match(self, body: bytes) -> None:
@@ -409,6 +508,28 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(d, dict) or "text" not in d:
                 raise ValueError("each doc needs a text field")
             rows.append((int(d.get("doc_id", i)), str(d["text"])))
+        if type(self).hot:
+            # resident-tier alerting: pure-Python scoring against the
+            # frozen statistics (Percolator.matches_rows — equivalence-
+            # pinned vs the Spark forms). Held under the registry lock:
+            # the scorer reads the mutable registry, and at µs per call
+            # the lock can cover EXECUTION without convoying anything
+            # (the plan-build-only discipline below exists because
+            # Spark execution is 5 orders of magnitude slower).
+            with self._perc_lock:
+                if (
+                    self._cache_key is not None
+                    and type(self).perc_epoch != self._cache_key[2]
+                ):
+                    # registry changed between key capture and scoring —
+                    # don't publish this response under the stale epoch
+                    self._cache_key = None
+                matches = p.matches_rows(rows)
+                cap = len(rows) * len(p.queries)
+            self._json(
+                200, {"n_docs": len(rows), "matches": matches[:cap]}
+            )
+            return
         spark = type(self).documents.sparkSession
         # inline-VALUES batch: parses to a true LocalRelation, so the
         # match plan schedules no parallelize job for the micro-batch
@@ -452,6 +573,8 @@ def serve(
     port: int = 0,
     model_loader=None,
     documents=None,
+    hot: bool = True,
+    cache_size: int = 512,
 ) -> ThreadingHTTPServer:
     """Start the service on a background thread and return the server
     (``server.server_address`` carries the bound port when ``port=0``;
@@ -460,7 +583,17 @@ def serve(
     deterministic stub; a GPU deployment passes the real loader).
     ``documents`` (optional) is the text corpus the /percolate/*
     routes freeze their standing-query statistics against; without it
-    those routes answer 400."""
+    those routes answer 400.
+
+    ``hot`` (default) builds the driver-resident serving tier at
+    startup (serving.py — Engine.hot(); the ES-parity always-hot
+    index) so per-request scoring costs microseconds instead of a
+    ~0.5-0.9 s Spark plan; ``hot=False`` keeps every request on the
+    Spark plans — the fits-nowhere-resident deployment, and the tier
+    the equivalence tests certify the hot one against. ``cache_size``
+    bounds the idempotent-response LRU (0 disables it)."""
+    if hot:
+        engine.hot()  # build the resident artifact before first request
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -475,9 +608,22 @@ def serve(
             "documents": documents,
             "percolator": None,
             "_perc_lock": threading.Lock(),
+            "hot": bool(hot),
+            "resp_cache": (
+                _ResponseCache(cache_size) if cache_size > 0 else None
+            ),
+            "perc_epoch": 0,
         },
     )
-    server = ThreadingHTTPServer((host, port), handler)
+    class _Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5 — a 32-way burst of ms-class
+        # requests (the hot tier made them arrive together) overflows
+        # the SYN queue and the kernel RSTs the overflow. Size the
+        # backlog to the burst the SRS contemplates.
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = _Server((host, port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server

@@ -1,0 +1,362 @@
+"""Hot serving tier — driver-resident scoring over Spark-built artifacts.
+
+The reference serves interactive traffic from an always-hot
+Elasticsearch index (app.py:182-253 → search_with_segments.py:148-185):
+the corpus vectors are RESIDENT in the serving process, so a request
+costs one in-memory scan, never a query-planning pass. This engine's
+batch/query layer is Spark — and a Spark plan, even a cached one,
+carries ~0.5-0.9 s of per-request driver cost at interactive corpus
+sizes (Catalyst analysis + codegen + DAGScheduler submission;
+measured in SCALING.md "Serving concurrency"). That floor is the right
+trade for 100 TB scans and exactly the wrong one for a 10-result
+lookup a user is waiting on.
+
+:class:`HotSearchIndex` is the ES-parity piece: Spark BUILDS the
+artifact (one bounded collect per serving table — the same "index
+build" step the reference runs when it bulk-loads ES), and request
+scoring runs against the resident copy in microseconds. The score
+algebra is the operator layer's, replicated term-for-term (whole
+calibration +1.0, the hybrid 0..2/−1..1 asymmetry with missing→0,
+rounded-score ordering with id tiebreaks) and pinned by equivalence
+tests against the Spark plans (tests/test_serving.py) — the DataFrame
+path stays the system of record; the hot tier is a view of it.
+
+Scale posture (the 100 TB story):
+
+- The resident artifact holds ONLY the serving columns — ids +
+  vectors + tag structs — at 8·n·dim bytes of float64 per vector
+  table. One driver comfortably holds ~10M×64d (~5 GB); past that the
+  deployment shards: partition the vectors by id range across N
+  serving processes (each built by the same Spark job writing N
+  artifacts), scatter the query, merge the per-shard top-k — exact,
+  because every mode's score is per-image and the final cut is a
+  k-way merge on the same (rounded score, id) order. This is the
+  reference's posture too: ES scales script_score by sharding the
+  index, not by making one shard bigger.
+- Freshness: the artifact is immutable once built, like the parquet
+  snapshot it came from; refresh = rebuild from the current tables
+  (``Engine.hot(rebuild=True)``). Streaming ingest appends via the
+  incremental-ANN path (streaming/ann_ingest.py) and periodic
+  artifact rebuilds, the standard lambda-serving split.
+- Anything that does NOT fit the resident tier — historical scans,
+  analytics, curation — stays on the Spark plans. ``serve(...,
+  hot=False)`` keeps the pure-Spark serving path alive and tested.
+
+Float discipline: per-pair similarities are float64 numpy matmuls —
+bit-identical to the operator layer's Arrow path (functions/vectors.py
+``dot_batch`` is the same matmul). The whole-image dot accumulates in
+SIMD-blocked order where the JVM HOF folds left-to-right; results
+agree to ~1e-13, absorbed by the 1e-6 rounded-score ordering the
+engine certifies under (queries.py module header). Display rounding
+replicates Spark's HALF_UP-on-shortest-decimal exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+# Java \s — Spark's split(lower(text), '\\s+') tokenizer class. NOT
+# Python \s (which adds unicode spaces); parity with functions/text.py
+# ``tokens`` requires the Java set exactly.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Driver-side twin of ``functions.text.tokens`` (lowercased
+    whitespace tokens, empties dropped) — same Java-regex whitespace
+    class, same lowercase-then-split order."""
+    if not text:
+        return []
+    return [t for t in _JAVA_WS.split(text.lower()) if t]
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Spark's ``F.round(double, d)``: HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf ≡ repr round-trip)."""
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _topk_order(scores: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k rows under (score DESC, id ASC) — the
+    engine's deterministic tiebreak order."""
+    order = np.lexsort((ids, -scores))
+    return order[: int(k)]
+
+
+class HotSearchIndex:
+    """Driver-resident serving artifact for the four search modes.
+
+    Built by :meth:`from_engine` (one bounded Spark collect per
+    table); scores with numpy against the resident copies. Output rows
+    carry the SAME column names and ordering as the operator layer's
+    DataFrames, so the service can swap tiers without touching its
+    response envelope.
+    """
+
+    def __init__(
+        self,
+        image_ids: np.ndarray,
+        image_mat: np.ndarray | None,
+        seg_image_ids: np.ndarray | None,
+        seg_mat: np.ndarray | None,
+        tag_rows: list[tuple] | None,
+        image_col: str = "image_id",
+    ):
+        self.image_col = image_col
+        self.image_ids = image_ids
+        self.image_mat = image_mat
+        self.dim = int(image_mat.shape[1]) if image_mat is not None else None
+        # segment rows sorted by image id → per-image contiguous slices
+        # (reduceat group boundaries), the layout every segment-mode
+        # aggregation walks
+        if seg_mat is not None and len(seg_image_ids):
+            order = np.argsort(seg_image_ids, kind="stable")
+            self.seg_image_ids = seg_image_ids[order]
+            self.seg_mat = seg_mat[order]
+            self.seg_groups, self.seg_starts = np.unique(
+                self.seg_image_ids, return_index=True
+            )
+        else:
+            self.seg_image_ids = self.seg_mat = None
+            self.seg_groups = self.seg_starts = None
+        self.tag_rows = tag_rows  # list of (image_id, [(tag, conf), …])
+
+    # -- build ---------------------------------------------------------
+
+    @classmethod
+    def from_engine(cls, engine) -> "HotSearchIndex":
+        """Collect the serving artifact from an Engine's tables — the
+        hot tier's "index build". Bounded by the serving columns only
+        (P1 pruning: the collect projects ids + vectors, nothing
+        else)."""
+        img_ids = img_mat = None
+        if engine.images is not None:
+            rows = engine.images.select(
+                engine.image_col, "embedding"
+            ).collect()
+            img_ids = np.asarray([r[0] for r in rows])
+            img_mat = (
+                np.asarray([r[1] for r in rows], dtype=np.float64)
+                if rows
+                else np.zeros((0, 0), dtype=np.float64)
+            )
+        seg_ids = seg_mat = None
+        if engine.segments is not None:
+            rows = engine.segments.select(
+                engine.image_col, "clip_features"
+            ).collect()
+            seg_ids = np.asarray([r[0] for r in rows])
+            seg_mat = (
+                np.asarray([r[1] for r in rows], dtype=np.float64)
+                if rows
+                else np.zeros((0, 0), dtype=np.float64)
+            )
+        tag_rows = None
+        if engine.segment_tags is not None:
+            tag_rows = [
+                (
+                    r[0],
+                    [(t["tag"], float(t["confidence"])) for t in (r[1] or [])],
+                )
+                for r in engine.segment_tags.select(
+                    engine.image_col, "tags"
+                ).collect()
+            ]
+        return cls(
+            img_ids, img_mat, seg_ids, seg_mat, tag_rows,
+            image_col=engine.image_col,
+        )
+
+    # -- per-image segment maxima (the W4 argmax kernel) ----------------
+
+    def _segment_maxima(self, cand_mask: np.ndarray, qmat: np.ndarray):
+        """For each image whose mask bit is set: per-query max cosine
+        over the image's segments. Returns (image_ids, maxima matrix
+        n_images × n_queries). Same float64 matmul as the Arrow path
+        (vectors.dot_batch), grouped with reduceat over the image-
+        sorted layout."""
+        rows = np.flatnonzero(cand_mask)
+        if not len(rows):
+            return np.empty(0, dtype=self.seg_groups.dtype), np.zeros(
+                (0, len(qmat))
+            )
+        sims = self.seg_mat[rows] @ qmat.T  # (n_rows, Q)
+        gids = self.seg_image_ids[rows]
+        groups, starts = np.unique(gids, return_index=True)
+        maxima = np.maximum.reduceat(sims, starts, axis=0)
+        return groups, maxima
+
+    def _cand_mask_for_images(self, images: np.ndarray) -> np.ndarray:
+        return np.isin(self.seg_image_ids, images)
+
+    # -- the four modes --------------------------------------------------
+
+    def whole(
+        self, query_vec: Sequence[float], k: int,
+        allowed: set | None = None,
+    ) -> list[dict]:
+        """retrieval.knn twin: score = dot + 1.0, (score DESC, id ASC),
+        top k → [{image_col, score}]."""
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        scores = self.image_mat @ q + 1.0
+        ids = self.image_ids
+        if allowed is not None:
+            keep = np.asarray([i in allowed for i in ids.tolist()])
+            ids, scores = ids[keep], scores[keep]
+        take = _topk_order(scores, ids, k)
+        return [
+            {self.image_col: ids[i].item(), "score": float(scores[i])}
+            for i in take
+        ]
+
+    def segment(
+        self,
+        query_rows: Sequence[tuple],
+        top_k: int,
+        candidate_cap: int | None = None,
+        allowed: set | None = None,
+    ) -> list[dict]:
+        """retrieval.segment_search twin: per-query-segment argmax per
+        image, avg + max of the maxima, candidate cap = first ``cap``
+        image ids ascending (the reference's top_k·3 ES recall
+        heuristic), ordering (round6(avg) DESC, id ASC)."""
+        qmat = np.asarray(
+            [[float(x) for x in v] for _, v in query_rows], dtype=np.float64
+        )
+        groups = self.seg_groups
+        if allowed is not None:
+            keep = np.asarray(
+                [g in allowed for g in groups.tolist()], dtype=bool
+            )
+            groups = groups[keep]
+        if candidate_cap is not None:
+            groups = groups[: int(candidate_cap)]  # unique() ⇒ sorted asc
+        mask = self._cand_mask_for_images(groups)
+        gids, maxima = self._segment_maxima(mask, qmat)
+        nq = len(query_rows)
+        out = []
+        for gi, g in enumerate(gids.tolist()):
+            row = maxima[gi]
+            total = 0.0 + row[0]
+            for j in range(1, nq):  # left-to-right, matching the
+                total = total + row[j]  # Catalyst column sum
+            avg = total / float(nq)
+            out.append((g, avg, float(row.max())))
+        out.sort(key=lambda r: (-round_half_up(r[1], 6), r[0]))
+        return [
+            {
+                self.image_col: g,
+                "avg_similarity": float(a),
+                "max_segment_similarity": m,
+            }
+            for g, a, m in out[: int(top_k)]
+        ]
+
+    def hybrid(
+        self,
+        query_vec: Sequence[float],
+        query_rows: Sequence[tuple],
+        top_k: int,
+        whole_weight: float = 0.4,
+        segment_weight: float = 0.6,
+        allowed: set | None = None,
+    ) -> list[dict]:
+        """retrieval.hybrid_search twin: phase-1 pool max(20k, 100) on
+        the calibrated whole score, phase-2 segment avg-of-maxima (raw
+        cosine) for pool members only, missing → 0.0, hybrid =
+        w·whole + w·segment, (round6(hybrid) DESC, id ASC)."""
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        scores = self.image_mat @ q + 1.0
+        ids = self.image_ids
+        if allowed is not None:
+            keep = np.asarray([i in allowed for i in ids.tolist()])
+            ids, scores = ids[keep], scores[keep]
+        pool = max(int(top_k) * 20, 100)
+        take = _topk_order(scores, ids, pool)
+        pool_ids = ids[take]
+        whole_by_id = dict(zip(pool_ids.tolist(), scores[take].tolist()))
+
+        qmat = np.asarray(
+            [[float(x) for x in v] for _, v in query_rows], dtype=np.float64
+        )
+        seg_by_id: dict = {}
+        if self.seg_mat is not None:
+            mask = self._cand_mask_for_images(pool_ids)
+            gids, maxima = self._segment_maxima(mask, qmat)
+            nq = len(query_rows)
+            for gi, g in enumerate(gids.tolist()):
+                row = maxima[gi]
+                total = 0.0 + row[0]
+                for j in range(1, nq):
+                    total = total + row[j]
+                seg_by_id[g] = total / float(nq)
+
+        ww, ws = float(whole_weight), float(segment_weight)
+        out = []
+        for g, w in whole_by_id.items():
+            s = seg_by_id.get(g, 0.0)
+            out.append((g, w, s, ww * w + ws * s))
+        out.sort(key=lambda r: (-round_half_up(r[3], 6), r[0]))
+        return [
+            {
+                self.image_col: g,
+                "whole_score": float(w),
+                "segment_score": float(s),
+                "hybrid_score": float(h),
+            }
+            for g, w, s, h in out[: int(top_k)]
+        ]
+
+    def tags(
+        self,
+        tags: Sequence[str],
+        min_confidence: float = 0.1,
+        top_k: int = 10,
+    ) -> list[dict]:
+        """retrieval.tag_search twin: OR-match ≥ confidence floor,
+        ranked by (#distinct matched tags DESC, max confidence DESC,
+        id ASC)."""
+        tagset = {str(t) for t in tags}
+        floor = float(min_confidence)
+        out = []
+        for image_id, pairs in self.tag_rows:
+            hits = [(t, c) for t, c in pairs if t in tagset and c >= floor]
+            if not hits:
+                continue
+            out.append(
+                (
+                    image_id,
+                    len({t for t, _ in hits}),
+                    max(c for _, c in hits),
+                )
+            )
+        out.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        return [
+            {
+                self.image_col: g,
+                "matched_tags": n,
+                "max_confidence": float(c),
+            }
+            for g, n, c in out[: int(top_k)]
+        ]
+
+    def tag_allowed(
+        self, tag_filter: Sequence[str], min_confidence: float
+    ) -> set:
+        """Engine._tag_allowed_ids twin: ids with ≥1 tag in the filter
+        at or above the confidence floor."""
+        tagset = {str(t) for t in tag_filter}
+        floor = float(min_confidence)
+        return {
+            image_id
+            for image_id, pairs in self.tag_rows
+            if any(t in tagset and c >= floor for t, c in pairs)
+        }

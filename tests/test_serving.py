@@ -1,0 +1,274 @@
+"""Hot serving tier (serving.py, Engine.search_rows/search_content_rows,
+Percolator.matches_rows) — equivalence against the Spark plans.
+
+The hot tier exists to serve interactive traffic without the
+per-request Spark plan cost; these tests are the contract that makes
+it safe: for every mode and for the percolator, the resident-tier
+result must match the operator layer's DataFrame result row for row
+(ids and integer fields exactly; float scores to 1e-9 — the whole-image
+dot accumulates SIMD-blocked in numpy vs left-to-right in the JVM HOF,
+a ~1e-13 effect absorbed by the engine's 1e-6 rounded-score ordering).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+    Engine,
+    Percolator,
+)
+from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+    py_tokens,
+    round_half_up,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    eng.segment_tags = spark.createDataFrame(
+        [
+            (0, [("cat", 0.9), ("dog", 0.2)]),
+            (1, [("cat", 0.4)]),
+            (2, [("fish", 0.8), ("cat", 0.15)]),
+            (3, []),
+        ],
+        "image_id long, tags array<struct<tag string, confidence float>>",
+    )
+    return eng
+
+
+def _spark_rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def _assert_rows_equal(hot_rows, spark_rows, float_tol=1e-9):
+    assert len(hot_rows) == len(spark_rows), (hot_rows, spark_rows)
+    for h, s in zip(hot_rows, spark_rows):
+        assert set(h) == set(s), (h, s)
+        for k, sv in s.items():
+            hv = h[k]
+            if isinstance(sv, float):
+                assert hv == pytest.approx(sv, abs=float_tol), (k, h, s)
+            else:
+                assert hv == sv, (k, h, s)
+
+
+PAYLOADS = [f"serving-payload-{i}".encode() for i in range(4)]
+
+
+@pytest.mark.parametrize("mode", ["whole", "segment", "hybrid"])
+def test_content_modes_match_spark(engine, mode):
+    for payload in PAYLOADS:
+        hot = engine.search_content_rows(
+            payload, filename="q.png", mode=mode, top_k=5,
+            model_loader=lambda: None,
+        )
+        df = engine.search_content(
+            payload, filename="q.png", mode=mode, top_k=5,
+            model_loader=lambda: None,
+        )
+        _assert_rows_equal(hot, _spark_rows(df))
+
+
+def test_hybrid_weights_match_spark(engine):
+    hot = engine.search_content_rows(
+        PAYLOADS[0], filename="q.png", mode="hybrid", top_k=4,
+        model_loader=lambda: None, whole_weight=0.7, segment_weight=0.3,
+    )
+    df = engine.search_content(
+        PAYLOADS[0], filename="q.png", mode="hybrid", top_k=4,
+        model_loader=lambda: None, whole_weight=0.7, segment_weight=0.3,
+    )
+    _assert_rows_equal(hot, _spark_rows(df))
+
+
+@pytest.mark.parametrize("mode", ["whole", "segment", "hybrid"])
+def test_tag_filter_matches_spark(engine, mode):
+    hot = engine.search_content_rows(
+        PAYLOADS[1], filename="q.png", mode=mode, top_k=5,
+        model_loader=lambda: None, tag_filter=["cat", "fish"],
+        min_confidence=0.5,
+    )
+    df = engine.search_content(
+        PAYLOADS[1], filename="q.png", mode=mode, top_k=5,
+        model_loader=lambda: None, tag_filter=["cat", "fish"],
+        min_confidence=0.5,
+    )
+    _assert_rows_equal(hot, _spark_rows(df))
+    # the filter actually bites: allowed = {0, 2} under floor 0.5
+    # (image 1's cat sits at 0.4, below the floor)
+    assert {r["image_id"] for r in hot} <= {0, 2}
+
+
+def test_tags_mode_matches_spark(engine):
+    hot = engine.search_rows("tags", tags=["cat", "fish"], top_k=10)
+    df = engine.search("tags", tags=["cat", "fish"], top_k=10)
+    _assert_rows_equal(hot, _spark_rows(df))
+    assert [r["image_id"] for r in hot] == [2, 0, 1]  # (n_tags, conf, id)
+
+
+def test_search_rows_validation_parity(engine):
+    for kwargs, msg in [
+        (dict(mode="whole"), "whole mode needs query_vec"),
+        (dict(mode="segment"), "segment mode needs query_segments"),
+        (dict(mode="tags"), "tags mode needs tags"),
+        (dict(mode="nope"), "unknown mode"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            engine.search_rows(**kwargs)
+
+
+def test_hot_rebuild_after_table_swap(engine, spark):
+    """hot() caches; rebuild=True re-collects the current tables."""
+    hot0 = engine.hot()
+    assert engine.hot() is hot0
+    assert engine.hot(rebuild=True) is not hot0
+
+
+# -- primitive parity -----------------------------------------------------
+
+
+def test_py_tokens_matches_spark_tokens(spark):
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions import (
+        text as X,
+    )
+
+    texts = [
+        "Data  Vector\tTable\nJOIN",
+        "  leading and trailing  ",
+        "", "one", "a\x0bb\fc\rd",
+        "Ünïcode Mixed CASE tokens",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string").select(
+        X.tokens("t").alias("toks")
+    )
+    got = [r["toks"] for r in df.collect()]
+    assert got == [py_tokens(t) for t in texts]
+
+
+def test_round_half_up_matches_spark_round(spark):
+    vals = [
+        0.1234565, 0.12345649999, -0.1234565, 1.9999995, 2.0000005,
+        0.0, -0.0, 123.4567894999, 5e-7, -5e-7, 1.5e-6,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        F.round("v", 6).alias("r")
+    )
+    got = [r["r"] for r in df.collect()]
+    assert got == [round_half_up(v, 6) for v in vals]
+
+
+# -- percolator hot scorer -------------------------------------------------
+
+
+_DOCS = [
+    (0, "data table join vector"),
+    (1, "DATA data Data\tdata"),
+    (2, "nothing relevant here"),
+    (3, ""),
+    (4, "vector   vector\nvector table"),
+    (5, "the quick data fox"),
+]
+
+
+def _perc_parity(spark, p):
+    hot = p.matches_rows(_DOCS)
+    batch = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    cold = [r.asDict() for r in p.matches(batch).collect()]
+    key = lambda r: (r["doc_id"], r["query_id"])  # noqa: E731
+    assert sorted(map(key, hot)) == sorted(map(key, cold))
+    cold_by = {key(r): r for r in cold}
+    for h in hot:
+        c = cold_by[key(h)]
+        assert h["n_matched_terms"] == c["n_matched_terms"]
+        assert h["bm25"] == pytest.approx(c["bm25"], abs=1e-9)
+
+
+def test_matches_rows_parity_expr_form(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = Percolator(
+        docs,
+        [
+            ("q_ab", ("data", "table"), 0.1),
+            ("q_v", ("vector",), 0.0),
+            ("q_hi", ("data",), 5.0),  # threshold nobody clears
+        ],
+    )
+    assert not p._join_form
+    _perc_parity(spark, p)
+
+
+def test_matches_rows_parity_join_form(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = Percolator(
+        docs,
+        [("q_ab", ("data", "table"), 0.1), ("q_v", ("vector",), 0.0)],
+        strategy="join",
+    )
+    assert p._join_form
+    _perc_parity(spark, p)
+
+
+def test_matches_rows_sees_registration(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = Percolator(docs, [("q_v", ("vector",), 0.0)])
+    before = p.matches_rows(_DOCS)
+    p.register(("q_new", ("quick", "fox"), 0.0))
+    after = p.matches_rows(_DOCS)
+    assert {r["query_id"] for r in after} >= {r["query_id"] for r in before}
+    assert any(r["query_id"] == "q_new" for r in after)
+    _perc_parity(spark, p)  # frozen-stats extension stayed consistent
+
+
+def test_matches_rows_expr_order(spark):
+    """Emission order is doc input order × query registration order —
+    the expression form's deterministic order."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = Percolator(
+        docs, [("qa", ("data",), 0.0), ("qb", ("vector",), 0.0)]
+    )
+    rows = p.matches_rows([(7, "vector data"), (3, "data")])
+    assert [(r["doc_id"], r["query_id"]) for r in rows] == [
+        (7, "qa"), (7, "qb"), (3, "qa")
+    ]
+
+
+def test_matches_rows_tokens_col_rejected(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    p = Percolator(
+        docs, [("q", ("data",), 0.0)], tokens_col="toks"
+    )
+    with pytest.raises(ValueError, match="matches_rows scores text rows"):
+        p.matches_rows(_DOCS)
+
+
+def test_matches_rows_bm25_value(spark):
+    """One hand-checked BM25 score (frozen stats over a 3-doc corpus)."""
+    corpus = spark.createDataFrame(
+        [(0, "a b c"), (1, "a a"), (2, "x")], "doc_id long, text string"
+    )
+    p = Percolator(corpus, [("q", ("a",), 0.0)])
+    # n=3, sumdl=6, avgdl=2; term a: df=2
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    tf, dl = 2.0, 2.0
+    norm = tf / (tf + 1.2 * (0.25 + 0.75 * (dl / 2.0)))
+    expect = round_half_up(idf * norm, 6)
+    got = p.matches_rows([(9, "a a")])
+    assert len(got) == 1 and got[0]["bm25"] == expect
