@@ -280,74 +280,25 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-10
-# rotation: first the queries whose round-10 code changes demand fresh
-# rows (the percolator pair under the new parser-mode-aware registry
-# escaping + the register() auto expression->join upgrade, the
-# retention pair now deduping inside retention_from_activity, the
-# funnel pair with the step-type filter below the shuffle, and the
-# new perceptual image near-dup), then
-# ALL 42 keepers whose newest rows are r07 (the oldest witnesses --
-# three rounds stale). The full query -> newest-row /
-# witness-floor table is generated into COVERAGE.md by
+# entries of queries(), so ordering is part of the contract. Round-11
+# rotation: first the one round-11 semantic change (report_dataset's
+# distinct-counters gained the empty-input coalesce), then ALL 17
+# keepers whose newest rows are r07 (four rounds stale at r11), then
+# 32 of the 38 r08-newest keepers (three rounds stale); the six r08s
+# left out (ann_centroid_staleness, etl_display_truncate,
+# report_corpus_drift, etl_row_range_select, join_ext_fallback,
+# nested_tags_two_level) lead the r12 rotation. The full query ->
+# newest-row / witness-floor table is generated into COVERAGE.md by
 # tools/freshness_report.py and asserted current by
 # tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-10 semantic changes / new queries (floor 10 => head) --
-    "dedup_image_phash",
-    "api_events_funnel",
-    "api_events_retention",
-    "dedup_keep_best_per_source",
-    "text_quality_classifier",
-    "api_pipeline_curate",
+    # -- round-11 semantic change (floor 11 => head) --
     "report_dataset",
-    "events_funnel",
-    "events_funnel_windowed",
-    "events_retention",
-    "events_retention_stream",
-    "api_percolate_register",
-    "percolate_join_batch",
-    "percolate_join_stream",
-    # -- late-round-10 plan changes (tokenize-once family, tfidf/
-    #    unigram rebuilds, rrf's bm25 leg) — floor 10 => head --
-    "text_bm25_topk",
-    "tag_search_bm25",
-    "text_tfidf_keywords",
-    "text_unigram_logprob",
-    "text_gopher_rules",
-    "text_contamination",
-    "retrieval_rrf_fusion",
-    # -- keepers whose newest rows are r07 (oldest witnesses); the
-    #    head cut falls inside this list --
-    "agg_decade_orders",
+    # -- keepers whose newest rows are r07 (oldest witnesses) --
     "agg_pivot_roundtrip",
-    "agg_rollup_acctbal",
-    "agg_salted_group",
-    "ann_brute_force",
     "ann_ingest_assign",
     "ann_ingest_pq",
-    "ann_ivf",
-    "ann_ivfpq_portable",
-    "ann_lsh",
-    "ann_pq_portable",
-    "ann_range_search",
     "api_percolate",
-    "dedup_chunks",
-    "dedup_cluster_canonical",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "etl_multiformat_date",
-    "etl_prefix_split",
-    "etl_regex_extract_path",
-    "etl_safe_cast",
-    "etl_sentinel_cleanse",
-    "etl_upsert_merge",
-    "events_interval_join",
-    "events_sessionize",
-    "events_tumbling_window",
-    "join_anti_customers",
-    "join_meta_counters",
     "join_semi_allowlist",
     "join_tag_category",
     "ml_frame_sample",
@@ -356,6 +307,44 @@ _DRIVER_ORDER: list[str] = [
     "sql_api_revenue",
     "text_fingerprint",
     "text_lang_id",
+    "text_quality",
+    "text_token_bpe",
+    "text_token_count",
+    "vec_mean_per_label",
+    "win_ntile_quartiles",
+    # -- r08-newest keepers (head cut falls at the end of this list) --
+    "agg_bool_flags",
+    "agg_distinct_counts",
+    "agg_explode_count",
+    "agg_group_stats",
+    "agg_histogram_chars",
+    "agg_value_counts",
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "etl_hash_split",
+    "etl_html_scrub",
+    "etl_mixture_sample",
+    "etl_url_basename_join",
+    "events_hopping_window",
+    "hybrid_search",
+    "hybrid_search_tag_filtered",
+    "join_revenue_by_nation",
+    "knn_batch",
+    "knn_percentage",
+    "knn_tag_filtered",
+    "knn_whole",
+    "ml_stub_text_embeddings_portable",
+    "ml_zero_shot_tags",
+    "q1_pricing_summary",
+    "segment_search",
+    "segment_search_tag_filtered",
+    "set_ops_users",
+    "tag_search",
+    "tag_search_and",
+    "text_chunk_windows",
+    "text_pack_bins",
+    "text_redact_pii",
+    "zero_shot_topk_tags",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -410,7 +399,7 @@ _ROWS_ONLY_TAIL: list[str] = [
 _TOUCHED: dict[str, int] = {
     # round 6: new queries, the rows-only first-witness set, and the
     # queries whose code round 6 touches
-    "report_dataset": 10,  # r10: unordered members (analysis-floor cut)
+    "report_dataset": 11,  # r11: empty-input coalesce on n_docs
     "report_segment_stats": 6,
     "ann_pq": 6,
     "dedup_minhash_lsh": 6,
