@@ -1026,17 +1026,21 @@ def image_phash_pairs(
     content_col: str = "content",
     filename_col: str = "filename",
     broadcast_buckets: bool = False,
+    decode: str = "stub",
 ) -> DataFrame:
     """Perceptual image near-duplicate pairs — the multimodal analogue
     of the MinHash/SimHash text family (the reference corpus is ~13.9k
     photos with known near-duplicate scans, SRS §2; the reference
-    itself ships no dedup): decode to a small grid (STUB here —
-    multimodal.decode_image_pixels_stub documents the real-decoder
-    swap-in), dHash into ``n_bands`` band integers, block by EXACT
-    band equality (two hashes within Hamming distance < n_bands must
-    share at least one untouched band — pigeonhole — so blocking is
-    COMPLETE below n_bands and best-effort up to ``max_distance``),
-    then exact-Hamming verify on candidates only.
+    itself ships no dedup): decode to a small grayscale grid
+    (``decode="stub"`` → the oracle-replayable byte sampler;
+    ``decode="real"`` → PIL grayscale + area resize,
+    multimodal.decode_image_pixels_real — same grid contract, so
+    everything downstream is decoder-agnostic), dHash into ``n_bands``
+    band integers, block by EXACT band equality (two hashes within
+    Hamming distance < n_bands must share at least one untouched band
+    — pigeonhole — so blocking is COMPLETE below n_bands and
+    best-effort up to ``max_distance``), then exact-Hamming verify on
+    candidates only.
 
     Output: (file_a, file_b, hamming) with file_a < file_b and
     hamming <= max_distance.
@@ -1049,7 +1053,13 @@ def image_phash_pairs(
     """
     from . import multimodal
 
-    px = multimodal.decode_image_pixels_stub(
+    if decode == "stub":
+        decoder = multimodal.decode_image_pixels_stub
+    elif decode == "real":
+        decoder = multimodal.decode_image_pixels_real
+    else:
+        raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
+    px = decoder(
         images, content_col=content_col, filename_col=filename_col,
         rows=rows, cols=cols,
     )

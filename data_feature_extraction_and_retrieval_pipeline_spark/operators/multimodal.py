@@ -237,6 +237,65 @@ def decode_image_pixels_stub(
     )
 
 
+def decode_image_pixels_real(
+    images: DataFrame,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    rows: int = 8,
+    cols: int = 9,
+) -> DataFrame:
+    """PIL-backed twin of ``decode_image_pixels_stub`` — the REAL
+    perceptual-hash input: grayscale decode + BOX (area) resize to the
+    rows×cols grid, flattened row-major to the same ``array<int>``
+    contract. This is the swap-in the stub's docstring promises;
+    ``dedup.image_phash_pairs(decode="real")`` threads it through so
+    the banding/verify plan is byte-identical either way
+    (tests/test_real_models.py pins band-exactness against a pure-PIL
+    reference wherever Pillow exists).
+
+    Import probed at PLAN time (driver-side fail-fast with install
+    guidance); per-row decode failures yield the all-zero grid — the
+    stub's NULL/empty discipline — because at 100 TB one corrupt image
+    must not kill a 10k-task stage (quarantine downstream: the
+    all-zero hash buckets only with other undecodables).
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        raise ImportError(
+            "decode_image_pixels_real needs Pillow (`pip install "
+            "pillow`); use decode_image_pixels_stub in codec-free "
+            "environments."
+        )
+    n_px = rows * cols
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        zero = np.zeros(n_px, dtype=np.int32)
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                try:
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    img = img.resize(
+                        (cols, rows), resample=Image.Resampling.BOX
+                    )
+                    out.append(
+                        np.asarray(img, dtype=np.int32).reshape(n_px)
+                    )
+                except Exception:
+                    out.append(zero)
+            yield pd.DataFrame({"filename": pdf[filename_col], "pixels": out})
+
+    return images.select(filename_col, content_col).mapInPandas(
+        _decode, PIXEL_SCHEMA
+    )
+
+
 def decode_image_real(content: bytes):
     """Real single-payload image decode (PIL). Raises ImportError with
     install guidance when Pillow is absent; the DataFrame-level twin is

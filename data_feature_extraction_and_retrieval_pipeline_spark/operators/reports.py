@@ -4,8 +4,11 @@ visualize_segmented_tags.py) as one DataFrame report bundle — numbers
 only, plotting stays out of engine scope (SURVEY.md §2.8 U7/U8).
 
 Every entry is a lazy DataFrame; nothing is collected here. A caller
-can compute all of them in one pass over each table since they share
-scans (Catalyst reuses the cached/exchange subplans under AQE).
+can compute all of them in one pass over each table since the
+count-style members share one persisted aggregate
+(``_grouped_value_counts`` — its docstring records why the sharing
+must be an explicit persist over an explode-shaped plan rather than
+relying on ReusedExchange).
 """
 
 from __future__ import annotations
@@ -16,36 +19,68 @@ from . import analytics
 
 
 def _grouped_value_counts(
-    df: DataFrame, specs: dict[str, "F.Column"]
+    df: DataFrame, specs: dict[str, "F.Column"], persist: bool = False
 ) -> dict[str, DataFrame]:
-    """ONE grouping-sets pass computing ``value_counts`` for several
-    key expressions at once: the table scan, the Expand, and the hash
-    exchange are shared across every member (the union's branches pick
-    the map/shuffle work up via ReusedExchange), where separate
-    groupBys would each re-scan the table — at 100 TB this is the
-    difference between one pass over the corpus and one per report
-    section.
+    """ONE corpus pass computing ``value_counts`` for several key
+    expressions at once: each row explodes into one (member, keys)
+    struct per spec (member ``i`` carries its own key expression,
+    NULL-typed placeholders elsewhere) and a single groupBy counts
+    them all — the table scan, the Generate, and the hash exchange are
+    shared across every member, where separate groupBys would each
+    re-scan the table. At 100 TB this is the difference between one
+    pass over the corpus and one per report section.
 
-    Grouping-sets masking uses NULL, but ``grouping_id()``
-    disambiguates a masked column from a REAL null key value, so null
-    groups survive exactly as in a standalone groupBy. Returns one
-    (key-named, count) frame per spec entry, unordered.
+    Formulation note: this was a GROUPING SETS + ``grouping_id()``
+    aggregate through round 10. The explode form is plan-equivalent
+    (same row amplification, same shuffle width) but — unlike the
+    Expand node grouping sets compile to — it CANONICALIZES correctly
+    under ``DeduplicateRelations``, so with ``persist=True`` every
+    member branch of a consuming union substitutes the cached
+    aggregate. Measured on the assembled dataset report at round 11:
+    the grouping-sets form substituted ONE of six members (the other
+    five re-scanned the corpus — 6 Expands / 11 parquet scans in the
+    physical plan); the explode form substitutes all six.
+
+    ``persist=True`` MATERIALIZES the aggregate (vocabulary-sized —
+    one row per distinct key value across all specs) for exactly that
+    multi-consumer sharing; tracked via caching.persist → the harness
+    scope releases it after the report materializes.
+
+    The member tag disambiguates a placeholder NULL from a REAL null
+    key value, so null groups survive exactly as in a standalone
+    groupBy. Returns one (key-named, count) frame per spec entry,
+    unordered.
     """
     names = list(specs)
-    keyed = df.select(*[c.alias(f"__k_{n}") for n, c in specs.items()])
-    gcols = [F.col(f"__k_{n}") for n in names]
-    agg = keyed.groupingSets([[c] for c in gcols], *gcols).agg(
-        F.count(F.lit(1)).alias("count"),
-        F.grouping_id().alias("__gid"),
-    )
-    out = {}
-    k = len(names)
+    # NULL placeholders must carry each key's exact type or the struct
+    # array won't unify — probe the analyzed types once at plan time
+    key_types = {
+        n: df.select(c.alias("__t")).schema[0].dataType
+        for n, c in specs.items()
+    }
+    structs = []
     for i, n in enumerate(names):
-        # grouping_id: one bit per grouping column, FIRST column most
-        # significant, bit set ⇔ column masked out of the set. Member
-        # i keeps only its own column ⇒ every bit set except bit i.
-        gid = (2**k - 1) ^ (2 ** (k - 1 - i))
-        out[n] = agg.filter(F.col("__gid") == F.lit(gid)).select(
+        fields = [F.lit(i).alias("__m")] + [
+            (
+                specs[n2] if n2 == n else F.lit(None).cast(key_types[n2])
+            ).alias(f"__k_{n2}")
+            for n2 in names
+        ]
+        structs.append(F.struct(*fields))
+    kcols = [f"__k_{n}" for n in names]
+    agg = (
+        df.select(F.explode(F.array(*structs)).alias("__mk"))
+        .select("__mk.*")
+        .groupBy("__m", *kcols)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if persist:
+        from .. import caching
+
+        agg = caching.persist(agg)
+    out = {}
+    for i, n in enumerate(names):
+        out[n] = agg.filter(F.col("__m") == F.lit(i)).select(
             F.col(f"__k_{n}").alias(n), F.col("count")
         )
     return out
@@ -72,10 +107,11 @@ def dataset_report(
     """
     from ..functions import vectors as V
 
-    # The four count-style document sections share ONE grouping-sets
-    # pass (scan + Expand + exchange computed once — see
-    # _grouped_value_counts); each member is value-identical to its
-    # standalone analytics twin (pytest pins this). The bin expression
+    # The four count-style document sections share ONE exploded
+    # counting pass (scan + Generate + exchange computed once, then
+    # persisted — see _grouped_value_counts); each member is
+    # value-identical to its standalone analytics twin (pytest pins
+    # this). The bin expression
     # mirrors analytics.histogram(bin_width=50, min_value=0) exactly;
     # a NULL n_chars yields a NULL bin, dropped below just as the
     # standalone histogram's pre-filter drops the row.
@@ -91,6 +127,10 @@ def dataset_report(
             ).cast("double"),
             "has_long_text": (F.col("n_chars") >= 100),
         },
+        # six report members consume this aggregate; persist it so the
+        # corpus is scanned once for all of them (see the function's
+        # docstring — union branches do NOT exchange-reuse)
+        persist=True,
     )
     src = shared["source"]
     lng = shared["lang"]

@@ -60,6 +60,102 @@ def test_decode_image_meta_real_dataframe(spark):
     assert out["corrupt.png"]["width"] is None
 
 
+def _test_png(kind: str) -> bytes:
+    """64×64 grayscale fixtures: a left-to-right gradient
+    (``gradient``), the same with one inverted 8×8 corner — a small
+    perceptual edit, i.e. a near-duplicate (``gradient_edit``), and a
+    fine checkerboard (``checker``) whose BOX resize is flat gray —
+    a maximally different dHash from any gradient."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (64, 64))
+    px = img.load()
+    for y in range(64):
+        for x in range(64):
+            if kind == "checker":
+                px[x, y] = 255 * ((x + y) % 2)
+            else:
+                px[x, y] = min(x * 4, 255)
+    if kind == "gradient_edit":
+        for y in range(8):
+            for x in range(8):
+                px[x, y] = 255 - px[x, y]
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_decode_image_pixels_real_band_exact(spark):
+    """The real-decode pHash path end-to-end: (1) the grid from
+    decode_image_pixels_real is bit-exact against a pure-PIL
+    reference (grayscale + BOX resize), so the Catalyst dHash sees
+    the same bits either decoder; (2) image_phash_pairs(decode="real")
+    pairs a perceptual near-duplicate and not a different image;
+    (3) a corrupt payload degrades to the zero grid, not a failure."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import numpy as np
+    from PIL import Image
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
+        dedup,
+    )
+
+    rows = [
+        ("base.png", _test_png("gradient")),
+        ("near.png", _test_png("gradient_edit")),
+        ("other.png", _test_png("checker")),
+        ("corrupt.png", b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "filename string, content binary")
+
+    # (1) grid bit-exactness vs pure PIL
+    got = {
+        r["filename"]: list(r["pixels"])
+        for r in multimodal.decode_image_pixels_real(df).collect()
+    }
+    import io
+
+    for name, payload in rows[:3]:
+        ref = Image.open(io.BytesIO(payload)).convert("L").resize(
+            (9, 8), resample=Image.Resampling.BOX
+        )
+        assert got[name] == np.asarray(ref, dtype=np.int32).reshape(72).tolist()
+    assert got["corrupt.png"] == [0] * 72  # (3) zero-grid degradation
+
+    # (2) near-dup pairing under the real decoder: the edited gradient
+    # pairs with its original; the checkerboard (flat-gray grid, dHash
+    # far from any gradient) never pairs with either gradient. (The
+    # flat checker and the zero-grid corrupt payload MAY pair with
+    # each other — both degenerate flat hashes, the documented
+    # quarantine bucket.)
+    pairs = {
+        (r["file_a"], r["file_b"]): r["hamming"]
+        for r in dedup.image_phash_pairs(
+            df, max_distance=16, decode="real"
+        ).collect()
+    }
+    assert ("base.png", "near.png") in pairs
+    assert pairs[("base.png", "near.png")] <= 16
+    gradient_vs_other = {
+        p for p in pairs
+        if "other.png" in p and ("base.png" in p or "near.png" in p)
+    }
+    assert not gradient_vs_other, pairs
+
+
+def test_decode_image_pixels_real_missing_pil_contract():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — the real-path test above covers this")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="[Pp]illow"):
+        multimodal.decode_image_pixels_real(None)
+
+
 def test_torch_clip_adapter_protocol():
     """_TorchClipAdapter's stack/no_grad/numpy glue against real torch
     with a minimal model object — the adapter is the part the engine

@@ -66,6 +66,15 @@ QUERIES = [
     "text_unigram_logprob",
     "text_tfidf_keywords",
     "report_dataset",
+    # round-11 additions — the perceptual near-dup (new in r10, x10-
+    # certified only until now: the Hamming-ball banding's pigeonhole
+    # completeness is exactly the property a 545k-doc corpus with real
+    # band collisions stresses), the two tag-filtered retrieval modes
+    # (the x10 over-2× churn list), and the BM25+cosine fusion
+    "dedup_image_phash",
+    "hybrid_search_tag_filtered",
+    "segment_search_tag_filtered",
+    "retrieval_rrf_fusion",
 ]
 
 
