@@ -411,6 +411,40 @@ def test_tfidf_windows_share_one_doc_exchange(spark, qs):
     )
 
 
+def test_report_members_substitute_shared_counting_pass(spark, qs):
+    """report_dataset: the six count-style members must all read the
+    PERSISTED shared counting aggregate — Catalyst cannot be trusted
+    to dedupe them (grouping-sets subtrees fail cache canonicalization
+    under DeduplicateRelations, the round-11 regression class:
+    operators/reports.py::_grouped_value_counts docstring). Pinned:
+    ≥6 InMemoryTableScans in the executed plan, and the documents
+    table scanned at most 3× in the formatted plan (once for the
+    cached pass, once for the token leaderboard, once for the per-lang
+    stats) instead of the 11 scans the unshared plan ran."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_feature_extraction_and_retrieval_pipeline_spark import caching
+
+    df = qs["report_dataset"](spark, SF_DIR)
+    df.collect()  # materialize the persist so substitution is final
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    fmt = buf.getvalue()
+    nodes = [
+        line.split(") ", 1)[1].split(" ")[0]
+        for line in fmt.splitlines()
+        if line.startswith("(") and ") " in line
+    ]
+    # every member substituted: one InMemoryTableScan per consumer
+    assert nodes.count("InMemoryTableScan") >= 6, fmt[:2000]
+    # the grouping-sets formulation is gone entirely — an Expand node
+    # reappearing means the counting pass stopped canonicalizing
+    assert "Expand" not in nodes, fmt[:2000]
+    caching.release()
+
+
 def test_percolate_scoring_is_map_only_after_stats_broadcast(spark):
     """Percolation (streaming/percolate.py): per-document scoring of
     ALL standing queries must be map-only — the only exchanges are the
