@@ -228,6 +228,8 @@ class HotSearchIndex:
         image, avg + max of the maxima, candidate cap = first ``cap``
         image ids ascending (the reference's top_k·3 ES recall
         heuristic), ordering (round6(avg) DESC, id ASC)."""
+        if self.seg_groups is None:  # shard/corpus with no segments
+            return []
         qmat = np.asarray(
             [[float(x) for x in v] for _, v in query_rows], dtype=np.float64
         )
@@ -360,3 +362,180 @@ class HotSearchIndex:
             for image_id, pairs in self.tag_rows
             if any(t in tagset and c >= floor for t, c in pairs)
         }
+
+
+class ShardedHotIndex:
+    """The horizontal posture as CODE: N :class:`HotSearchIndex`
+    shards partitioned by image id, each answering locally, merged
+    with an exact k-way gather — the layout SCALING.md's "Serving
+    concurrency" describes for the SRS 1000-user line (N stateless
+    serving processes over Spark-built artifacts behind a balancer).
+
+    Exactness argument, per mode: every score this engine serves is a
+    PER-IMAGE quantity (whole dot, avg/max of per-query-segment
+    maxima, tag match counts), and sharding by image id co-locates an
+    image's embedding, all its segments, and its tag row on one
+    shard — so each shard's local result rows equal the rows a single
+    index would produce for its id range (to the ~1-ulp BLAS dgemm
+    blocking effect on the dots, absorbed like every fp-order effect
+    by the 1e-6 rounded-score ordering), and the global answer is a
+    merge-sort of bounded local lists:
+
+    - ``whole`` / ``tags``: gather each shard's local top-k, re-sort
+      under the same (score/rank, id) order, cut to k.
+    - ``segment``: the candidate cap is the FIRST ``cap`` image ids
+      ascending over the whole corpus — resolved globally from the
+      shards' local first-``cap`` id lists (each is a superset of its
+      shard's contribution to the global cap), then scored shard-
+      locally against exactly that id set.
+    - ``hybrid``: the phase-1 pool (global top ``max(20k,100)`` by
+      whole score) gathers from per-shard local pools the same way,
+      then each shard computes segment scores for its pool members.
+
+    Equivalence with the single index (and therefore with the Spark
+    plans) is pinned for every mode in tests/test_serving.py.
+
+    In-process this class mainly exists as the executable proof +
+    merge reference; a real deployment runs one shard per process
+    (each built by a Spark job writing that shard's artifact) and a
+    thin gather tier that concatenates the per-shard row lists exactly
+    as these methods do.
+    """
+
+    def __init__(self, shards: list[HotSearchIndex], image_col: str):
+        self.shards = shards
+        self.image_col = image_col
+
+    @classmethod
+    def from_hot(cls, hot: HotSearchIndex, n_shards: int) -> "ShardedHotIndex":
+        """Split a built artifact into ``n_shards`` by ``id %
+        n_shards`` (any id-deterministic partitioner works; a Spark
+        build writes the same split with one ``pmod`` column)."""
+        shards = []
+        for s in range(int(n_shards)):
+            def keep(ids):
+                return np.asarray(
+                    [int(i) % n_shards == s for i in ids.tolist()],
+                    dtype=bool,
+                )
+
+            img_keep = keep(hot.image_ids)
+            seg_ids = seg_mat = None
+            if hot.seg_mat is not None:
+                seg_keep = keep(hot.seg_image_ids)
+                seg_ids = hot.seg_image_ids[seg_keep]
+                seg_mat = hot.seg_mat[seg_keep]
+            tag_rows = None
+            if hot.tag_rows is not None:
+                tag_rows = [
+                    (i, p) for i, p in hot.tag_rows
+                    if int(i) % n_shards == s
+                ]
+            shards.append(
+                HotSearchIndex(
+                    hot.image_ids[img_keep],
+                    hot.image_mat[img_keep],
+                    seg_ids,
+                    seg_mat,
+                    tag_rows,
+                    image_col=hot.image_col,
+                )
+            )
+        return cls(shards, hot.image_col)
+
+    def _gather(self, per_shard: list[list[dict]], sort_key, k: int):
+        rows = [r for rows in per_shard for r in rows]
+        rows.sort(key=sort_key)
+        return rows[: int(k)]
+
+    def whole(self, query_vec, k, allowed=None) -> list[dict]:
+        col = self.image_col
+        return self._gather(
+            [s.whole(query_vec, k, allowed=allowed) for s in self.shards],
+            lambda r: (-r["score"], r[col]),
+            k,
+        )
+
+    def _global_cap_ids(self, cap: int, allowed) -> set:
+        cand = []
+        for s in self.shards:
+            groups = s.seg_groups
+            if groups is None:
+                continue
+            ids = groups.tolist()
+            if allowed is not None:
+                ids = [g for g in ids if g in allowed]
+            cand.extend(ids[: int(cap)])  # seg_groups is sorted asc
+        return set(sorted(cand)[: int(cap)])
+
+    def segment(
+        self, query_rows, top_k, candidate_cap=None, allowed=None
+    ) -> list[dict]:
+        col = self.image_col
+        cap_ids = (
+            self._global_cap_ids(candidate_cap, allowed)
+            if candidate_cap is not None
+            else allowed
+        )
+        return self._gather(
+            [
+                s.segment(
+                    query_rows, top_k, candidate_cap=None, allowed=cap_ids
+                )
+                for s in self.shards
+            ],
+            lambda r: (-round_half_up(r["avg_similarity"], 6), r[col]),
+            top_k,
+        )
+
+    def hybrid(
+        self, query_vec, query_rows, top_k,
+        whole_weight=0.4, segment_weight=0.6, allowed=None,
+    ) -> list[dict]:
+        col = self.image_col
+        pool = max(int(top_k) * 20, 100)
+        # phase 1: global pool from per-shard local pools (exact —
+        # a shard's local top-pool is a superset of its members in
+        # the global pool)
+        local = [
+            s.whole(query_vec, pool, allowed=allowed) for s in self.shards
+        ]
+        pool_rows = self._gather(
+            local, lambda r: (-r["score"], r[col]), pool
+        )
+        pool_ids = {r[col] for r in pool_rows}
+        per_shard = [
+            s.hybrid(
+                query_vec, query_rows, top_k,
+                whole_weight=whole_weight, segment_weight=segment_weight,
+                allowed=(
+                    pool_ids
+                    if allowed is None
+                    else pool_ids & set(allowed)
+                ),
+            )
+            for s in self.shards
+        ]
+        return self._gather(
+            per_shard,
+            lambda r: (-round_half_up(r["hybrid_score"], 6), r[col]),
+            top_k,
+        )
+
+    def tags(self, tags, min_confidence=0.1, top_k=10) -> list[dict]:
+        col = self.image_col
+        return self._gather(
+            [
+                s.tags(tags, min_confidence=min_confidence, top_k=top_k)
+                for s in self.shards
+            ],
+            lambda r: (-r["matched_tags"], -r["max_confidence"], r[col]),
+            top_k,
+        )
+
+    def tag_allowed(self, tag_filter, min_confidence) -> set:
+        out: set = set()
+        for s in self.shards:
+            if s.tag_rows is not None:
+                out |= s.tag_allowed(tag_filter, min_confidence)
+        return out

@@ -132,6 +132,75 @@ def test_hot_rebuild_after_table_swap(engine, spark):
     assert engine.hot(rebuild=True) is not hot0
 
 
+# -- sharded gather (the horizontal posture, executable) -------------------
+
+
+@pytest.mark.parametrize("n_shards", [2, 3, 7])
+def test_sharded_equals_single_all_modes(engine, n_shards):
+    """ShardedHotIndex over N shards must return the same rows as the
+    single index for every mode — the exactness proof behind the
+    'N serving processes behind a balancer' posture (SCALING.md):
+    ids, ranks, and integer fields identical; float scores to 1e-12
+    (BLAS dgemm blocking makes the same row's dot differ by ~1 ulp
+    between shard-sized and corpus-sized matmuls — absorbed by the
+    1e-6 rounded-score ordering, like every other fp-order effect in
+    this engine)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        ShardedHotIndex,
+    )
+
+    hot = engine.hot()
+    sharded = ShardedHotIndex.from_hot(hot, n_shards)
+    qvec, seg_rows = engine._encode_query(
+        PAYLOADS[2], "q.png", "hybrid", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    _assert_rows_equal(sharded.whole(qvec, 7), hot.whole(qvec, 7), 1e-12)
+    _assert_rows_equal(
+        sharded.segment(seg_rows, 5, candidate_cap=15),
+        hot.segment(seg_rows, 5, candidate_cap=15), 1e-12,
+    )
+    _assert_rows_equal(
+        sharded.hybrid(qvec, seg_rows, 5),
+        hot.hybrid(qvec, seg_rows, 5), 1e-12,
+    )
+    assert sharded.tags(["cat", "fish"], 0.1, 10) == hot.tags(
+        ["cat", "fish"], 0.1, 10
+    )  # tag scoring is arithmetic-free: bit equality holds
+    allowed = hot.tag_allowed(["cat"], 0.3)
+    assert sharded.tag_allowed(["cat"], 0.3) == allowed
+    _assert_rows_equal(
+        sharded.whole(qvec, 7, allowed=allowed),
+        hot.whole(qvec, 7, allowed=allowed), 1e-12,
+    )
+    _assert_rows_equal(
+        sharded.hybrid(qvec, seg_rows, 5, allowed=allowed),
+        hot.hybrid(qvec, seg_rows, 5, allowed=allowed), 1e-12,
+    )
+    _assert_rows_equal(
+        sharded.segment(seg_rows, 5, candidate_cap=15, allowed=allowed),
+        hot.segment(seg_rows, 5, candidate_cap=15, allowed=allowed),
+        1e-12,
+    )
+
+
+def test_sharded_handles_empty_shards(engine):
+    """More shards than distinct ids ⇒ some shards are empty; the
+    gather must not care."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        ShardedHotIndex,
+    )
+
+    hot = engine.hot()
+    n = int(len(hot.image_ids) + 5)
+    sharded = ShardedHotIndex.from_hot(hot, n)
+    qvec, _ = engine._encode_query(
+        PAYLOADS[3], "q.png", "whole", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    _assert_rows_equal(sharded.whole(qvec, 5), hot.whole(qvec, 5), 1e-12)
+
+
 # -- primitive parity -----------------------------------------------------
 
 
