@@ -222,6 +222,26 @@ def test_py_tokens_matches_spark_tokens(spark):
     assert got == [py_tokens(t) for t in texts]
 
 
+def test_round_half_up_matches_spark_round_randomized(spark):
+    """400 seeded random doubles across magnitudes (including values
+    engineered to land near the digit-7 rounding boundary) — the
+    display-rounding twin must match F.round(double, 6) bit-for-bit
+    on all of them."""
+    import random
+
+    rng = random.Random(0xD0D0)
+    vals = []
+    for _ in range(300):
+        vals.append(rng.uniform(-10, 10) * 10 ** rng.randint(-8, 3))
+    for _ in range(100):  # near .5 at the 7th digit
+        vals.append(rng.randint(-(10**7), 10**7) / 10**7 + 5e-7)
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", F.round("v", 6).alias("r")
+    )
+    for r in df.collect():
+        assert r["r"] == round_half_up(r["v"], 6), r["v"]
+
+
 def test_round_half_up_matches_spark_round(spark):
     vals = [
         0.1234565, 0.12345649999, -0.1234565, 1.9999995, 2.0000005,
