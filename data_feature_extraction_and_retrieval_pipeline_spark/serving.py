@@ -209,7 +209,9 @@ class HotSearchIndex:
         scores = self.image_mat @ q + 1.0
         ids = self.image_ids
         if allowed is not None:
-            keep = np.asarray([i in allowed for i in ids.tolist()])
+            keep = np.asarray(
+                [i in allowed for i in ids.tolist()], dtype=bool
+            )
             ids, scores = ids[keep], scores[keep]
         take = _topk_order(scores, ids, k)
         return [
@@ -279,7 +281,9 @@ class HotSearchIndex:
         scores = self.image_mat @ q + 1.0
         ids = self.image_ids
         if allowed is not None:
-            keep = np.asarray([i in allowed for i in ids.tolist()])
+            keep = np.asarray(
+                [i in allowed for i in ids.tolist()], dtype=bool
+            )
             ids, scores = ids[keep], scores[keep]
         pool = max(int(top_k) * 20, 100)
         take = _topk_order(scores, ids, pool)

@@ -199,6 +199,20 @@ def test_sharded_handles_empty_shards(engine):
         model_loader=lambda: None,
     )
     _assert_rows_equal(sharded.whole(qvec, 5), hot.whole(qvec, 5), 1e-12)
+    # allowed-filter over empty shards (regression: a dtype-less empty
+    # mask indexed the id array as float64)
+    allowed = hot.tag_allowed(["cat"], 0.3)
+    _assert_rows_equal(
+        sharded.whole(qvec, 5, allowed=allowed),
+        hot.whole(qvec, 5, allowed=allowed),
+        1e-12,
+    )
+    seg_rows = [(1, [0.0] * hot.dim)]
+    _assert_rows_equal(
+        sharded.hybrid(qvec, seg_rows, 3, allowed=allowed),
+        hot.hybrid(qvec, seg_rows, 3, allowed=allowed),
+        1e-12,
+    )
 
 
 # -- primitive parity -----------------------------------------------------
