@@ -27,6 +27,15 @@ Layout
 
 __version__ = "0.1.0"
 
-from .session import get_spark  # noqa: F401
-from .api import Engine  # noqa: F401
-from . import caching  # noqa: F401
+# The convenience re-exports need pyspark; the hot-serving boot path
+# (serving.HotSearchIndex.load in an N-shard serving process) does
+# not. Degrade instead of failing so `from <pkg>.serving import
+# HotSearchIndex` works on a numpy-only box — the build-once/serve-
+# forever split (tests/test_serving.py::test_load_boots_without_pyspark
+# runs exactly that, with pyspark import-masked).
+try:
+    from .session import get_spark  # noqa: F401
+    from .api import Engine  # noqa: F401
+    from . import caching  # noqa: F401
+except ImportError:  # Spark-free serving process
+    pass

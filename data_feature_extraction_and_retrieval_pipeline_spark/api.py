@@ -64,6 +64,56 @@ class Engine:
         self.segments = segments
         self.segment_tags = segment_tags
         self.image_col = image_col
+        # snapshot versioning for the serving tiers: _table_epoch bumps
+        # on ingest() (the tables changed), _hot_gen bumps whenever the
+        # resident hot artifact is (re)built or (re)loaded. Together
+        # they version every response-cache key in service.py — a
+        # rebuild after a table refresh invalidates cached search
+        # responses mechanically instead of by operator discipline.
+        self._table_epoch = 0
+        self._hot = None
+        self._hot_gen = 0
+        self._hot_table_epoch = None
+        self._hot_counts = None
+
+    @property
+    def serving_epoch(self) -> tuple:
+        """Version of the serving snapshot: (table epoch, hot-artifact
+        generation). Any change invalidates idempotent-response caches
+        keyed on it (service.py ``_ResponseCache``)."""
+        return (self._table_epoch, self._hot_gen)
+
+    def ingest(
+        self,
+        images: DataFrame | None = None,
+        segments: DataFrame | None = None,
+        segment_tags: DataFrame | None = None,
+    ) -> None:
+        """Append rows to the bound tables (unionByName — the batch
+        face of the streaming ingest path, streaming/ann_ingest.py).
+        Bumps the table epoch: the hot artifact, if built, is now a
+        STALE SNAPSHOT (``hot_stale()`` turns true) and every cached
+        service response keyed on the old ``serving_epoch`` stops
+        matching. The artifact itself keeps serving the pre-ingest
+        snapshot until ``hot(rebuild=True)`` / ``hot(rebuild="auto")``
+        — the documented lambda-serving split (serving.py module
+        docstring)."""
+        if images is not None:
+            self.images = (
+                images if self.images is None
+                else self.images.unionByName(images)
+            )
+        if segments is not None:
+            self.segments = (
+                segments if self.segments is None
+                else self.segments.unionByName(segments)
+            )
+        if segment_tags is not None:
+            self.segment_tags = (
+                segment_tags if self.segment_tags is None
+                else self.segment_tags.unionByName(segment_tags)
+            )
+        self._table_epoch += 1
 
     @classmethod
     def from_sf_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
@@ -331,18 +381,82 @@ class Engine:
 
     # -- hot serving tier (serving.py — the ES-parity resident index) --
 
-    def hot(self, rebuild: bool = False):
+    def hot(self, rebuild: bool | str = False, path: str | None = None):
         """The driver-resident :class:`~.serving.HotSearchIndex` built
-        from this engine's tables (cached; ``rebuild=True`` refreshes
-        after the tables change). One bounded Spark collect per table —
-        the hot tier's index-build step."""
+        from this engine's tables (cached). One bounded Spark collect
+        per table — the hot tier's index-build step.
+
+        ``rebuild``: ``True`` forces a rebuild from the current tables;
+        ``"auto"`` rebuilds only when :meth:`hot_stale` says the cached
+        artifact predates an ingest — the freshness policy a serving
+        deployment wires to its refresh cadence. The default (False)
+        serves the immutable snapshot, matching the reference's
+        build-once ES index (upload_features_to_elasticsearch.py:207-229
+        writes once; app.py serves that index until the next bulk load).
+
+        ``path``: durable-artifact seam (the build-once/serve-forever
+        split). If the file exists it is LOADED — no Spark job runs, so
+        a serving process (one shard of ``ShardedHotIndex``) boots
+        without a SparkSession via ``HotSearchIndex.load(path)``; if it
+        does not exist the artifact is built from the tables and saved
+        there for the next boot. ``rebuild=True`` with a path rebuilds
+        from the tables and overwrites the file.
+
+        Every (re)build or (re)load bumps the hot generation, which
+        versions the service's response-cache keys (serving_epoch)."""
         from .serving import HotSearchIndex
 
-        cached = getattr(self, "_hot", None)
+        cached = self._hot
+        if rebuild == "auto":
+            rebuild = cached is not None and self.hot_stale()
         if cached is None or rebuild:
-            cached = HotSearchIndex.from_engine(self)
+            import os
+
+            if path is not None and not rebuild and os.path.exists(path):
+                cached = HotSearchIndex.load(path)
+            else:
+                cached = HotSearchIndex.from_engine(self)
+                if path is not None:
+                    cached.save(path)
+            # snapshot counts from the artifact itself (works for both
+            # built and loaded copies) — the probe=True staleness check
+            # compares live table counts against these
+            self._hot_counts = {
+                "images": len(cached.image_ids)
+                if cached.image_ids is not None else None,
+                "segments": len(cached.seg_image_ids)
+                if cached.seg_image_ids is not None else None,
+                "segment_tags": len(cached.tag_rows)
+                if cached.tag_rows is not None else None,
+            }
             self._hot = cached
+            self._hot_gen += 1
+            self._hot_table_epoch = self._table_epoch
         return cached
+
+    def hot_stale(self, probe: bool = False) -> bool:
+        """Whether the cached hot artifact predates the current
+        tables. The cheap signal is the table epoch (bumped by
+        :meth:`ingest`); ``probe=True`` additionally row-counts the
+        serving tables against the counts snapshotted at build time —
+        the measured staleness check (the serving twin of
+        ``ann_centroid_staleness``'s occupancy drift), catching
+        external table growth the epoch can't see (e.g. files appended
+        to a parquet dir behind a re-read)."""
+        if self._hot is None:
+            return False
+        if self._hot_table_epoch != self._table_epoch:
+            return True
+        if probe and self._hot_counts is not None:
+            for name, df in (
+                ("images", self.images),
+                ("segments", self.segments),
+                ("segment_tags", self.segment_tags),
+            ):
+                snap = self._hot_counts.get(name)
+                if df is not None and snap is not None and df.count() != snap:
+                    return True
+        return False
 
     def search_rows(
         self,
@@ -415,6 +529,14 @@ class Engine:
         tiers score identical query vectors), dispatched to
         :meth:`search_rows`. Zero Spark jobs per request."""
         hot = self.hot()
+        if mode in ("whole", "segment", "hybrid") and not hot.dim:
+            # tier parity with the cold path's _encode_query dim probe:
+            # an empty images table must raise the same ValueError here,
+            # not silently encode a 0-dim query against a (0,0) matrix
+            raise ValueError(
+                "search_content: images table is empty — no "
+                "embedding dimension to infer"
+            )
         qvec, seg_rows = self._encode_query(
             payload, filename, mode, dim=hot.dim,
             max_segments=max_segments, model_loader=model_loader,

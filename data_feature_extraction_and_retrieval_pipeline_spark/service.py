@@ -270,12 +270,31 @@ class _Handler(BaseHTTPRequestHandler):
         if cache is not None and self.path in self._CACHEABLE:
             import hashlib
 
+            # Version mutable surfaces into the key: the percolator
+            # registry (its epoch) for /percolate/match, and the
+            # serving snapshot (Engine.serving_epoch — bumped by
+            # ingest() and hot rebuilds) for the search routes, so a
+            # rebuild after a table refresh can't keep serving cached
+            # pre-refresh responses.
             epoch = (
                 type(self).perc_epoch
                 if self.path == "/percolate/match"
-                else 0
+                else self.engine.serving_epoch
             )
-            key = (self.path, hashlib.sha256(body).digest(), epoch)
+            # Content-Type is part of the request semantics, not just
+            # transport: /search/tags and /api/search switch between
+            # JSON and multipart parsing on it, and multipart field
+            # extraction reads the header's boundary — identical body
+            # bytes under different Content-Types are different
+            # requests and must not collide on one cache entry.
+            ctype = self.headers.get("Content-Type", "")
+            key = (
+                self.path,
+                hashlib.sha256(
+                    ctype.encode("utf-8", "replace") + b"\x00" + body
+                ).digest(),
+                epoch,
+            )
             hit = cache.get(key)
             if hit is not None:
                 self._json(*hit)
@@ -559,6 +578,17 @@ class _Handler(BaseHTTPRequestHandler):
         # registration (pinned by the 32-way burst in
         # tests/test_concurrency.py).
         with self._perc_lock:
+            if (
+                self._cache_key is not None
+                and type(self).perc_epoch != self._cache_key[2]
+            ):
+                # same stale-epoch guard as the hot path: the registry
+                # changed between key capture and plan build — the
+                # response (built from the post-change registry) must
+                # not publish under the pre-change epoch key, where
+                # concurrently in-flight old-epoch requests would read
+                # it as the old registry's answer
+                self._cache_key = None
             df = p.matches(batch)
             cap = len(rows) * len(p.queries)
         self._json(

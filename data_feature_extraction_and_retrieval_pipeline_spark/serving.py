@@ -175,6 +175,89 @@ class HotSearchIndex:
             image_col=engine.image_col,
         )
 
+    # -- durable artifact (build once with Spark, serve forever) --------
+
+    def save(self, path: str) -> str:
+        """Serialize the artifact to one ``.npz`` file — the durable
+        half of the reference's build-once/serve-forever split
+        (upload_features_to_elasticsearch.py:207-229 writes the ES
+        index once; app.py boots against it with no feature-extraction
+        stack). A serving process — one shard of
+        :class:`ShardedHotIndex` — boots from this file via
+        :meth:`load` with numpy alone: no SparkSession, no JVM.
+
+        Layout: ids + matrices verbatim (float64, already sorted), tag
+        rows as four flat arrays (row ids, per-row pair counts, names,
+        confidences) — no pickle anywhere, so the file is portable
+        across Python versions and safe to load from shared storage."""
+        import numpy as np
+
+        data: dict = {"image_col": np.asarray(self.image_col)}
+        if self.image_mat is not None:
+            data["image_ids"] = self.image_ids
+            data["image_mat"] = self.image_mat
+        if self.seg_mat is not None:
+            data["seg_image_ids"] = self.seg_image_ids
+            data["seg_mat"] = self.seg_mat
+        if self.tag_rows is not None:
+            data["tag_row_ids"] = np.asarray(
+                [i for i, _ in self.tag_rows]
+            )
+            data["tag_row_lens"] = np.asarray(
+                [len(p) for _, p in self.tag_rows], dtype=np.int64
+            )
+            names = [t for _, p in self.tag_rows for t, _ in p]
+            data["tag_names"] = (
+                np.asarray(names) if names else np.asarray([], dtype="U1")
+            )
+            data["tag_confs"] = np.asarray(
+                [c for _, p in self.tag_rows for _, c in p],
+                dtype=np.float64,
+            )
+        with open(path, "wb") as f:
+            np.savez(f, **data)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "HotSearchIndex":
+        """Boot the artifact from a :meth:`save` file — numpy only, no
+        SparkSession (equivalence with the live-built copy is pinned
+        per mode in tests/test_serving.py)."""
+        import numpy as np
+
+        with np.load(path, allow_pickle=False) as z:
+            image_col = (
+                str(z["image_col"][()]) if "image_col" in z else "image_id"
+            )
+            image_ids = z["image_ids"] if "image_ids" in z else None
+            image_mat = z["image_mat"] if "image_mat" in z else None
+            seg_ids = (
+                z["seg_image_ids"] if "seg_image_ids" in z else None
+            )
+            seg_mat = z["seg_mat"] if "seg_mat" in z else None
+            tag_rows = None
+            if "tag_row_lens" in z:
+                ids = z["tag_row_ids"].tolist()
+                lens = z["tag_row_lens"].tolist()
+                names = z["tag_names"].tolist()
+                confs = z["tag_confs"].tolist()
+                tag_rows, pos = [], 0
+                for i, n in zip(ids, lens):
+                    tag_rows.append(
+                        (
+                            i,
+                            [
+                                (str(names[pos + j]), float(confs[pos + j]))
+                                for j in range(n)
+                            ],
+                        )
+                    )
+                    pos += n
+        return cls(
+            image_ids, image_mat, seg_ids, seg_mat, tag_rows,
+            image_col=image_col,
+        )
+
     # -- per-image segment maxima (the W4 argmax kernel) ----------------
 
     def _segment_maxima(self, cand_mask: np.ndarray, qmat: np.ndarray):
@@ -446,6 +529,28 @@ class ShardedHotIndex:
                 )
             )
         return cls(shards, hot.image_col)
+
+    @classmethod
+    def from_paths(cls, paths: Sequence[str]) -> "ShardedHotIndex":
+        """Boot the sharded posture from per-shard :meth:`save_shards`
+        artifacts — numpy only, no SparkSession. This is the deployment
+        shape: each path is one serving process's resident state; this
+        in-process form is the executable merge reference."""
+        shards = [HotSearchIndex.load(str(p)) for p in paths]
+        image_col = shards[0].image_col if shards else "image_id"
+        return cls(shards, image_col)
+
+    def save_shards(self, directory: str) -> list[str]:
+        """Write each shard to ``{directory}/shard-{i}.npz`` and return
+        the paths (the Spark-side build writes the same split with one
+        ``pmod(id, n)`` partition column; ``from_paths`` reloads)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        return [
+            s.save(os.path.join(directory, f"shard-{i}.npz"))
+            for i, s in enumerate(self.shards)
+        ]
 
     def _gather(self, per_shard: list[list[dict]], sort_key, k: int):
         rows = [r for rows in per_shard for r in rows]

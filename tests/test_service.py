@@ -538,3 +538,83 @@ def test_spark_tier_burst_no_convoy(spark):
         assert wall < 120, f"burst wall {wall:.1f}s — pathological"
     finally:
         srv.shutdown()
+
+
+class TestResponseCacheVersioning:
+    """Round-12 cache-soundness pins: Content-Type is part of the
+    request identity, and the serving snapshot version
+    (Engine.serving_epoch) keys every cached search response."""
+
+    def test_content_type_in_cache_key(self, server):
+        """Identical body bytes under different Content-Types are
+        different requests: a cached JSON /search/tags 200 must not be
+        served to a multipart request with the same bytes (which
+        parses to no tags → 400)."""
+        body = json.dumps({"tags": ["cat"], "top_k": 3}).encode()
+        code, resp = _post(server, "/search/tags", body, "application/json")
+        assert code == 200 and resp["results"]
+        # same bytes, cached — still 200 (sanity: the cache hit path)
+        code2, resp2 = _post(server, "/search/tags", body, "application/json")
+        assert (code2, resp2) == (code, resp)
+        # same bytes, multipart Content-Type: parses no tags → 400,
+        # NOT the cached JSON response
+        code3, resp3 = _post(
+            server, "/search/tags", body,
+            "multipart/form-data; boundary=zzz",
+        )
+        assert code3 == 400
+        assert resp3["error"] == "No tags provided"
+
+    def test_ingest_rebuild_invalidates_cached_search(self, spark):
+        """serve() → cached whole-search response → ingest a new image
+        whose embedding IS the stub query vector → hot(rebuild=True):
+        the same request bytes must now return the new image first,
+        not the cached pre-ingest rows."""
+        from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import (
+            _hash_projection,
+        )
+
+        eng = Engine.from_sf_dir(spark, SF_DIR)
+        srv = serve(eng, model_loader=lambda: None)
+        base = "http://{}:{}".format(*srv.server_address)
+        try:
+            payload = b"cache-invalidation-query"
+            body, ctype = _multipart(
+                {"top_k": "3"}, {"image": ("q.png", payload)}
+            )
+            code, before = _post(base, "/search/whole", body, ctype)
+            assert code == 200
+            # cache hit serves the identical envelope
+            code, again = _post(base, "/search/whole", body, ctype)
+            assert again == before
+            top_before = before["results"][0]["image_id"]
+            assert top_before != 424242
+
+            dim = eng.hot().dim
+            qvec = [float(x) for x in _hash_projection(payload, dim)]
+            eng.ingest(
+                images=spark.createDataFrame(
+                    [(424242, qvec)],
+                    "image_id long, embedding array<double>",
+                )
+            )
+            eng.hot(rebuild=True)
+            code, after = _post(base, "/search/whole", body, ctype)
+            assert code == 200
+            assert after["results"][0]["image_id"] == 424242
+        finally:
+            srv.shutdown()
+
+
+def test_empty_corpus_dim_parity(spark):
+    """Hot and cold tiers answer an empty images table the same way:
+    the ValueError('images table is empty …') → HTTP 400, instead of
+    the hot tier silently encoding a 0-dim query."""
+    empty = spark.createDataFrame(
+        [], "image_id long, embedding array<double>"
+    )
+    eng = Engine(empty)
+    with pytest.raises(ValueError, match="images table is empty"):
+        eng.search_content_rows(b"xx", filename="q.png", mode="whole")
+    with pytest.raises(ValueError, match="images table is empty"):
+        eng.search_content(b"xx", filename="q.png", mode="whole")

@@ -375,3 +375,213 @@ def test_matches_rows_bm25_value(spark):
     expect = round_half_up(idf * norm, 6)
     got = p.matches_rows([(9, "a a")])
     assert len(got) == 1 and got[0]["bm25"] == expect
+
+
+# -- durable artifact (save/load — the build-once/serve-forever split) -----
+
+
+def _mode_rows(idx, qvec, seg_rows):
+    """All four modes + the tag-filter primitive against one index."""
+    allowed = idx.tag_allowed(["cat"], 0.3) if idx.tag_rows else None
+    return {
+        "whole": idx.whole(qvec, 7),
+        "whole_filtered": idx.whole(qvec, 7, allowed=allowed),
+        "segment": idx.segment(seg_rows, 5, candidate_cap=15),
+        "hybrid": idx.hybrid(qvec, seg_rows, 5),
+        "hybrid_filtered": idx.hybrid(qvec, seg_rows, 5, allowed=allowed),
+        "tags": idx.tags(["cat", "fish"], 0.1, 10),
+        "allowed": sorted(allowed) if allowed is not None else None,
+    }
+
+
+def test_save_load_roundtrip_spark_free(engine, tmp_path):
+    """Build via Spark, save, load the .npz — the loaded copy must
+    answer every mode with the exact rows of the live-built artifact
+    (same float64 bits: the matrices round-trip verbatim), and loading
+    itself must not touch the SparkSession (serving.py imports no
+    pyspark; the subprocess test below proves the boot path end to
+    end)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        HotSearchIndex,
+    )
+
+    hot = engine.hot(rebuild=True)
+    path = str(tmp_path / "hot.npz")
+    assert hot.save(path) == path
+    loaded = HotSearchIndex.load(path)
+    assert loaded.image_col == hot.image_col
+    assert loaded.dim == hot.dim
+
+    qvec, seg_rows = engine._encode_query(
+        PAYLOADS[1], "q.png", "hybrid", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    built, reloaded = _mode_rows(hot, qvec, seg_rows), _mode_rows(
+        loaded, qvec, seg_rows
+    )
+    assert built == reloaded  # bit-exact: same resident float64 data
+
+
+def test_load_boots_without_pyspark(engine, tmp_path):
+    """The N-shard deployment story: a serving process boots one shard
+    from the durable artifact with numpy alone. Run the load + a whole
+    query in a subprocess where importing pyspark is IMPOSSIBLE
+    (masked via a broken stub on sys.path ahead of site-packages) —
+    if any code path touched Spark, the subprocess would die."""
+    import json as _json
+    import subprocess
+    import sys
+
+    hot = engine.hot()
+    path = str(tmp_path / "shard.npz")
+    hot.save(path)
+    qvec, _ = engine._encode_query(
+        PAYLOADS[0], "q.png", "whole", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    mask = tmp_path / "mask"
+    (mask / "pyspark").mkdir(parents=True)
+    (mask / "pyspark" / "__init__.py").write_text(
+        'raise ImportError("pyspark is masked in the serving process")'
+    )
+    import pathlib
+
+    pkg_root = str(
+        pathlib.Path(
+            __import__(
+                "data_feature_extraction_and_retrieval_pipeline_spark"
+            ).__file__
+        ).resolve().parent.parent
+    )
+    code = (
+        "import json, sys\n"
+        "from data_feature_extraction_and_retrieval_pipeline_spark"
+        ".serving import HotSearchIndex\n"
+        "idx = HotSearchIndex.load(sys.argv[1])\n"
+        "q = json.loads(sys.argv[2])\n"
+        "print(json.dumps(idx.whole(q, 5)))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, path, _json.dumps(qvec)],
+        capture_output=True, text=True, timeout=120,
+        env={"PYTHONPATH": f"{mask}:{pkg_root}", "PATH": "/usr/bin:/bin"},
+    )
+    assert out.returncode == 0, out.stderr
+    got = _json.loads(out.stdout)
+    expect = [
+        {k: (round(v, 12) if isinstance(v, float) else v) for k, v in r.items()}
+        for r in hot.whole(qvec, 5)
+    ]
+    got = [
+        {k: (round(v, 12) if isinstance(v, float) else v) for k, v in r.items()}
+        for r in got
+    ]
+    assert got == expect
+
+
+def test_sharded_from_paths_equals_single(engine, tmp_path):
+    """save_shards → from_paths: the disk-booted sharded posture must
+    merge to the single index's rows for every mode (the same
+    equivalence the in-memory sharding pins)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        ShardedHotIndex,
+    )
+
+    hot = engine.hot()
+    paths = ShardedHotIndex.from_hot(hot, 3).save_shards(
+        str(tmp_path / "shards")
+    )
+    assert len(paths) == 3
+    sharded = ShardedHotIndex.from_paths(paths)
+    qvec, seg_rows = engine._encode_query(
+        PAYLOADS[2], "q.png", "hybrid", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    _assert_rows_equal(sharded.whole(qvec, 7), hot.whole(qvec, 7), 1e-12)
+    _assert_rows_equal(
+        sharded.segment(seg_rows, 5, candidate_cap=15),
+        hot.segment(seg_rows, 5, candidate_cap=15), 1e-12,
+    )
+    _assert_rows_equal(
+        sharded.hybrid(qvec, seg_rows, 5),
+        hot.hybrid(qvec, seg_rows, 5), 1e-12,
+    )
+    assert sharded.tags(["cat", "fish"], 0.1, 10) == hot.tags(
+        ["cat", "fish"], 0.1, 10
+    )
+
+
+def test_engine_hot_path_builds_then_boots(engine, spark, tmp_path):
+    """Engine.hot(path=...): first call builds from the tables and
+    saves; a DIFFERENT engine pointed at the same path serves the
+    saved artifact, not its own tables — proof the boot read the disk
+    copy."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        HotSearchIndex,
+    )
+
+    path = str(tmp_path / "engine-hot.npz")
+    hot = engine.hot(rebuild=True, path=path)
+    import os
+
+    assert os.path.exists(path)
+
+    dim = hot.dim
+    other = Engine(
+        spark.createDataFrame(
+            [(999999, [0.0] * dim)],
+            "image_id long, embedding array<double>",
+        )
+    )
+    booted = other.hot(path=path)
+    assert len(booted.image_ids) == len(hot.image_ids)  # not 1
+    assert 999999 not in set(booted.image_ids.tolist())
+    # rebuild=True with a path overwrites from the CURRENT tables
+    rebuilt = other.hot(rebuild=True, path=path)
+    assert len(rebuilt.image_ids) == 1
+    assert len(HotSearchIndex.load(path).image_ids) == 1
+
+
+# -- freshness (ingest → staleness signal → rebuild policy) ----------------
+
+
+def test_ingest_staleness_and_auto_rebuild(spark):
+    """The hot artifact is an immutable snapshot: after an ingest the
+    engine KNOWS it is stale (hot_stale()), default policy keeps
+    serving the snapshot (documented lambda split), and
+    hot(rebuild='auto') refreshes so the new row becomes servable.
+    serving_epoch moves at both steps — the response-cache version."""
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    hot0 = eng.hot()
+    epoch0 = eng.serving_epoch
+    assert not eng.hot_stale()
+    qvec = [1.0] + [0.0] * (hot0.dim - 1)
+
+    new_img = spark.createDataFrame(
+        [(777777, qvec)], "image_id long, embedding array<double>"
+    )
+    eng.ingest(images=new_img)
+    assert eng.hot_stale()
+    assert eng.serving_epoch != epoch0
+    # default policy: snapshot keeps serving (pre-ingest rows)
+    assert eng.hot() is hot0
+    assert 777777 not in {r["image_id"] for r in hot0.whole(qvec, 3)}
+    # auto policy: stale ⇒ rebuild; the ingested row is now the top hit
+    hot1 = eng.hot(rebuild="auto")
+    assert hot1 is not hot0
+    assert not eng.hot_stale()
+    assert eng.hot(rebuild="auto") is hot1  # fresh ⇒ cached
+    assert {r["image_id"] for r in hot1.whole(qvec, 1)} == {777777}
+
+
+def test_hot_stale_probe_sees_external_growth(spark):
+    """Table growth that bypasses ingest() (no epoch bump) is invisible
+    to the cheap signal but caught by the row-count probe."""
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    hot0 = eng.hot()
+    extra = spark.createDataFrame(
+        [(888888, [0.0] * hot0.dim)], "image_id long, embedding array<double>"
+    )
+    eng.images = eng.images.unionByName(extra)  # external rebind
+    assert not eng.hot_stale()  # epoch unchanged — cheap check blind
+    assert eng.hot_stale(probe=True)  # count probe sees the growth
