@@ -253,40 +253,50 @@ def decode_image_pixels_real(
     (tests/test_real_models.py pins band-exactness against a pure-PIL
     reference wherever Pillow exists).
 
-    Import probed at PLAN time (driver-side fail-fast with install
-    guidance); per-row decode failures yield the all-zero grid — the
-    stub's NULL/empty discipline — because at 100 TB one corrupt image
-    must not kill a 10k-task stage (quarantine downstream: the
-    all-zero hash buckets only with other undecodables).
+    Decoder selection is per-executor at RUN time: Pillow when
+    installed (every format PIL speaks), else the vendored
+    Pillow-parity PNG kernel (functions/imaging.py — same grayscale
+    formula and fixed-point BOX resample, pinned bit-exact against PIL
+    wherever PIL exists), so the real path EXECUTES in codec-free
+    containers for PNG corpora instead of failing at plan time.
+    Per-row decode failures (corrupt payloads; non-PNG formats without
+    Pillow) yield the all-zero grid — the stub's NULL/empty discipline
+    — because at 100 TB one corrupt image must not kill a 10k-task
+    stage (quarantine downstream: the all-zero hash buckets only with
+    other undecodables).
     """
-    import importlib.util
-
-    if importlib.util.find_spec("PIL") is None:
-        raise ImportError(
-            "decode_image_pixels_real needs Pillow (`pip install "
-            "pillow`); use decode_image_pixels_stub in codec-free "
-            "environments."
-        )
     n_px = rows * cols
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         import numpy as np
-        from PIL import Image
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+        from data_feature_extraction_and_retrieval_pipeline_spark.functions import (  # noqa: E501
+            imaging,
+        )
 
         zero = np.zeros(n_px, dtype=np.int32)
         for pdf in batches:
             out = []
             for b in pdf[content_col]:
                 try:
-                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
-                    img = img.resize(
-                        (cols, rows), resample=Image.Resampling.BOX
-                    )
-                    out.append(
-                        np.asarray(img, dtype=np.int32).reshape(n_px)
-                    )
+                    if Image is not None:
+                        img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                        img = img.resize(
+                            (cols, rows), resample=Image.Resampling.BOX
+                        )
+                        out.append(
+                            np.asarray(img, dtype=np.int32).reshape(n_px)
+                        )
+                    else:
+                        out.append(
+                            imaging.gray_grid(bytes(b), cols=cols, rows=rows)
+                        )
                 except Exception:
                     out.append(zero)
             yield pd.DataFrame({"filename": pdf[filename_col], "pixels": out})
