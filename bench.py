@@ -332,12 +332,44 @@ def main() -> None:
     # that is high even floor-adjusted is a real plan question; a raw
     # ratio that collapses to ~0 after adjustment is job overhead on a
     # tiny oracle denominator, not a defect.
-    floor = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 32 * 1000, 1, 32).count()
-        dt = time.perf_counter() - t0
-        floor = dt if floor is None else min(floor, dt)
+    def _measure_floor() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 32 * 1000, 1, 32).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    floor = _measure_floor()
+    # Run-conditions guard (round-11 verdict: an 18% headline swing
+    # was pure shared-box contention and had to be diagnosed by hand).
+    # Compare the measured floor against the trailing-round median; a
+    # floor >1.5x the median marks the run noisy — re-measure once
+    # (contention is often bursty), then record the flag + ratio so
+    # the regression-vs-noise call is mechanical from the artifact.
+    trailing = []
+    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+        try:
+            d = json.loads(p.read_text())
+            d = d.get("parsed") or d.get("output") or d
+            v = d.get("job_floor_s") if isinstance(d, dict) else None
+            if isinstance(v, (int, float)):
+                trailing.append(float(v))
+        except Exception:
+            continue
+    floor_median = (
+        sorted(trailing)[len(trailing) // 2] if trailing else None
+    )
+    noisy = False
+    if floor_median is not None and floor > 1.5 * floor_median:
+        print(
+            f"bench: measured job floor {floor:.4f}s > 1.5x trailing "
+            f"median {floor_median:.4f}s — re-measuring",
+            file=sys.stderr,
+        )
+        floor = min(floor, _measure_floor())
+        noisy = floor > 1.5 * floor_median
     floor_adj = {
         name: (
             round(max(timings[name] - floor, 0.0) / o, 2) if o > 0 else None
@@ -378,6 +410,15 @@ def main() -> None:
         "curate_checkpoint_s": dict(sorted(api.CHECKPOINT_SECONDS.items())),
         "job_floor_s": round(floor, 4),
         "floor_adj_ratio": floor_adj,
+        # headline with the per-query fixed floor removed — the
+        # contention-invariant number to compare across rounds (the
+        # floor itself swings ±50% with shared-box load; the adjusted
+        # sum tracks actual plan execution)
+        "floor_adj_headline": round(
+            sum(max(t - floor, 0.0) for t in timings.values()), 3
+        ),
+        "floor_median_trailing": floor_median,
+        "noisy_run": noisy,
         "sf": sf,
     }
     # Full payload → a file (the per-query timings matter for grading
@@ -402,6 +443,8 @@ def main() -> None:
             sum(api.CHECKPOINT_SECONDS.values()), 3
         ),
         "job_floor_s": round(floor, 4),
+        "floor_adj_headline": detail["floor_adj_headline"],
+        "noisy_run": noisy,
         "sf": sf,
         # contract shape preserved (a dict of per-query seconds) but
         # bounded: only the 10 slowest — the full map is in the detail

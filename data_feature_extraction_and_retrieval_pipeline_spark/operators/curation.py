@@ -227,10 +227,22 @@ def unigram_logprob(
         .agg(F.count("*").alias("__tf"))
     )
     freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
-    total = freq.agg(F.sum("c").alias("total"))
-    vocab = freq.crossJoin(F.broadcast(total))
     if broadcast_vocab:
-        vocab = F.broadcast(vocab)
+        # total as a global window over the vocab-sized freq frame —
+        # NOT a separate agg + crossJoin(broadcast(total)), which
+        # schedules a second broadcast-build job re-walking the tf
+        # chain. The single-partition window is safe exactly when the
+        # vocab is broadcastable (same Heaps-law assumption), so both
+        # choices hang off the one flag. Plan change r12, same values
+        # (identical c/total division).
+        from pyspark.sql import Window as _W
+
+        vocab = F.broadcast(
+            freq.withColumn("total", F.sum("c").over(_W.partitionBy()))
+        )
+    else:
+        total = freq.agg(F.sum("c").alias("total"))
+        vocab = freq.crossJoin(F.broadcast(total))
     scored = (
         tf.join(vocab, "tok")
         .groupBy(id_col)

@@ -374,6 +374,7 @@ def hybrid_search_flat(
     image_col: str = "image_id",
     vec_col: str = "clip_features",
     whole_marker: F.Column | None = None,
+    allowed_marker: F.Column | None = None,
     pool: int | None = None,
     arrow: bool = True,
 ) -> DataFrame:
@@ -398,6 +399,19 @@ def hybrid_search_flat(
     stages. The per-image frame is |images| rows — the same frame any
     formulation must aggregate — and the pool selection is
     TakeOrderedAndProject, never a global sort.
+
+    ``allowed_marker`` (optional row predicate): an image is in the
+    candidate universe iff ANY of its rows satisfies it — the tag
+    pre-filter FOLDED INTO the one-pass aggregation (``max(marker)``
+    per image, filtered before pool selection) instead of a distinct +
+    broadcast-semi-join pre-pass. At 100 TB that pre-pass is the wrong
+    shape twice over: it re-scans the corpus to build the allowed set,
+    and that set is a constant fraction of ALL image ids — far past
+    any broadcast budget; the folded form costs Q+1 extra dots on
+    disallowed rows inside the scan it already runs and shuffles
+    nothing extra. Result-identical: the pool then scores only allowed
+    images, and an allowed image's segment maxima aggregate over all
+    its rows either way.
     """
     if whole_marker is None:
         raise ValueError("whole_marker column predicate required")
@@ -408,9 +422,10 @@ def hybrid_search_flat(
         [float(x) for x in r[1]] for r in query_rows
     ]
     sims = V.sims_array(vec_col, qmat, arrow=arrow)
-    base = segments.select(
-        F.col(image_col), whole_marker.alias("__w"), sims.alias("__s")
-    )
+    cols = [F.col(image_col), whole_marker.alias("__w"), sims.alias("__s")]
+    if allowed_marker is not None:
+        cols.append(allowed_marker.alias("__a"))
+    base = segments.select(*cols)
     names = [f"__best_{i}" for i in range(len(query_rows))]
     aggs = [
         F.max(F.when(F.col("__w"), F.element_at(F.col("__s"), 1))).alias("__whole")
@@ -418,11 +433,15 @@ def hybrid_search_flat(
         F.max(F.element_at(F.col("__s"), i + 2)).alias(names[i])
         for i in range(len(query_rows))
     ]
-    per_image = (
-        base.groupBy(image_col)
-        .agg(*aggs)
-        .filter(F.col("__whole").isNotNull())
-        .withColumn("whole_score", V.calibrated_whole_score(F.col("__whole")))
+    if allowed_marker is not None:
+        aggs.append(F.max(F.col("__a")).alias("__allowed"))
+    per_image = base.groupBy(image_col).agg(*aggs).filter(
+        F.col("__whole").isNotNull()
+    )
+    if allowed_marker is not None:
+        per_image = per_image.filter(F.col("__allowed"))
+    per_image = per_image.withColumn(
+        "whole_score", V.calibrated_whole_score(F.col("__whole"))
     )
     pooled = per_image.orderBy(F.desc("whole_score"), F.col(image_col)).limit(pool)
     total = F.col(names[0])
@@ -578,6 +597,7 @@ def bm25_topk(
     b: float = 0.75,
     keep_cols: Sequence[str] = (),
     stats_df: DataFrame | None = None,
+    stats_values: dict | None = None,
 ) -> DataFrame:
     """True Lucene BM25 relevance — the scoring an analyzed ES
     ``match`` query would rank the reference's corpus by. Precision on
@@ -619,22 +639,43 @@ def bm25_topk(
         df, terms, id_col, text_col, tokens_col, keep_cols
     )
 
-    if stats_df is None:
-        stats_df = _bm25_stats_agg(base, tf_names)
+    if stats_values is not None:
+        # Driver-held index metadata (the Lucene segment-stats model):
+        # inline the statistics as LITERALS. Catalyst constant-folds a
+        # broadcast stats row into the same literal expressions anyway
+        # — this skips the vestigial BroadcastExchange/NestedLoopJoin
+        # node AND the broadcast-materialization job it schedules per
+        # execution (r12 plan change, values identical by folding).
+        def _stat(name):
+            v = stats_values.get(name)
+            return (
+                F.lit(None).cast("double")
+                if v is None
+                else F.lit(float(v))
+            )
 
-    scored = base.crossJoin(F.broadcast(stats_df))
-    nd = F.col("__n").cast("double")
+        scored = base
+        nd = _stat("__n")
+        sumdl = _stat("__sumdl")
+        df_cols = [_stat(f"__df_{i}") for i in range(len(terms))]
+    else:
+        if stats_df is None:
+            stats_df = _bm25_stats_agg(base, tf_names)
+        scored = base.crossJoin(F.broadcast(stats_df))
+        nd = F.col("__n").cast("double")
+        sumdl = F.col("__sumdl").cast("double")
+        df_cols = [
+            F.col(f"__df_{i}").cast("double") for i in range(len(terms))
+        ]
     # Degenerate-corpus guard: with zero tokens anywhere, avgdl would
     # be 0 and ANSI Spark throws on dl/avgdl during evaluation even
     # though every row is filtered (tf=0 ⇒ no match). Any positive
     # stand-in is value-identical whenever a token exists.
-    avgdl = F.when(
-        F.col("__sumdl") > 0, F.col("__sumdl").cast("double") / nd
-    ).otherwise(F.lit(1.0))
+    avgdl = F.when(sumdl > 0, sumdl / nd).otherwise(F.lit(1.0))
     dld = F.col("__dl").cast("double")
     contribs = []
     for i in range(len(terms)):
-        dfd = F.col(f"__df_{i}").cast("double")
+        dfd = df_cols[i]
         tfd = F.col(tf_names[i]).cast("double")
         idf = F.log(
             F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
@@ -702,15 +743,31 @@ def rrf_fuse(
     """
     wt = Window.orderBy(F.desc(text_score), F.col(id_col))
     wv = Window.orderBy(F.desc(vector_score), F.col(id_col))
+    # The fusion itself is union + per-id max, NOT an outer join: both
+    # sides are bounded top-N lists, and a FullOuter join of two
+    # ≤N-row frames plans as SortMergeJoin (two exchanges + sorts +
+    # merge) while union→HashAggregate is one tiny exchange over ≤2N
+    # rows. max() over the disjoint rank columns reproduces the outer
+    # join's NULL semantics exactly (each id has at most one non-null
+    # value per rank column). Plan change r12, values identical.
     t = text_hits.select(
-        F.col(id_col), F.row_number().over(wt).alias("text_rank")
+        F.col(id_col),
+        F.row_number().over(wt).alias("text_rank"),
+        F.lit(None).cast("int").alias("vector_rank"),
     )
     v = vector_hits.select(
-        F.col(id_col), F.row_number().over(wv).alias("vector_rank")
+        F.col(id_col),
+        F.lit(None).cast("int").alias("text_rank"),
+        F.row_number().over(wv).alias("vector_rank"),
     )
     kd = F.lit(float(k))
     fused = (
-        t.join(v, id_col, "outer")
+        t.unionByName(v)
+        .groupBy(id_col)
+        .agg(
+            F.max("text_rank").alias("text_rank"),
+            F.max("vector_rank").alias("vector_rank"),
+        )
         .select(
             F.col(id_col),
             "text_rank",

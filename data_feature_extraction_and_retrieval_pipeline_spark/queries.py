@@ -280,71 +280,72 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-11
-# rotation: first the one round-11 semantic change (report_dataset's
-# distinct-counters gained the empty-input coalesce), then ALL 17
-# keepers whose newest rows are r07 (four rounds stale at r11), then
-# 32 of the 38 r08-newest keepers (three rounds stale); the six r08s
-# left out (ann_centroid_staleness, etl_display_truncate,
-# report_corpus_drift, etl_row_range_select, join_ext_fallback,
-# nested_tags_two_level) lead the r12 rotation. The full query ->
-# newest-row / witness-floor table is generated into COVERAGE.md by
-# tools/freshness_report.py and asserted current by
-# tests/test_driver_contract.py.
+# entries of queries(), so ordering is part of the contract. Round-12
+# rotation: first the seven round-12 plan changes (the x10
+# floor-residual fusions: literal-vocab tag dim, union-agg RRF, folded
+# tag pre-filter, map-only Gopher bigram mode, literal BM25 stats,
+# single-broadcast unigram vocab), then the six r08-newest keepers the
+# round-11 note promised would lead this rotation, then every ORACLED
+# r09-newest keeper (rows-only registry-tail entries keep their rows —
+# weaker checks don't spend head slots), topped up with the first
+# r10-newest keepers. The full query -> newest-row / witness-floor
+# table is generated into COVERAGE.md by tools/freshness_report.py and
+# asserted current by tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-11 semantic change (floor 11 => head) --
-    "report_dataset",
-    # -- keepers whose newest rows are r07 (oldest witnesses) --
-    "agg_pivot_roundtrip",
-    "ann_ingest_assign",
-    "ann_ingest_pq",
-    "api_percolate",
-    "join_semi_allowlist",
+    # -- round-12 semantic/plan changes (floor 12 => head) --
     "join_tag_category",
-    "ml_frame_sample",
-    "nested_roundtrip",
-    "report_quality_constraints",
-    "sql_api_revenue",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_bpe",
-    "text_token_count",
-    "vec_mean_per_label",
-    "win_ntile_quartiles",
-    # -- r08-newest keepers (head cut falls at the end of this list) --
-    "agg_bool_flags",
-    "agg_distinct_counts",
-    "agg_explode_count",
-    "agg_group_stats",
-    "agg_histogram_chars",
-    "agg_value_counts",
-    "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable",
-    "etl_hash_split",
-    "etl_html_scrub",
-    "etl_mixture_sample",
-    "etl_url_basename_join",
-    "events_hopping_window",
-    "hybrid_search",
+    "retrieval_rrf_fusion",
+    "text_unigram_logprob",
     "hybrid_search_tag_filtered",
-    "join_revenue_by_nation",
-    "knn_batch",
-    "knn_percentage",
-    "knn_tag_filtered",
-    "knn_whole",
-    "ml_stub_text_embeddings_portable",
-    "ml_zero_shot_tags",
-    "q1_pricing_summary",
-    "segment_search",
-    "segment_search_tag_filtered",
-    "set_ops_users",
-    "tag_search",
-    "tag_search_and",
-    "text_chunk_windows",
-    "text_pack_bins",
-    "text_redact_pii",
-    "zero_shot_topk_tags",
+    "text_gopher_rules",
+    "text_bm25_topk",
+    "tag_search_bm25",
+    # -- keepers whose newest rows are r08 (oldest witnesses) --
+    "ann_centroid_staleness",
+    "etl_display_truncate",
+    "etl_row_range_select",
+    "join_ext_fallback",
+    "nested_tags_two_level",
+    "report_corpus_drift",
+    # -- oracled r09-newest keepers --
+    "agg_cube_lang_source",
+    "agg_keyword_scan",
+    "ann_ivf_filtered",
+    "ann_recenter_compact",
+    "api_engine_hybrid",
+    "api_engine_segment",
+    "api_engine_tags",
+    "api_engine_whole",
+    "asof_join_clicks",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
+    "dedup_minhash_incremental",
+    "dedup_minhash_stream",
+    "etl_bucketed_roundtrip",
+    "etl_compact_roundtrip",
+    "etl_csv_roundtrip",
+    "etl_json_feature_roundtrip",
+    "etl_orc_roundtrip",
+    "etl_partitioned_roundtrip",
+    "etl_sorted_export",
+    "etl_zorder_roundtrip",
+    "events_interval_join_stream",
+    "events_sessionize_stream",
+    "ml_image_dir_scan",
+    "ml_kmeans_clusters",
+    "ml_multimodal_meta",
+    "ml_resize_plan",
+    "ml_segment_portable",
+    "percolate_stream",
+    "report_segment_stats",
+    "win_global_topk",
+    "win_lag_delta",
+    "win_topn_per_group",
+    # -- r10-newest keepers (head cut falls at the end of this list) --
+    "agg_decade_orders",
+    "agg_rollup_acctbal",
+    "agg_salted_group",
+    "ann_brute_force",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -429,8 +430,8 @@ _TOUCHED: dict[str, int] = {
     # round 10 (late): tokenize-once tf block (bm25_topk) and the
     # map-side dl / single-window tfidf rebuild — plan changes,
     # values identical
-    "text_bm25_topk": 10,
-    "tag_search_bm25": 10,
+    "text_bm25_topk": 12,  # r12: literal stats (BNLJ node dropped)
+    "tag_search_bm25": 12,  # r12: literal stats (BNLJ node dropped)
     "text_tfidf_keywords": 10,
     "percolate_stream": 6,
     "etl_zorder_roundtrip": 6,
@@ -490,7 +491,7 @@ _TOUCHED: dict[str, int] = {
     # round 8: new — RRF hybrid lexical+vector fusion, the HTTP
     # service layer's facade path (service.py wraps Engine, no new
     # query semantics), and the F18 display-truncation function
-    "retrieval_rrf_fusion": 10,  # r10 late: tokenize-once bm25 leg
+    "retrieval_rrf_fusion": 12,  # r12: union-agg fusion + literal BM25 stats
     "etl_display_truncate": 8,
     "events_funnel": 10,  # r10: isin prefilter below the shuffle
     "agg_pivot_roundtrip": 7,
@@ -526,7 +527,7 @@ _TOUCHED: dict[str, int] = {
     "segment_search": 3,
     "segment_search_tag_filtered": 3,
     "hybrid_search": 3,
-    "hybrid_search_tag_filtered": 3,
+    "hybrid_search_tag_filtered": 12,  # r12: allowed_marker folded into the one-pass agg
     "tag_search": 3,
     "tag_search_and": 3,
     "ann_ivf": 3,
@@ -539,11 +540,11 @@ _TOUCHED: dict[str, int] = {
     "text_redact_pii": 3,
     # r10 late: tokenize-once shingle/feature branches (plan change)
     "text_contamination": 10,
-    "text_gopher_rules": 10,
+    "text_gopher_rules": 12,  # r12: map-only sorted-run bigram mode
     "text_chunk_windows": 3,
     # r10 late: one-explode tf-level rebuild, tf-weighted mean (new
     # oracle formulation, same values)
-    "text_unigram_logprob": 10,
+    "text_unigram_logprob": 12,  # r12: single-broadcast vocab (windowed total)
     "text_pack_bins": 3,
     "etl_hash_split": 3,
     "etl_mixture_sample": 3,
@@ -578,7 +579,7 @@ _TOUCHED: dict[str, int] = {
     "text_lang_id": 4,
     "text_token_count": 4,
     "events_sessionize": 4,
-    "join_tag_category": 4,
+    "join_tag_category": 12,  # r12: literal resident vocab, no dim join
     "ml_multimodal_meta": 4,
     "ml_resize_plan": 4,
     "agg_salted_group": 4,
@@ -1725,19 +1726,19 @@ def hybrid_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").alias("clip_features"),
     )
-    allowed = (
-        seg.filter(F.col("label").isin(0, 2, 4, 6)).select("image_id").distinct()
-    )
-    # Filter-before-expensive-work: only allowed images' rows are ever
-    # scored; the flat fusion then runs both phases in one pass (the
-    # oracle's phase-2 scores exactly the phase-1 candidates, which
-    # are all allowed images, so pre-filtering the segment side is
-    # result-identical).
-    cand = seg.join(F.broadcast(allowed), "image_id", "left_semi")
+    # The tag pre-filter FOLDS into the one-pass aggregation
+    # (allowed_marker: any row with an allowed label admits the image)
+    # — r12 plan change replacing the distinct + broadcast-semi-join
+    # pre-pass, which re-scanned the corpus and broadcast a
+    # corpus-fraction id set (the wrong shape at 100 TB — see
+    # retrieval.hybrid_search_flat's allowed_marker note). Values
+    # identical: phase-2 aggregates all rows of allowed images either
+    # way.
     qvec = _query_vector(spark, sf_dir, 0)
     out = retrieval.hybrid_search_flat(
-        cand, qvec, _query_segment_rows(spark, sf_dir), top_k=10,
+        seg, qvec, _query_segment_rows(spark, sf_dir), top_k=10,
         whole_marker=F.col("vec_id") % 10 == 0,
+        allowed_marker=F.col("label").isin(0, 2, 4, 6),
         arrow=_vectors_arrow(sf_dir),
     )
     return out.select(
@@ -1861,28 +1862,21 @@ _BM25_DOC_TERMS = ["data", "table", "vector", "join"]
 _BM25_TAG_TERMS = ["data", "table", "row"]
 
 
-def _bm25_resident_stats(spark: SparkSession, key: str, build):
+def _bm25_resident_stats(spark: SparkSession, key: str, build) -> dict:
     """ES-parity BM25 statistics: N, Σdl and the per-term document
     frequencies are INDEX METADATA in Lucene (segment stats + posting
     list df), not per-query work — so they are a
     ``materialized_value`` artifact: collected once per (corpus,
-    terms), rebuilt per query as a literal 1-row frame (OneRowRelation
-    → LocalTableScan, broadcasts without scheduling a job). Cache off
-    ⇒ collected fresh inside the query under test (bounded driver
-    state: one row of longs). Passing it as ``stats_df`` drops the
-    scorer from two corpus scans to one."""
-    vals = indexes.materialized_value(
+    terms), inlined per query as LITERALS via ``bm25_topk(
+    stats_values=...)`` (r12: the former literal 1-row frame was
+    constant-folded into the same expressions anyway, but its
+    BroadcastExchange scheduled one materialization job per
+    execution). Cache off ⇒ collected fresh inside the query under
+    test (bounded driver state: one row of longs). Drops the scorer
+    from two corpus scans to one, with zero join nodes."""
+    return indexes.materialized_value(
         spark, key, lambda: build().first().asDict()
     )
-    cols = ", ".join(
-        (
-            f"CAST(NULL AS BIGINT) AS {c}"
-            if v is None
-            else f"CAST({int(v)} AS BIGINT) AS {c}"
-        )
-        for c, v in vals.items()
-    )
-    return spark.sql(f"SELECT {cols}")
 
 
 @register(
@@ -1912,7 +1906,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return retrieval.bm25_topk(
         docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text",
-        top_k=10, keep_cols=("lang",), stats_df=stats,
+        top_k=10, keep_cols=("lang",), stats_values=stats,
     )
 
 
@@ -1944,7 +1938,7 @@ def tag_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return retrieval.bm25_topk(
         tagged, _BM25_TAG_TERMS, id_col="doc_id", tokens_col="tag_list",
-        top_k=10, stats_df=stats,
+        top_k=10, stats_values=stats,
     )
 
 
@@ -2016,7 +2010,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text_hits = retrieval.bm25_topk(
         docs, _BM25_DOC_TERMS, id_col="doc_id", text_col="text", top_k=20,
-        stats_df=stats,
+        stats_values=stats,
     )
     vec_hits = (
         emb.select(
@@ -3148,36 +3142,54 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree. Per-doc features are one scan; the bigram mode is one
     explode + two aggregations on the same doc_id partitioning."""
     docs = _t(spark, sf_dir, "documents", wide=True)
-    # tokenize ONCE per branch: embedding X.tokens in each feature
-    # column (and 5× inside the shingle zip_with) re-splits the text
-    # per reference — measured 2× slower on the x10 corpus (same
-    # finding as bm25_topk's tokenize-once refactor)
+    # tokenize ONCE: embedding X.tokens in each feature column (and 5×
+    # inside the shingle zip_with) re-splits the text per reference —
+    # measured 2× slower on the x10 corpus (same finding as
+    # bm25_topk's tokenize-once refactor)
     tok_df = docs.select("doc_id", X.tokens(F.col("text")).alias("__t"))
-    feats = tok_df.select(
+    # top_bigram_frac WITHOUT the explode → (doc,bg) shuffle → (doc)
+    # shuffle → join-back (r12 plan change; the join-back planned as a
+    # corpus-sized broadcast build — wrong at every scale): a doc's
+    # max bigram count is the longest equal-run of its SORTED bigram
+    # array, so the whole feature is one per-row O(k log k) Catalyst
+    # expression and the query becomes a single map-only pass — zero
+    # exchanges, zero joins, embarrassingly parallel at 100 TB. Values
+    # identical: max run in the sorted multiset IS max(count) and the
+    # denominator is the bigram total (= n_words − 1).
+    bigrams_arr = F.expr(X.word_shingles_sql("__t", 2, distinct=False))
+    run0 = F.lit(0).cast("long")
+    best_run = F.aggregate(
+        F.array_sort(bigrams_arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            run0.alias("run"),
+            run0.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    joined = tok_df.select(
         "doc_id",
         F.size("__t").cast("long").alias("n_words"),
         X.mean_word_length(F.col("__t")).alias("__mwl"),
         X.dup_word_fraction(F.col("__t")).alias("__dwf"),
-    )
-    bigrams_arr = F.expr(X.word_shingles_sql("__t", 2, distinct=False))
-    bigrams = tok_df.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size("__t") >= 2, bigrams_arr).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("bg"),
-    )
-    bg_frac = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c") / F.sum("c").cast("double")).alias("__tbf")
+        F.when(
+            F.size("__t") >= 2,
+            best_run / (F.size("__t") - 1).cast("double"),
         )
-    )
-    joined = feats.join(bg_frac, "doc_id", "left").withColumn(
-        "__tbf0", F.coalesce(F.col("__tbf"), F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("__tbf0"),
     )
     keep = (
         (F.col("n_words") >= 50)
@@ -4714,27 +4726,30 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_tag_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 — tag→category broadcast dim lookup with unknown fallback
-    (SAM/upload_segments_to_elasticsearch.py:20-46): the 50-term
-    vocabulary becomes a broadcast dim table; unknown → 'unknown' via
-    coalesce after a left join."""
+    """J6 — tag→category dim lookup with unknown fallback
+    (SAM/upload_segments_to_elasticsearch.py:20-46). The vocabulary is
+    a STATIC dim in the reference (a hand-written 50-term list), i.e.
+    index metadata — so it is a ``materialized_value`` resident
+    artifact (collected once per corpus: the lexicographic top-20
+    distinct tokens), and the category lookup compiles to a literal
+    ``isin`` + length expression: category is a pure function of the
+    tag (LENGTH % 3) GATED on vocab membership. That removes the
+    per-query second corpus scan, the broadcast-dim build job, and the
+    join — one scan, one aggregate (plan change r12; values
+    identical). Cache off ⇒ the vocab collect runs inside the query."""
     docs = _t(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    # (A per-doc sorted-distinct top-20 prefix would provably contain
-    # the global top-20 vocab, but the per-row distinct+sort measured
-    # SLOWER than letting the hash aggregate de-duplicate the raw
-    # explode — the distinct-shuffle is already map-side combined.)
-    vocab = (
-        docs.select(F.explode(toks).alias("tag"))
-        .distinct()
-        .orderBy("tag")
-        .limit(20)
-        .withColumn(
-            "category",
-            F.when(F.length("tag") % 3 == 0, "architecture")
-            .when(F.length("tag") % 3 == 1, "nature")
-            .otherwise("objects"),
-        )
+    vocab_terms = indexes.materialized_value(
+        spark,
+        f"tagvocab20:{sf_dir}",
+        lambda: [
+            r["tag"]
+            for r in docs.select(F.explode(toks).alias("tag"))
+            .distinct()
+            .orderBy("tag")
+            .limit(20)
+            .collect()
+        ],
     )
     tags = docs.select(
         "doc_id",
@@ -4742,13 +4757,20 @@ def join_tag_category(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)
         ).alias("tag"),
     )
-    joined = tags.join(F.broadcast(vocab), "tag", "left").withColumn(
-        "category", F.coalesce("category", F.lit("unknown"))
-    )
-    return joined.groupBy("category").agg(
-        F.count("*").alias("n_tags"),
-        F.countDistinct("tag").alias("n_distinct_tags"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    category = F.when(
+        F.col("tag").isin(*vocab_terms) if vocab_terms else F.lit(False),
+        F.when(F.length("tag") % 3 == 0, "architecture")
+        .when(F.length("tag") % 3 == 1, "nature")
+        .otherwise("objects"),
+    ).otherwise("unknown")
+    return (
+        tags.withColumn("category", category)
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_tags"),
+            F.countDistinct("tag").alias("n_distinct_tags"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
     )
 
 
