@@ -369,23 +369,66 @@ def test_cube_has_partial_aggregation(spark, qs):
     )
 
 
+def test_gopher_rules_is_map_only(spark, qs):
+    """text_gopher_rules (r12): the whole quality pass — including
+    top_bigram_frac via the sorted-run mode — is ONE map-only stage:
+    no exchange, no join, no explode. The shape is embarrassingly
+    parallel at any corpus size."""
+    text = _plan_text(qs["text_gopher_rules"](spark, SF_DIR))
+    assert "Exchange" not in text, f"gopher must not shuffle:\n{text[:1500]}"
+    assert "Join" not in text, "gopher must not join"
+    assert "Generate" not in text, "gopher must not explode"
+
+
+def test_tag_category_has_no_dim_join(spark, qs):
+    """join_tag_category (r12): the static vocabulary compiles to a
+    literal isin expression — one corpus scan, one multi-distinct
+    aggregate, no join node and no broadcast build."""
+    text = _plan_text(qs["join_tag_category"](spark, SF_DIR))
+    assert "Join" not in text, f"vocab must be literal:\n{text[:1500]}"
+    assert "BroadcastExchange" not in text
+    assert text.count("Scan parquet") == 1, "one corpus scan"
+
+
+def test_hybrid_tag_filter_folds_into_aggregate(spark, qs):
+    """hybrid_search_tag_filtered (r12): the tag pre-filter rides the
+    one-pass aggregation (max(marker) per image) — no second corpus
+    scan, no broadcast id-set join."""
+    text = _plan_text(qs["hybrid_search_tag_filtered"](spark, SF_DIR))
+    assert "Join" not in text, f"allowed set must fold:\n{text[:1500]}"
+    assert text.count("Scan parquet") == 1, "one corpus scan"
+
+
+def test_rrf_fusion_has_no_join(spark, qs):
+    """retrieval_rrf_fusion (r12): rank fusion is union → per-id max
+    aggregate; the FullOuter SortMergeJoin of two ≤20-row lists (two
+    exchanges + sorts) is gone, as is the BM25 stats broadcast."""
+    text = _plan_text(qs["retrieval_rrf_fusion"](spark, SF_DIR))
+    assert "Join" not in text, f"fusion must be union+agg:\n{text[:1500]}"
+    assert "Union" in text
+
+
 def test_bm25_scoring_path_has_no_hash_shuffle(spark, qs):
     """text_bm25_topk: literal query terms make per-doc tf MAP-ONLY —
     the plan must contain no explode (Generate) and no hash-partition
-    exchange at all. The corpus stats arrive as a resident 1-row
-    LITERAL frame (index metadata, Lucene-style — no stats aggregate
-    in the scoring plan) broadcast back over the scan; top-k is
-    TakeOrderedAndProject. This is the shape that survives 100 TB:
-    ONE scan, zero data shuffled."""
+    exchange at all. The corpus stats are resident index metadata
+    (Lucene-style) inlined as LITERAL expressions (r12 — the former
+    1-row broadcast frame constant-folded to the same literals, so
+    the vestigial BroadcastExchange/BNLJ node and its per-execution
+    materialization job are gone); top-k is TakeOrderedAndProject.
+    This is the shape that survives 100 TB: ONE scan, zero data
+    shuffled, zero join nodes."""
     df = qs["text_bm25_topk"](spark, SF_DIR)
     text = _plan_text(df)
     assert "Generate" not in text, "bm25 tf must not explode tokens"
     assert "hashpartitioning" not in text, (
         f"bm25 must not hash-shuffle anything:\n{text[:1500]}"
     )
-    assert "BroadcastNestedLoopJoin" in text  # stats row broadcast back
-    assert "OneRowRelation" in text or "LocalTableScan" in text, (
-        "stats must come from the literal frame, not an aggregate"
+    assert "Join" not in text, (
+        "literal resident stats must leave no join node at all"
+    )
+    assert "BroadcastExchange" not in text, (
+        "no broadcast build job on the scoring path"
     )
     assert text.count("Scan parquet") <= 1, (
         "resident stats must leave ONE corpus scan"

@@ -26,7 +26,7 @@ SHOWCASE = [
     ("asof_join_clicks", "as-of join: one shuffle, window forward-fill"),
     ("events_sessionize", "sessionization: single-exchange lag/run-sum spans"),
     ("text_chunk_windows", "token-window chunking: map-only, zero exchange"),
-    ("text_unigram_logprob", "unigram NLL: one explode, shared tf aggregate (ReusedExchange), broadcast tf-level frequency join"),
+    ("text_unigram_logprob", "unigram NLL: one explode, shared tf aggregate (ReusedExchange), single vocab broadcast with windowed total"),
     ("etl_mixture_sample", "mixture sampling: codegen'd hash predicate, one agg exchange"),
     ("ann_range_search", "radius search: scan + predicate, no join/exchange"),
     ("ann_pq_portable", "PQ/ADC serving: literal-LUT aggregate, JVM-only, TakeOrderedAndProject"),
@@ -39,7 +39,7 @@ SHOWCASE = [
     ("etl_sorted_export", "range-sorted export read-back: pushed BETWEEN over range-disjoint sorted files"),
     ("win_lag_delta", "lag/lead cadence: window exchange reused by the aggregate — one shuffle"),
     ("agg_cube_lang_source", "cube: Expand over 4 grouping sets, partial aggregation before the exchange"),
-    ("text_bm25_topk", "BM25: map-only tf, 1-row stats broadcast, zero hash shuffle, TakeOrderedAndProject"),
+    ("text_bm25_topk", "BM25: map-only tf, literal resident stats (no broadcast node), zero hash shuffle, TakeOrderedAndProject"),
     ("text_tfidf_keywords", "tf-idf keywords: one token shuffle, map-side dl, broadcast vocab, single rank window"),
     ("api_percolate", "percolator: standing queries fanned out per row, stats broadcast, zero hash shuffle"),
     ("etl_zorder_roundtrip", "z-order read-back: both rectangle predicates pushed to the clustered scan"),
@@ -47,7 +47,10 @@ SHOWCASE = [
     ("ann_ingest_assign", "maintained ANN index read-back: cluster-partitioned scan, partial/final agg"),
     ("ann_centroid_staleness", "staleness monitor: JVM-only centroid assignment, fused section counts, grouping-sets totals"),
     ("report_corpus_drift", "fused drift: one exploded (section,key) agg per side, grouping-sets totals, decimal numerators"),
-    ("retrieval_rrf_fusion", "RRF hybrid: two bounded top-N windows, outer join on id, TakeOrderedAndProject cut"),
+    ("retrieval_rrf_fusion", "RRF hybrid: two bounded top-N windows, union + per-id max aggregate (no join), TakeOrderedAndProject cut"),
+    ("text_gopher_rules", "Gopher rules: ONE map-only stage — per-row sorted-run bigram mode, zero exchanges, zero joins"),
+    ("join_tag_category", "tag dim lookup: resident literal vocab isin — one scan, one multi-distinct aggregate, no dim join"),
+    ("hybrid_search_tag_filtered", "Q3 + tag filter folded into the one-pass aggregation: no pre-scan, no broadcast id set"),
     ("events_funnel", "conversion funnel: one user exchange, chained conditional array-mins — no sort, no per-step shuffle"),
     ("events_retention_stream", "incremental retention: cohort triangle over the maintained activity artifact — never rescans raw events"),
 ]

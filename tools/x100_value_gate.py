@@ -75,7 +75,95 @@ QUERIES = [
     "hybrid_search_tag_filtered",
     "segment_search_tag_filtered",
     "retrieval_rrf_fusion",
+    # round-12 additions — the serving FACADE paths at scale (until
+    # now only their operator twins ran at x100; these exercise the
+    # Engine dispatch + tag-filter semi-join composition on the 200k-
+    # vector corpus). The hot-tier equivalence phase below completes
+    # the serving story.
+    "api_engine_whole",
+    "api_engine_hybrid",
 ]
+
+
+def _serving_equivalence(synth_dir: str) -> int:
+    """Round-12 serving-tier scale evidence: on the x100 corpus, the
+    driver-resident hot index, a 3-way sharded split, AND a
+    saved-then-loaded-from-disk copy must all reproduce the Spark
+    plans' rows for the whole and hybrid modes (rounded-score + id
+    ordering; float tolerance 1e-9, same as tests/test_serving.py).
+    Returns 0 on success."""
+    import tempfile
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.api import (
+        Engine,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        HotSearchIndex,
+        ShardedHotIndex,
+    )
+    from data_feature_extraction_and_retrieval_pipeline_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        app_name="x100-serving-equiv",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine.from_sf_dir(spark, synth_dir)
+    payload = b"x100-serving-equivalence-payload"
+    failures = 0
+    for mode in ("whole", "hybrid"):
+        spark_rows = [
+            r.asDict()
+            for r in eng.search_content(
+                payload, filename="q.png", mode=mode, top_k=10,
+                model_loader=lambda: None,
+            ).collect()
+        ]
+        hot = eng.hot()
+        hot_rows = eng.search_content_rows(
+            payload, filename="q.png", mode=mode, top_k=10,
+            model_loader=lambda: None,
+        )
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "hot.npz")
+            hot.save(path)
+            loaded = HotSearchIndex.load(path)
+            sharded = ShardedHotIndex.from_hot(hot, 3)
+            qvec, seg_rows = eng._encode_query(
+                payload, "q.png", mode, dim=hot.dim,
+                model_loader=lambda: None,
+            )
+            if mode == "whole":
+                alt = [loaded.whole(qvec, 10), sharded.whole(qvec, 10)]
+            else:
+                alt = [
+                    loaded.hybrid(qvec, seg_rows, 10),
+                    sharded.hybrid(qvec, seg_rows, 10),
+                ]
+        for label, rows in [
+            ("hot", hot_rows), ("loaded", alt[0]), ("sharded3", alt[1])
+        ]:
+            ok = len(rows) == len(spark_rows) and all(
+                set(h) == set(s)
+                and all(
+                    (
+                        abs(h[k] - s[k]) <= 1e-9
+                        if isinstance(s[k], float)
+                        else h[k] == s[k]
+                    )
+                    for k in s
+                )
+                for h, s in zip(rows, spark_rows)
+            )
+            status = "ok  " if ok else "FAIL"
+            print(f"{status} serving[{mode}] {label} vs spark plans")
+            failures += 0 if ok else 1
+    spark.stop()
+    return failures
 
 
 def main() -> int:
@@ -91,9 +179,12 @@ def main() -> int:
         f"x100 value spot-gate: {len(QUERIES)} queries vs {synth_dir}",
         file=sys.stderr,
     )
-    return subprocess.call(
+    rc = subprocess.call(
         [sys.executable, "tools/check_correctness.py", synth_dir, *QUERIES]
     )
+    print("x100 serving-tier equivalence phase", file=sys.stderr)
+    failures = _serving_equivalence(synth_dir)
+    return rc or (1 if failures else 0)
 
 
 if __name__ == "__main__":
