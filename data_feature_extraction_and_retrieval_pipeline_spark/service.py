@@ -604,6 +604,7 @@ def serve(
     model_loader=None,
     documents=None,
     hot: bool = True,
+    hot_path: str | None = None,
     cache_size: int = 512,
 ) -> ThreadingHTTPServer:
     """Start the service on a background thread and return the server
@@ -620,10 +621,16 @@ def serve(
     index) so per-request scoring costs microseconds instead of a
     ~0.5-0.9 s Spark plan; ``hot=False`` keeps every request on the
     Spark plans — the fits-nowhere-resident deployment, and the tier
-    the equivalence tests certify the hot one against. ``cache_size``
-    bounds the idempotent-response LRU (0 disables it)."""
+    the equivalence tests certify the hot one against. ``hot_path``
+    threads through to ``Engine.hot(path=...)`` — the durable-artifact
+    seam: a serving process boots its resident state from the saved
+    ``.npz`` when the file exists (no Spark build at startup), and
+    builds + saves it when it does not (the reference's bulk-load-ES-
+    then-serve split). ``cache_size`` bounds the idempotent-response
+    LRU (0 disables it)."""
     if hot:
-        engine.hot()  # build the resident artifact before first request
+        # build/boot the resident artifact before the first request
+        engine.hot(path=hot_path)
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -671,6 +678,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument(
+        "--hot-path",
+        default=None,
+        help="durable serving artifact (.npz): boot from it when it "
+        "exists, build+save it when it doesn't",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark()
@@ -680,7 +693,10 @@ def main(argv: list[str] | None = None) -> int:
     docs = load_table(spark, args.sf_dir, "documents").select(
         "doc_id", "text"
     )
-    server = serve(engine, host=args.host, port=args.port, documents=docs)
+    server = serve(
+        engine, host=args.host, port=args.port, documents=docs,
+        hot_path=args.hot_path,
+    )
     print(f"serving on {server.server_address}")
     try:
         threading.Event().wait()

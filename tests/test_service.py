@@ -618,3 +618,40 @@ def test_empty_corpus_dim_parity(spark):
         eng.search_content_rows(b"xx", filename="q.png", mode="whole")
     with pytest.raises(ValueError, match="images table is empty"):
         eng.search_content(b"xx", filename="q.png", mode="whole")
+
+
+def test_serve_hot_path_boots_from_disk(spark, tmp_path):
+    """serve(hot_path=...): first server builds + saves the artifact;
+    a second server over a DIFFERENT (decoy) engine boots the saved
+    copy — its results come from the artifact, proof the boot skipped
+    the Spark build."""
+    import os
+
+    path = str(tmp_path / "serving.npz")
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    srv = serve(eng, model_loader=lambda: None, hot_path=path)
+    base = "http://{}:{}".format(*srv.server_address)
+    try:
+        body, ctype = _multipart(
+            {"top_k": "3"}, {"image": ("q.png", b"hot-path-query")}
+        )
+        code, first = _post(base, "/search/whole", body, ctype)
+        assert code == 200 and os.path.exists(path)
+    finally:
+        srv.shutdown()
+
+    dim = eng.hot().dim
+    decoy = Engine(
+        spark.createDataFrame(
+            [(31337, [0.0] * dim)], "image_id long, embedding array<double>"
+        )
+    )
+    srv2 = serve(decoy, model_loader=lambda: None, hot_path=path)
+    base2 = "http://{}:{}".format(*srv2.server_address)
+    try:
+        code, resp = _post(base2, "/search/whole", body, ctype)
+        assert code == 200
+        assert resp["results"] == first["results"]  # artifact, not decoy
+        assert resp["results"][0]["image_id"] != 31337
+    finally:
+        srv2.shutdown()
