@@ -843,3 +843,69 @@ def test_tfidf_keywords_matches_python(spark, token_lists):
         ], (i, docs[i])
         for (_, _, g), (_, _, w) in zip(got[i], want[i]):
             assert math.isclose(g, w, rel_tol=0, abs_tol=1.5e-6), (i, docs[i])
+
+
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=0, max_value=2),    # 0 gray, 1 rgb, 2 rgb-for-gray
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=24, max_size=24),
+)
+@settings(**SETTINGS)
+def test_png_codec_roundtrip_property(w, h, kind, seed, filter_sched):
+    """Vendored PNG encode→decode is the identity for arbitrary sizes,
+    pixel contents, and per-row filter schedules (every unfilter path:
+    None/Sub/Up/Average/Paeth) — pure-Python property, no Spark."""
+    import numpy as np
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions import (
+        imaging,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if kind == 0 else (h, w, 3)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = [filter_sched[y % len(filter_sched)] for y in range(h)]
+    out = imaging.png_decode(imaging.png_encode(arr, filters=filters))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+@given(
+    st.integers(min_value=9, max_value=64),
+    st.integers(min_value=8, max_value=48),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_box_resize_matches_float_reference(w, h, seed):
+    """The fixed-point BOX resample agrees with a float-space box
+    average to within 1 grey level on arbitrary sizes (the fixed-point
+    quantization bound), and EXACTLY equals round-half-up of the
+    two-pass integer mean when the boxes align (w,h multiples of 9,8)."""
+    import numpy as np
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions import (
+        imaging,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    got = imaging.box_resize(arr, 9, 8).astype(np.int64)
+
+    # float reference with the same coefficient geometry, two passes
+    def ref_axis(img, out_size):
+        out = np.zeros((img.shape[0], out_size))
+        for xx, (xmin, kk) in enumerate(imaging._box_coeffs(img.shape[1], out_size)):
+            ww = kk.astype(np.float64) / (1 << imaging._PRECISION_BITS)
+            out[:, xx] = img[:, xmin:xmin + len(kk)].astype(np.float64) @ ww
+        return out
+
+    ref = ref_axis(ref_axis(arr, 9).round().clip(0, 255).T, 8).T.round()
+    assert np.abs(got - ref).max() <= 1, (w, h)
+    if w % 9 == 0 and h % 8 == 0:
+        bw, bh = w // 9, h // 8
+        a = arr.astype(np.int64)
+        horiz = (a.reshape(h, 9, bw).sum(axis=2) + bw // 2) // bw
+        vert = (horiz.reshape(8, bh, 9).sum(axis=1) + bh // 2) // bh
+        assert np.array_equal(got, vert), (w, h)
