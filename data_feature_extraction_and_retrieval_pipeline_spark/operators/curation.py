@@ -275,6 +275,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     top_n: int = 3,
     broadcast_vocab: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the ``top_n`` tokens ranked by
     tf-idf — the metadata tagger a training-data pipeline runs to give
@@ -327,23 +328,26 @@ def tfidf_keywords(
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
     if broadcast_vocab:
         dfreq = F.broadcast(dfreq)
-    n_docs = df.groupBy().agg(F.count("*").alias("__n"))
-
-    scored = (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            F.col("tok").alias("term"),
-            F.round(
-                (F.col("tf").cast("double") / F.col("dl").cast("double"))
-                * F.log(
-                    (F.col("__n") + 1).cast("double")
-                    / (F.col("dfc") + 1).cast("double")
-                ),
-                6,
-            ).alias("tfidf"),
-        )
+    if n_docs is not None:
+        # N is WRITE-TIME metadata (a parquet footer row count / the
+        # index's doc count, Lucene-style) — callers holding it pass
+        # the int and the plan inlines a literal, skipping the 1-row
+        # count aggregate and its broadcast-materialization job (r12;
+        # values identical — the literal equals the folded constant).
+        nd = F.lit(int(n_docs) + 1).cast("double")
+        scored_base = tf.join(dfreq, "tok")
+    else:
+        n_frame = df.groupBy().agg(F.count("*").alias("__n"))
+        nd = (F.col("__n") + 1).cast("double")
+        scored_base = tf.join(dfreq, "tok").crossJoin(F.broadcast(n_frame))
+    scored = scored_base.select(
+        F.col(id_col),
+        F.col("tok").alias("term"),
+        F.round(
+            (F.col("tf").cast("double") / F.col("dl").cast("double"))
+            * F.log(nd / (F.col("dfc") + 1).cast("double")),
+            6,
+        ).alias("tfidf"),
     )
     w_rank = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.col("term")

