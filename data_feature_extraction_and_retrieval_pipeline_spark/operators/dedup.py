@@ -67,24 +67,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by n-gram (word shingle) Jaccard ≥ threshold.
 
-    shingles(A) ∩ shingles(B) via an equi-join on the shingle string;
-    Jaccard = common / (|A| + |B| − common). Only documents sharing at
-    least one shingle ever meet, and the pre-aggregated shingle lists
-    keep the join input to one row per (doc, distinct shingle).
+    Pairs are mined from the shingle POSTING LISTS (r12 plan change,
+    values identical): explode → ONE exchange on shingle →
+    ``sort_array(collect_list(id))`` per shingle → streaming pairwise
+    generation (posexplode × suffix-slice explode, so the i<j pairs
+    come out id_a < id_b by construction) → per-pair count. The former
+    self-join shuffled the corpus-scale (doc, shingle) frame into BOTH
+    SortMergeJoin sides (two sorts of the shingle strings even with
+    the exchange reused); the posting-list form shuffles it once and
+    replaces the string sorts with a hash aggregate. Jaccard =
+    common / (|A| + |B| − common); only documents sharing ≥1 shingle
+    ever pair, exactly as before.
+
+    Skew note: a stop-shingle with L docs generates L² pairs in either
+    formulation — that quadratic is what MinHash+LSH exists to avoid
+    (the scale path); this operator is the exact-but-expensive
+    sibling. The pair generation is Generate-streamed (never a
+    materialized L² array in one row); the collect_list row itself is
+    O(L) ids.
     """
     # NOT persisted: the exploded (doc × shingle) frame is
     # O(corpus·shingles) — pinning it in cache at the module's
     # 10¹⁰-document target evicts everything else (persist small
     # derived frames like candidate pairs, never the corpus-scale
-    # explode — the _lsh_pairs_from_banded rule). In the at-scale
-    # regime (shuffle join) the self-join's two sides are identical
-    # subplans shuffled on the same key, so Spark computes the explode
-    # once and reuses the exchange (ReusedExchange); in the broadcast
-    # regime one side is rebuilt map-side, which is a recompute, not a
-    # cache pin. Both plan shapes pinned in tests/test_plans.py.
-    # sizes skips the explode entirely (word_shingles is already
-    # distinct, so |exploded rows| ≡ size of the shingle array —
-    # map-side only).
+    # explode — the _lsh_pairs_from_banded rule). sizes skips the
+    # explode entirely (word_shingles is already distinct, so
+    # |exploded rows| ≡ size of the shingle array — map-side only).
     # tokenize ONCE into a column before shingling: word_shingles(n)
     # references its input ~n+2 times, and embedding the tokenization
     # expression re-splits the text per reference (measured 2× on the
@@ -98,12 +106,28 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.size(X.word_shingles(F.col("__t"), n)).alias("n_shingles"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    # (i, id_a) × ids[i+2..] — both Generates stream, no flatten of an
+    # L² pair array in memory
+    heads = postings.select(
+        F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+    )
     common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        heads.select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("__ids"),
+                    F.col("__i") + F.lit(2),
+                    F.size("__ids") - F.col("__i") - F.lit(1),
+                )
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))

@@ -341,9 +341,9 @@ _DRIVER_ORDER: list[str] = [
     "win_global_topk",
     "win_lag_delta",
     "win_topn_per_group",
-    # -- r10-newest keepers (head cut falls at the end of this list) --
-    "agg_decade_orders",
-    "agg_rollup_acctbal",
+    # -- r12 jaccard-consumer + r10-newest keepers (head cut here) --
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
     "agg_salted_group",
     "text_tfidf_keywords",
 ]
@@ -573,8 +573,8 @@ _TOUCHED: dict[str, int] = {
     "ann_pq_portable": 4,
     "ann_ivfpq_portable": 4,
     "ann_brute_force": 4,
-    "dedup_ngram_jaccard": 10,  # r10 late: tokenize-once shingles
-    "dedup_cluster_canonical": 4,
+    "dedup_ngram_jaccard": 12,  # r12: posting-list pair mining, one corpus shuffle
+    "dedup_cluster_canonical": 12,  # r12: consumes the posting-list jaccard pairs
     "text_quality": 4,
     "text_lang_id": 4,
     "text_token_count": 4,

@@ -398,15 +398,25 @@ class _Handler(BaseHTTPRequestHandler):
             "results": results,
         }
         if mode == "hybrid":
-            # app.py:210-212 echoes the weights; visualize is the
-            # scoped-out matplotlib grid (SURVEY §2.8) — acknowledged,
-            # never generated
+            # app.py:210-212 echoes the weights; visualize=true returns
+            # the U8 result grid as base64 PNG (r12 — rendered by the
+            # matplotlib-free numpy renderer, functions/render.py; the
+            # reference returns its matplotlib figure the same way)
             resp["weights"] = {
                 "whole": kwargs.get("whole_weight", 0.4),
                 "segment": kwargs.get("segment_weight", 0.6),
             }
             if form.get("visualize", "false").lower() == "true":
-                resp["visualization"] = None
+                import base64
+
+                from .cli import render_result_grid
+                from .functions import render
+
+                resp["visualization"] = base64.b64encode(
+                    render.to_png(
+                        render_result_grid(self.engine, payload, results)
+                    )
+                ).decode("ascii")
         self._json(200, resp)
 
     def _tag_search(self, body: bytes) -> None:

@@ -164,13 +164,14 @@ def test_pack_bins_single_exchange(spark, qs):
     assert text.count("Exchange") == 1, f"one shard exchange expected:\n{text}"
 
 
-def test_ngram_jaccard_no_cache_pin_both_regimes(spark):
-    """ngram_jaccard_pairs must never persist the corpus-scale
-    (doc × shingle) explode (no InMemoryTableScan anywhere). In the
-    at-scale regime (broadcast off) the self-join's two sides share
-    ONE exchange (ReusedExchange) so the explode computes once; in the
-    local broadcast regime the rebuild is a map-side recompute. Both
-    regimes cartesian-free."""
+def test_ngram_jaccard_single_corpus_shuffle(spark):
+    """ngram_jaccard_pairs (r12 posting-list form): never persists the
+    corpus-scale (doc × shingle) explode (no InMemoryTableScan), no
+    cartesian, no self-join of the explode at all — the corpus
+    shuffles ONCE (on shingle) into posting lists, pairs stream out of
+    two Generates, and the only other exchanges are pair/size-keyed.
+    The former SortMergeJoin shape double-sorted the shingle strings
+    even with its exchange reused."""
     from data_feature_extraction_and_retrieval_pipeline_spark.operators import (
         ngram_jaccard_pairs,
     )
@@ -178,24 +179,13 @@ def test_ngram_jaccard_no_cache_pin_both_regimes(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
-    small = _plan_text(ngram_jaccard_pairs(docs))
-    assert "InMemoryTableScan" not in small
-    assert "CartesianProduct" not in small
-
-    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        big = _plan_text(ngram_jaccard_pairs(docs))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert "InMemoryTableScan" not in big
-    assert "CartesianProduct" not in big
-    assert "ReusedExchange" in big, (
-        "shuffle regime must compute the shingle explode once"
-    )
+    text = _plan_text(ngram_jaccard_pairs(docs))
+    assert "InMemoryTableScan" not in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" not in text, "no shingle self-join"
+    assert text.count("collect_list") >= 1  # posting lists
+    # exactly one exchange partitioned on the shingle key
+    assert text.count("hashpartitioning(shingle") == 1, text[:2000]
 
 
 def test_portable_pq_serving_plan_is_jvm_only(spark, qs):

@@ -119,7 +119,11 @@ def test_segment_and_hybrid_search(server):
     code, resp = _post(server, "/search/hybrid", body, ctype)
     assert code == 200 and resp["mode"] == "hybrid"
     assert resp["weights"] == {"whole": 0.5, "segment": 0.5}
-    assert resp["visualization"] is None  # scoped-out grid, acknowledged
+    # r12: the formerly scoped-out grid renders for real — a decodable
+    # base64 PNG (full pin in tests/test_render.py)
+    import base64
+
+    assert base64.b64decode(resp["visualization"])[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_tags_search_json_and_unified(server):
