@@ -183,12 +183,36 @@ def pack_bins(
     )
 
 
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus unigram model — (tok, c, total) — as a standalone
+    frame: LANGUAGE-MODEL INDEX METADATA (Lucene keeps exactly these
+    term statistics in segment metadata; a KenLM is this table with
+    backoff). Persist it (indexes.materialized) and pass to
+    :func:`unigram_logprob` as ``vocab_df`` so per-query broadcast
+    builds collect the resident copy instead of re-aggregating the
+    corpus."""
+    from pyspark.sql import Window as _W
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("__tf"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
+    return freq.withColumn("total", F.sum("c").over(_W.partitionBy()))
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool = True,
     include_empty: bool = False,
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-unigram NLL quality score: (id, n_tokens, avg_nll) where
     ``avg_nll = mean(-ln(count(tok)/total_tokens))`` over the
@@ -226,8 +250,12 @@ def unigram_logprob(
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("__tf"))
     )
-    freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
-    if broadcast_vocab:
+    if vocab_df is not None:
+        # resident language-model metadata (unigram_vocab, persisted
+        # by the caller): the broadcast build collects the in-memory
+        # copy instead of re-walking the corpus tf chain (r12)
+        vocab = F.broadcast(vocab_df)
+    elif broadcast_vocab:
         # total as a global window over the vocab-sized freq frame —
         # NOT a separate agg + crossJoin(broadcast(total)), which
         # schedules a second broadcast-build job re-walking the tf
@@ -237,10 +265,12 @@ def unigram_logprob(
         # (identical c/total division).
         from pyspark.sql import Window as _W
 
+        freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
         vocab = F.broadcast(
             freq.withColumn("total", F.sum("c").over(_W.partitionBy()))
         )
     else:
+        freq = tf.groupBy("tok").agg(F.sum("__tf").alias("c"))
         total = freq.agg(F.sum("c").alias("total"))
         vocab = freq.crossJoin(F.broadcast(total))
     scored = (

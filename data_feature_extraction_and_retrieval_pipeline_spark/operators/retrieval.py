@@ -514,9 +514,22 @@ def _bm25_base(
     text_col: str | None,
     tokens_col: str | None,
     keep_cols: Sequence[str],
+    match_filter: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Per-document (dl, tf_i...) projection shared by the scorer and
-    the corpus-stats aggregate."""
+    the corpus-stats aggregate.
+
+    ``match_filter=True`` applies the OR-match (≥1 query term present)
+    as ONE ``arrays_overlap(toks, terms)`` predicate on the token
+    array — exactly equivalent to ``any tf_i > 0`` — BEFORE the tf
+    projection. The r10 shape filtered on the tf columns after the
+    projection, and predicate pushdown substituted the aliases: the
+    pushed filter re-tokenized the text once PER TERM at the scan
+    (codegen does not collapse the repeated HOF trees — 4 query terms
+    = 4 extra full tokenizations per row). The arrays_overlap form
+    pushes as a single tokenize (r12 plan change, values identical).
+    The stats aggregate never sets this — corpus statistics cover ALL
+    documents."""
     from ..functions import text as X
 
     if tokens_col is not None:
@@ -542,6 +555,12 @@ def _bm25_base(
         *[F.col(c) for c in keep_cols],
         toks.alias("__toks"),
     )
+    if match_filter:
+        pre = pre.filter(
+            F.arrays_overlap(
+                F.col("__toks"), F.array(*[F.lit(t) for t in terms])
+            )
+        )
     base = pre.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -636,8 +655,17 @@ def bm25_topk(
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
     base, tf_names = _bm25_base(
-        df, terms, id_col, text_col, tokens_col, keep_cols
+        df, terms, id_col, text_col, tokens_col, keep_cols,
+        match_filter=True,
     )
+    if stats_values is None and stats_df is None:
+        # corpus statistics cover ALL documents — aggregate an
+        # UNFILTERED base (the match filter above restricts only the
+        # scoring pass; folding it into the stats would skew N/Σdl/df)
+        stats_base, _ = _bm25_base(
+            df, terms, id_col, text_col, tokens_col, ()
+        )
+        stats_df = _bm25_stats_agg(stats_base, tf_names)
 
     if stats_values is not None:
         # Driver-held index metadata (the Lucene segment-stats model):
@@ -659,8 +687,6 @@ def bm25_topk(
         sumdl = _stat("__sumdl")
         df_cols = [_stat(f"__df_{i}") for i in range(len(terms))]
     else:
-        if stats_df is None:
-            stats_df = _bm25_stats_agg(base, tf_names)
         scored = base.crossJoin(F.broadcast(stats_df))
         nd = F.col("__n").cast("double")
         sumdl = F.col("__sumdl").cast("double")
@@ -687,13 +713,14 @@ def bm25_topk(
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
-    matched = F.col(tf_names[0]) > 0
+    # the OR-match itself was applied pre-projection (match_filter:
+    # arrays_overlap ≡ any tf_i > 0) — a post-hoc tf filter here would
+    # push back down and re-tokenize per term
     n_matched = (F.col(tf_names[0]) > 0).cast("int")
     for n in tf_names[1:]:
-        matched = matched | (F.col(n) > 0)
         n_matched = n_matched + (F.col(n) > 0).cast("int")
 
-    out = scored.filter(matched).select(
+    out = scored.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         n_matched.alias("n_matched_terms"),

