@@ -180,12 +180,39 @@ def main() -> int:
 
     # same fixed-floor probe as bench.py — the floor is ~constant in
     # data volume, so at x10 it adjusts far less of each number
-    floor = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 32 * 1000, 1, 32).count()
-        dt = time.perf_counter() - t0
-        floor = dt if floor is None else min(floor, dt)
+    def _measure_floor() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 32 * 1000, 1, 32).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    floor = _measure_floor()
+    # Run-conditions guard, mirroring bench.py: compare against the
+    # trailing medians of prior committed x10 artifacts; a floor >1.5x
+    # the median marks the run noisy (shared-box contention) — re-probe
+    # once, then record the flag so a noisy sweep can't masquerade as a
+    # plan regression (or a quiet one as an improvement).
+    trailing = []
+    for p in sorted(REPO.glob("BENCH_x10_r*.json")):
+        try:
+            v = json.loads(p.read_text()).get("job_floor_s")
+            if isinstance(v, (int, float)):
+                trailing.append(float(v))
+        except Exception:
+            continue
+    floor_median = sorted(trailing)[len(trailing) // 2] if trailing else None
+    noisy = False
+    if floor_median is not None and floor > 1.5 * floor_median:
+        print(
+            f"bench_x10: measured job floor {floor:.4f}s > 1.5x trailing "
+            f"median {floor_median:.4f}s — re-measuring",
+            file=sys.stderr,
+        )
+        floor = min(floor, _measure_floor())
+        noisy = floor > 1.5 * floor_median
 
     con = duckdb.connect()
     for t in sorted(tables):
@@ -238,6 +265,8 @@ def main() -> int:
             sum(timings.values()) / sum(oracle_timings.values()), 3
         ),
         "job_floor_s": round(floor, 4),
+        "floor_median_trailing": floor_median,
+        "noisy_run": noisy,
         "n_measurable": len(measurable),
         "over_2x_measurable": over_bar,
         "over_2x_write_priced": over_write,
@@ -262,7 +291,7 @@ def main() -> int:
         k: out[k]
         for k in (
             "metric", "value", "unit", "n_queries", "oracle_total",
-            "ratio_total", "job_floor_s", "n_measurable",
+            "ratio_total", "job_floor_s", "noisy_run", "n_measurable",
             "over_2x_measurable", "over_2x_write_priced",
             "over_2x_fetch_priced",
         )
