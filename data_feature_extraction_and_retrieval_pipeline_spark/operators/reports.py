@@ -19,7 +19,10 @@ from . import analytics
 
 
 def _grouped_value_counts(
-    df: DataFrame, specs: dict[str, "F.Column"], persist: bool = False
+    df: DataFrame,
+    specs: dict[str, "F.Column"],
+    persist: bool = False,
+    multi_specs: dict[str, "F.Column"] | None = None,
 ) -> dict[str, DataFrame]:
     """ONE corpus pass computing ``value_counts`` for several key
     expressions at once: each row explodes into one (member, keys)
@@ -50,26 +53,56 @@ def _grouped_value_counts(
     key value, so null groups survive exactly as in a standalone
     groupBy. Returns one (key-named, count) frame per spec entry,
     unordered.
+
+    ``multi_specs`` entries are ARRAY-valued members: each element of
+    the array contributes one counted row for that member (the
+    token-leaderboard shape — ``explode(split(text))`` → count). They
+    ride the SAME scan, Generate, and exchange as the scalar members:
+    the per-row struct array is ``concat(scalar structs,
+    transform(arr, elem → struct))``, so a report that needs both
+    per-column value counts AND a token count still reads the corpus
+    exactly once. A NULL array contributes nothing (coalesced to
+    empty), matching ``explode``'s null-dropping discipline.
     """
-    names = list(specs)
+    names = list(specs) + list(multi_specs or {})
     # NULL placeholders must carry each key's exact type or the struct
     # array won't unify — probe the analyzed types once at plan time
     key_types = {
         n: df.select(c.alias("__t")).schema[0].dataType
         for n, c in specs.items()
     }
-    structs = []
-    for i, n in enumerate(names):
-        fields = [F.lit(i).alias("__m")] + [
-            (
-                specs[n2] if n2 == n else F.lit(None).cast(key_types[n2])
-            ).alias(f"__k_{n2}")
+    multi_arr_types = {
+        n: df.select(c.alias("__t")).schema[0].dataType
+        for n, c in (multi_specs or {}).items()
+    }
+    for n, t in multi_arr_types.items():
+        key_types[n] = t.elementType
+    def _fields(i: int, n: str, key: "F.Column") -> list:
+        return [F.lit(i).alias("__m")] + [
+            (key if n2 == n else F.lit(None).cast(key_types[n2])).alias(
+                f"__k_{n2}"
+            )
             for n2 in names
         ]
-        structs.append(F.struct(*fields))
+    structs = []
+    for i, n in enumerate(specs):
+        structs.append(F.struct(*_fields(i, n, specs[n])))
+    member_arrays = [F.array(*structs)] if structs else []
+    def _elem_struct(i: int, n: str):
+        # single-parameter lambda: F.transform passes (elem, idx) to
+        # any callable with >1 positional parameter, so the member tag
+        # must come in via closure, not defaulted parameters
+        return lambda v: F.struct(*_fields(i, n, v))
+
+    for i, n in enumerate(multi_specs or {}, start=len(specs)):
+        arr = F.coalesce(
+            multi_specs[n],
+            F.array().cast(multi_arr_types[n].simpleString()),
+        )
+        member_arrays.append(F.transform(arr, _elem_struct(i, n)))
     kcols = [f"__k_{n}" for n in names]
     agg = (
-        df.select(F.explode(F.array(*structs)).alias("__mk"))
+        df.select(F.explode(F.concat(*member_arrays)).alias("__mk"))
         .select("__mk.*")
         .groupBy("__m", *kcols)
         .agg(F.count(F.lit(1)).alias("count"))
@@ -77,13 +110,43 @@ def _grouped_value_counts(
     if persist:
         from .. import caching
 
-        agg = caching.persist(agg)
+        # the aggregate is vocabulary-sized; coalesce it so every
+        # consumer stage downstream is a handful of tasks instead of
+        # one per shuffle partition (at 100 TB scale the width with
+        # the vocabulary, not with the corpus)
+        agg = caching.persist(agg.coalesce(8))
     out = {}
     for i, n in enumerate(names):
         out[n] = agg.filter(F.col("__m") == F.lit(i)).select(
             F.col(f"__k_{n}").alias(n), F.col("count")
         )
+    out["__raw__"] = agg
     return out
+
+
+def _doc_count_specs() -> dict[str, "F.Column"]:
+    """The count-style document sections' key expressions — shared by
+    the dict-form report and the fused long-form assembly so the two
+    cannot drift (their equivalence is additionally pinned in
+    tests/test_reports.py)."""
+    return {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "bin": (
+            F.floor((F.col("n_chars") - F.lit(0.0)) / F.lit(50.0))
+            * F.lit(50.0)
+            + F.lit(0.0)
+        ).cast("double"),
+        "has_long_text": (F.col("n_chars") >= 100),
+    }
+
+
+def _doc_multi_specs() -> dict[str, "F.Column"]:
+    return {"token": F.split(F.lower("text"), r"\s+")}
+
+
+def _ev_count_specs() -> dict[str, "F.Column"]:
+    return {"event_type": F.col("event_type"), "user": F.col("user_id")}
 
 
 def dataset_report(
@@ -105,8 +168,6 @@ def dataset_report(
     - per-label embedding counts + mean vector norm (segment-corpus
       stats, visualize_segmented_tags.py:98-102 analogue).
     """
-    from ..functions import vectors as V
-
     # The four count-style document sections share ONE exploded
     # counting pass (scan + Generate + exchange computed once, then
     # persisted — see _grouped_value_counts); each member is
@@ -117,20 +178,15 @@ def dataset_report(
     # standalone histogram's pre-filter drops the row.
     shared = _grouped_value_counts(
         documents,
-        {
-            "source": F.col("source"),
-            "lang": F.col("lang"),
-            "bin": (
-                F.floor((F.col("n_chars") - F.lit(0.0)) / F.lit(50.0))
-                * F.lit(50.0)
-                + F.lit(0.0)
-            ).cast("double"),
-            "has_long_text": (F.col("n_chars") >= 100),
-        },
-        # six report members consume this aggregate; persist it so the
-        # corpus is scanned once for all of them (see the function's
-        # docstring — union branches do NOT exchange-reuse)
+        _doc_count_specs(),
+        # seven report members consume this aggregate; persist it so
+        # the corpus is scanned once for all of them (see the
+        # function's docstring — union branches do NOT exchange-reuse)
         persist=True,
+        # the token leaderboard rides the same scan/Generate/exchange
+        # as the scalar counts (array-valued member): the corpus is
+        # read ONCE for every count-style section of the report
+        multi_specs=_doc_multi_specs(),
     )
     src = shared["source"]
     lng = shared["lang"]
@@ -140,16 +196,27 @@ def dataset_report(
         lng = lng.orderBy(F.desc("count"), F.col("lang"))
         hist = hist.orderBy("bin")
 
+    # ONE events pass for both event sections: value counts by type,
+    # and the per-user frequency member whose (user, count) rows
+    # re-aggregate EXACTLY into the per-user stats (n_users = member
+    # rows incl. a null-user group, mean = Σcount/n — the same long
+    # arithmetic avg() performs), so the events table is scanned once.
+    shared_events = _grouped_value_counts(
+        events,
+        _ev_count_specs(),
+        persist=True,
+    )
+    ev_counts = shared_events["event_type"]
+    if ordered:
+        ev_counts = ev_counts.orderBy(F.desc("count"), F.col("event_type"))
+
     return {
         "source_counts": src,
         "lang_counts": lng,
         "token_leaderboard": (
-            documents.select(
-                F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
-            )
-            .filter(F.length("value") > 0)
-            .groupBy("value")
-            .agg(F.count("*").alias("count"))
+            shared["token"]
+            .filter(F.length("token") > 0)
+            .select(F.col("token").alias("value"), "count")
             .orderBy(F.desc("count"), F.col("value"))
             .limit(30)
         ),
@@ -181,28 +248,27 @@ def dataset_report(
             .select("n_sources", "n_langs", "n_docs")
         ),
         "coverage_split": shared["has_long_text"],
-        "event_type_counts": analytics.value_counts(
-            events, "event_type", ordered=ordered
-        ),
+        "event_type_counts": ev_counts,
         "events_per_user_stats": (
-            events.groupBy("user_id")
-            .agg(F.count("*").alias("n_events"))
-            .agg(
-                F.count("*").alias("n_users"),
-                F.avg("n_events").alias("mean_events"),
-                F.min("n_events").alias("min_events"),
-                F.max("n_events").alias("max_events"),
+            shared_events["user"].agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.avg("count").alias("mean_events"),
+                F.min("count").alias("min_events"),
+                F.max("count").alias("max_events"),
             )
         ),
-        "label_vector_stats": (
-            embeddings.groupBy("label")
-            .agg(
-                F.count("*").alias("n_vectors"),
-                F.avg(V.l2_norm(F.col("embedding"))).alias("mean_norm"),
-            )
-            .orderBy("label")
-        ),
+        "label_vector_stats": _label_vector_stats(embeddings, ordered=True),
     }
+
+
+def _label_vector_stats(embeddings: DataFrame, ordered: bool) -> DataFrame:
+    from ..functions import vectors as V
+
+    out = embeddings.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.avg(V.l2_norm(F.col("embedding"))).alias("mean_norm"),
+    )
+    return out.orderBy("label") if ordered else out
 
 
 # ---------------------------------------------------------------------------
@@ -263,10 +329,122 @@ def dataset_report_long(
     set emitted as section/key/value rows). NULL group keys are made
     explicit ('<null>') so the key column never drops rows on a join
     or concat (NULL-identity discipline)."""
-    # unordered members: the long frame is re-sorted or hashed by every
-    # consumer, and the 9 cosmetic per-branch sorts cost more CATALYST
-    # ANALYSIS time than the whole bundle's execution (measured ~2 s
-    # re-plan vs 0.12 s exec at x10 — SCALING.md "analysis floor")
+    # Fused assembly (round 12): the four count-style document
+    # sections are ONE map-only projection over the persisted counting
+    # aggregate — not four filter branches — and the two event
+    # sections likewise read one persisted events pass. The union
+    # drops from 10 branches (each its own AQE stage materialization
+    # round-trip) to 6, and the only exchanges left are the two
+    # counting shuffles, three tiny aggregates (counters, per-user
+    # stats, per-lang stats), and the token TakeOrdered. Values are
+    # pinned identical to the member-by-member reference assembly
+    # (tests/test_reports.py::test_dataset_report_long_fused_matches_reference).
+    shared = _grouped_value_counts(
+        documents,
+        _doc_count_specs(),
+        persist=True,
+        multi_specs=_doc_multi_specs(),
+    )
+    shared_events = _grouped_value_counts(events, _ev_count_specs(), persist=True)
+    raw, raw_ev = shared["__raw__"], shared_events["__raw__"]
+    nn = lambda c: F.coalesce(c, F.lit("<null>"))  # noqa: E731
+
+    # member indices follow _grouped_value_counts' spec order:
+    # 0=source, 1=lang, 2=bin, 3=has_long_text, 4=token (multi)
+    m = F.col("__m")
+    section = (
+        F.when(m == 0, F.lit("source_counts"))
+        .when(m == 1, F.lit("lang_counts"))
+        .when(m == 2, F.lit("length_histogram"))
+        .otherwise(F.lit("coverage_split"))
+    )
+    key = (
+        F.when(m == 0, nn(F.col("__k_source")))
+        .when(m == 1, nn(F.col("__k_lang")))
+        .when(m == 2, F.col("__k_bin").cast("long").cast("string"))
+        .otherwise(
+            F.when(F.col("__k_has_long_text"), F.lit("long")).otherwise(
+                F.lit("short")
+            )
+        )
+    )
+    fused_counts = raw.filter(
+        (m <= 3) & ~((m == 2) & F.col("__k_bin").isNull())
+    ).select(
+        section.alias("section"),
+        key.alias("key"),
+        F.round(F.col("count").cast("double"), 6).alias("value"),
+    )
+    token_top = (
+        raw.filter((m == 4) & (F.length("__k_token") > 0))
+        .select(F.col("__k_token").alias("value"), "count")
+        .orderBy(F.desc("count"), F.col("value"))
+        .limit(30)
+    )
+    # all three distinct counters from ONE aggregate over the counting
+    # pass (count(key) skips the null group — countDistinct's null
+    # discipline; n_docs = Σ member-0 counts, coalesced for the
+    # empty-documents contract)
+    counters = raw.agg(
+        F.count(
+            F.when((m == 0) & F.col("__k_source").isNotNull(), F.lit(1))
+        ).alias("n_sources"),
+        F.count(
+            F.when((m == 1) & F.col("__k_lang").isNotNull(), F.lit(1))
+        ).alias("n_langs"),
+        F.coalesce(
+            F.sum(F.when(m == 0, F.col("count"))), F.lit(0).cast("long")
+        ).alias("n_docs"),
+    )
+    ev_counts_part = raw_ev.filter(F.col("__m") == 0).select(
+        F.lit("event_type_counts").alias("section"),
+        nn(F.col("__k_event_type")).alias("key"),
+        F.round(F.col("count").cast("double"), 6).alias("value"),
+    )
+    user_stats = raw_ev.filter(F.col("__m") == 1).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg("count").alias("mean_events"),
+        F.min("count").alias("min_events"),
+        F.max("count").alias("max_events"),
+    )
+    parts = [
+        fused_counts,
+        _kv(token_top, "token_leaderboard", F.col("value"), F.col("count")),
+        _unpivot(
+            analytics.group_stats(documents, "lang", "n_chars", ordered=False),
+            "length_stats_by_lang",
+            ["n", "mean", "median", "min", "max"],
+            key_prefix=nn(F.col("lang")),
+        ),
+        _unpivot(
+            counters, "distinct_counters", ["n_sources", "n_langs", "n_docs"]
+        ),
+        ev_counts_part,
+        _unpivot(
+            user_stats,
+            "events_per_user_stats",
+            ["n_users", "mean_events", "min_events", "max_events"],
+        ),
+        _unpivot(
+            _label_vector_stats(embeddings, ordered=False),
+            "label_vector_stats",
+            ["n_vectors", "mean_norm"],
+            key_prefix=F.concat(F.lit("label_"), F.col("label").cast("string")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dataset_report_long_reference(
+    documents: DataFrame, events: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Member-by-member assembly of the SAME long frame from the
+    dict-form report — the pre-fusion formulation, kept as the
+    equivalence reference for the fused plan (pinned in
+    tests/test_reports.py). Not used on any serving path."""
     r = dataset_report(documents, events, embeddings, ordered=False)
     nn = lambda c: F.coalesce(F.col(c), F.lit("<null>"))  # noqa: E731
     parts = [

@@ -300,6 +300,7 @@ _DRIVER_ORDER: list[str] = [
     "text_gopher_rules",
     "text_bm25_topk",
     "tag_search_bm25",
+    "report_dataset",  # late r12: fused long assembly (token member)
     # -- keepers whose newest rows are r08 (oldest witnesses) --
     "ann_centroid_staleness",
     "etl_display_truncate",
@@ -340,7 +341,8 @@ _DRIVER_ORDER: list[str] = [
     "report_segment_stats",
     "win_global_topk",
     "win_lag_delta",
-    "win_topn_per_group",
+    # win_topn_per_group yields its slot to report_dataset's late-r12
+    # refusion (newest row r09 ≥ its r04 floor — stays fresh)
     # -- r12 jaccard-consumer + r10-newest keepers (head cut here) --
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
@@ -400,7 +402,7 @@ _ROWS_ONLY_TAIL: list[str] = [
 _TOUCHED: dict[str, int] = {
     # round 6: new queries, the rows-only first-witness set, and the
     # queries whose code round 6 touches
-    "report_dataset": 11,  # r11: empty-input coalesce on n_docs
+    "report_dataset": 12,  # r12: token member + one-pass events fusion
     "report_segment_stats": 6,
     "ann_pq": 6,
     "dedup_minhash_lsh": 6,
@@ -7981,9 +7983,13 @@ def report_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaderboard (A2), length histogram (A7), per-lang stats (A6),
     distinct counters (A8), coverage split (A10), per-user event
     stats, and per-label embedding count + mean L2 norm
-    (visualize_segmented_tags.py:98-102 analogue). Each member is an
-    independent single-exchange aggregate; the report is a batch job,
-    so members run as parallel jobs over the shared parquet scans."""
+    (visualize_segmented_tags.py:98-102 analogue). Every count-style
+    section — including the token leaderboard (array-valued member)
+    — reads ONE persisted counting pass per table (documents scanned
+    twice in total: the counting pass + the per-lang stats aggregate;
+    events once), so the whole bundle costs two corpus scans at any
+    scale (reports._grouped_value_counts; plan-pinned in
+    test_plans)."""
     return reports.dataset_report_long(
         _t(spark, sf_dir, "documents"),
         _t(spark, sf_dir, "events"),

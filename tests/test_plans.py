@@ -445,15 +445,20 @@ def test_tfidf_windows_share_one_doc_exchange(spark, qs):
 
 
 def test_report_members_substitute_shared_counting_pass(spark, qs):
-    """report_dataset: the six count-style members must all read the
+    """report_dataset: the count-style members must all read their
     PERSISTED shared counting aggregate — Catalyst cannot be trusted
     to dedupe them (grouping-sets subtrees fail cache canonicalization
     under DeduplicateRelations, the round-11 regression class:
-    operators/reports.py::_grouped_value_counts docstring). Pinned:
-    ≥6 InMemoryTableScans in the executed plan, and the documents
-    table scanned at most 3× in the formatted plan (once for the
-    cached pass, once for the token leaderboard, once for the per-lang
-    stats) instead of the 11 scans the unshared plan ran."""
+    operators/reports.py::_grouped_value_counts docstring). Since the
+    round-12 fusion the token leaderboard rides the documents pass as
+    an array-valued member, both event sections share one events pass,
+    and the count-style sections assemble as ONE map-only projection
+    per pass (not one filter branch per member), so the pin is:
+    exactly 5 InMemoryTableScans (documents-side: fused counts, token
+    top-k, counters; events-side: type counts, per-user stats), and NO
+    uncached scan of the raw documents table except the per-lang stats
+    pass (the one non-count-style aggregate) — two documents scans
+    total, where the unshared plan ran 11."""
     import io
     from contextlib import redirect_stdout
 
@@ -470,11 +475,18 @@ def test_report_members_substitute_shared_counting_pass(spark, qs):
         for line in fmt.splitlines()
         if line.startswith("(") and ") " in line
     ]
-    # every member substituted: one InMemoryTableScan per consumer
-    assert nodes.count("InMemoryTableScan") >= 6, fmt[:2000]
+    # every consumer substituted: one InMemoryTableScan per consumer
+    # (3 documents-side + 2 events-side after the fused assembly)
+    assert nodes.count("InMemoryTableScan") == 5, fmt[:2000]
     # the grouping-sets formulation is gone entirely — an Expand node
     # reappearing means the counting pass stopped canonicalizing
     assert "Expand" not in nodes, fmt[:2000]
+    # one corpus scan for every count-style section: the only raw
+    # documents scan left in the consuming plan is the per-lang stats
+    # aggregate (the events scans are likewise absorbed by their
+    # cached pass)
+    assert fmt.count("documents.parquet") <= 2, fmt[:2000]
+    assert fmt.count("events.parquet") <= 1, fmt[:2000]
     caching.release()
 
 

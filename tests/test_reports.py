@@ -290,3 +290,43 @@ def test_grouped_value_counts_matches_standalone(spark):
     # real NULL lang groups survive (doc_id % 7 planted them)
     lang_rows = dict(rows(shared["lang"]))
     assert None in lang_rows and lang_rows[None] > 0
+
+
+def test_dataset_report_long_fused_matches_reference(spark):
+    """The fused long-form assembly (one map pass over each counting
+    aggregate, single-aggregate counters) must be row-identical to the
+    member-by-member reference assembly built from the dict-form
+    report — the pin that lets the fused plan evolve without drifting
+    from the certified member semantics."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    fused = reports.dataset_report_long(docs, events, emb)
+    ref = reports._dataset_report_long_reference(docs, events, emb)
+    f_rows = sorted(map(tuple, fused.collect()))
+    r_rows = sorted(map(tuple, ref.collect()))
+    assert f_rows == r_rows
+
+
+def test_dataset_report_token_member_matches_standalone(spark):
+    """The array-valued token member of the shared counting pass must
+    reproduce the standalone explode→count leaderboard exactly,
+    including the post-count empty-token filter and the (count desc,
+    token) tiebreak."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = reports.dataset_report(docs,
+        spark.read.parquet(f"{SF}/events.parquet"),
+        spark.read.parquet(f"{SF}/embeddings.parquet"))
+    standalone = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
+        )
+        .filter(F.length("value") > 0)
+        .groupBy("value")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.col("value"))
+        .limit(30)
+    )
+    assert [tuple(r) for r in rep["token_leaderboard"].collect()] == [
+        tuple(r) for r in standalone.collect()
+    ]

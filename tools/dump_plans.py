@@ -34,7 +34,7 @@ SHOWCASE = [
     ("events_interval_join", "bounded-window range join: one shuffle on the key, range prunes in-join"),
     ("text_quality_classifier", "linear quality gate: map-only, no shuffle, no Python"),
     ("dedup_incremental", "batch-vs-corpus dedup: broadcast semi/anti on fingerprints, zero corpus shuffle"),
-    ("report_dataset", "report bundle: six members read ONE persisted counting pass (InMemoryTableScans — explode form; grouping sets failed cache canonicalization, see reports._grouped_value_counts)"),
+    ("report_dataset", "report bundle: every count-style member incl. the token leaderboard reads ONE persisted counting pass per table (InMemoryTableScans — explode form with array-valued members; grouping sets failed cache canonicalization, see reports._grouped_value_counts)"),
     ("report_segment_stats", "segment stats: UDTF fan-out reused via one exchange; zero-shot floor is map-only over broadcast vocab"),
     ("etl_sorted_export", "range-sorted export read-back: pushed BETWEEN over range-disjoint sorted files"),
     ("win_lag_delta", "lag/lead cadence: window exchange reused by the aggregate — one shuffle"),
