@@ -348,20 +348,36 @@ def main() -> None:
     # floor >1.5x the median marks the run noisy — re-measure once
     # (contention is often bursty), then record the flag + ratio so
     # the regression-vs-noise call is mechanical from the artifact.
+    # r13 (VERDICT r12): the floor probe alone missed a contended r12
+    # x10 sweep whose DuckDB denominator ran ~3x slow under the trip
+    # wire — so this guard (like tools/bench_x10.py's) now watches
+    # three signals and trips on ANY: the Spark job floor, the oracle
+    # denominator total, and the median per-query Spark wall drift vs
+    # the most recent committed artifact.
     trailing = []
+    trailing_oracle = []
+    prev_queries = None
     for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
         try:
             d = json.loads(p.read_text())
             d = d.get("parsed") or d.get("output") or d
-            v = d.get("job_floor_s") if isinstance(d, dict) else None
+            if not isinstance(d, dict):
+                continue
+            v = d.get("job_floor_s")
             if isinstance(v, (int, float)):
                 trailing.append(float(v))
+            ot = d.get("oracle_total")
+            if isinstance(ot, (int, float)) and not d.get("noisy_run"):
+                trailing_oracle.append(float(ot))
+            q = d.get("queries")
+            if isinstance(q, dict) and q:
+                prev_queries = q
         except Exception:
             continue
     floor_median = (
         sorted(trailing)[len(trailing) // 2] if trailing else None
     )
-    noisy = False
+    noisy_floor = False
     if floor_median is not None and floor > 1.5 * floor_median:
         print(
             f"bench: measured job floor {floor:.4f}s > 1.5x trailing "
@@ -369,7 +385,34 @@ def main() -> None:
             file=sys.stderr,
         )
         floor = min(floor, _measure_floor())
-        noisy = floor > 1.5 * floor_median
+        noisy_floor = floor > 1.5 * floor_median
+    oracle_total_now = round(sum(oracle_timings.values()), 3)
+    oracle_median_trailing = (
+        sorted(trailing_oracle)[len(trailing_oracle) // 2]
+        if trailing_oracle
+        else None
+    )
+    noisy_oracle = (
+        oracle_median_trailing is not None
+        and oracle_total_now > 1.5 * oracle_median_trailing
+    )
+    wall_drift = None
+    if prev_queries:
+        drifts = sorted(
+            timings[n] / prev_queries[n]
+            for n in timings
+            if n in prev_queries and prev_queries[n] > 0
+        )
+        if drifts:
+            wall_drift = round(drifts[len(drifts) // 2], 3)
+    noisy_wall = wall_drift is not None and wall_drift > 1.5
+    noisy = noisy_floor or noisy_oracle or noisy_wall
+    if noisy:
+        print(
+            f"bench: NOISY RUN (floor={noisy_floor} "
+            f"oracle={noisy_oracle} wall={noisy_wall})",
+            file=sys.stderr,
+        )
     floor_adj = {
         name: (
             round(max(timings[name] - floor, 0.0) / o, 2) if o > 0 else None
@@ -418,7 +461,14 @@ def main() -> None:
             sum(max(t - floor, 0.0) for t in timings.values()), 3
         ),
         "floor_median_trailing": floor_median,
+        "oracle_median_trailing": oracle_median_trailing,
+        "wall_drift_median": wall_drift,
         "noisy_run": noisy,
+        "noisy_signals": {
+            "floor": noisy_floor,
+            "oracle": noisy_oracle,
+            "wall": noisy_wall,
+        },
         "sf": sf,
     }
     # Full payload → a file (the per-query timings matter for grading

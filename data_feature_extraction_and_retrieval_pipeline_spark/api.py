@@ -181,9 +181,12 @@ class Engine:
         if tag_filter:
             if self.segment_tags is None:
                 raise ValueError("tag_filter needs a segment_tags table")
-            allowed = F.broadcast(
-                self._tag_allowed_ids(tag_filter, min_confidence)
-            )
+            # no broadcast hint: the allowed-id set is a constant
+            # fraction of ALL image ids (grows with the corpus), so
+            # the semi-join must stay size-chosen — BHJ while small,
+            # shuffle semi at 100× (same reasoning that folded this
+            # filter into hybrid_search_flat's allowed_marker)
+            allowed = self._tag_allowed_ids(tag_filter, min_confidence)
             if images is not None:
                 images = images.join(allowed, self.image_col, "left_semi")
             if segments is not None:

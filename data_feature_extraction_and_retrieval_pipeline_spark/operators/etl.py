@@ -74,9 +74,12 @@ def resolve_paths(
 
     The reference does a per-row ``Path.rglob`` over the dataset tree —
     O(rows × files). Here the file listing is scanned once and the
-    resolution is one broadcast hash join on the basename;
-    ``coalesce(found, original)`` keeps unresolved URLs (update-else-
-    keep semantics).
+    resolution is one equi join on the basename; ``coalesce(found,
+    original)`` keeps unresolved URLs (update-else-keep semantics).
+
+    No broadcast hint on the listing: it is row-per-file and grows
+    1:1 with the corpus, so the join must stay size-chosen — BHJ
+    while the listing is small, sort-merge on the basename at 100×.
     """
     meta = metadata.withColumn("__basename", url_basename(url_col))
     # colliding basenames resolve to the lexicographically smallest
@@ -91,7 +94,7 @@ def resolve_paths(
         .agg(F.min("__resolved").alias("__resolved"))
     )
     return (
-        meta.join(F.broadcast(listing), "__basename", "left")
+        meta.join(listing, "__basename", "left")
         .withColumn(url_col, F.coalesce(F.col("__resolved"), F.col(url_col)))
         .drop("__basename", "__resolved")
     )

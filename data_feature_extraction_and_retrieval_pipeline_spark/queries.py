@@ -1006,14 +1006,17 @@ def win_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_meta_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — features ⋈ metadata broadcast left join with
-    matched/not-matched counters
-    (upload_features_to_elasticsearch.py:160-205)."""
+    """J1 — features ⋈ metadata left join with matched/not-matched
+    counters (upload_features_to_elasticsearch.py:160-205).
+
+    No broadcast hint: metadata is row-per-image and grows 1:1 with
+    the corpus (13.9k rows in the reference is an artifact of its
+    corpus size, not a dimension table), so the right plan is
+    size-chosen — BHJ while metadata fits the threshold, sort-merge
+    on the equi key at 100× where both sides are corpus-scale."""
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
-    joined = emb.join(
-        F.broadcast(docs), emb["vec_id"] == docs["doc_id"], "left"
-    )
+    joined = emb.join(docs, emb["vec_id"] == docs["doc_id"], "left")
     return joined.agg(
         F.count("*").alias("n_vectors"),
         F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0)).alias("matched"),
@@ -1031,13 +1034,18 @@ def join_meta_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13/P14 — allow-list as broadcast left-semi join
-    (extract_clip_features.py:79,94-96)."""
+    """P13/P14 — allow-list as left-semi join
+    (extract_clip_features.py:79,94-96).
+
+    No broadcast hint: the filtered ``part`` side is a constant
+    fraction of a corpus-scale table (grows with SF), so the semi
+    join stays size-chosen — BHJ while it fits, shuffle semi at
+    100×."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45)
     return (
         li.join(
-            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            part.select(F.col("p_partkey").alias("l_partkey")),
             "l_partkey",
             "left_semi",
         )
@@ -5550,10 +5558,10 @@ def join_ext_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     stem = lambda c: F.regexp_replace(c, r"\.(jpg|jpeg|png)$", "")  # noqa: E731
+    # no broadcast hint: meta is half the corpus (row-per-image),
+    # so the join side must stay size-chosen — SMJ at 100×
     joined = features.withColumn("__stem", stem(F.col("filename"))).join(
-        F.broadcast(meta.withColumn("__stem", stem(F.col("filename")))).drop(
-            "filename"
-        ),
+        meta.withColumn("__stem", stem(F.col("filename"))).drop("filename"),
         "__stem",
         "left",
     )
@@ -5608,7 +5616,10 @@ def segment_search_tag_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = (
         seg.filter(F.col("label").isin(1, 3, 5)).select("image_id").distinct()
     )
-    cand = seg.join(F.broadcast(allowed), "image_id", "left_semi")
+    # no broadcast hint on `allowed` — it is a constant fraction of
+    # ALL image ids (corpus-growing), so the semi-join stays
+    # size-chosen (BHJ while small, shuffle semi at 100×)
+    cand = seg.join(allowed, "image_id", "left_semi")
     qsegs = seg.filter(F.col("image_id") == 0).select(
         F.col("vec_id").alias("q_segment_id"),
         F.col("clip_features").alias("features"),
@@ -8097,14 +8108,24 @@ def report_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — Q1 whole-image KNN joined to metadata (J1): top-10
     neighbors of the seeded query vector with their document metadata,
-    the reference's core search → display flow as one plan."""
+    the reference's core search → display flow as one plan.
+
+    The metadata join builds on the TOP-K side (10 rows broadcast,
+    BroadcastHashJoin BuildLeft; plan-pinned in tests/test_plans.py):
+    the documents table is row-per-image and grows 1:1 with the
+    corpus, so a broadcast of THAT side would pin a plan that dies at
+    100× — docs must stream. Inner semantics are exact here because
+    every vector derives from a document (the reference extracts
+    features FROM the image corpus, extract_clip_features.py:68-84,
+    so vec_id is a foreign key into documents; 0 orphans at every
+    test SF)."""
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
     q = _query_vector(spark, sf_dir, 0)
     topk = retrieval.knn(emb, q, k=10)
     return (
-        topk.join(
-            F.broadcast(docs), topk["vec_id"] == docs["doc_id"], "left"
+        F.broadcast(topk).join(
+            docs, topk["vec_id"] == docs["doc_id"], "inner"
         )
         .select(
             "vec_id",

@@ -295,8 +295,11 @@ def read_image_dir(
     df = df.filter(F.col("path").rlike(ext_re))
     df = df.withColumn("filename", F.element_at(F.split(F.col("path"), "/"), -1))
     if allowed_filenames is not None:
+        # no broadcast hint: the allow-list is caller-supplied and may
+        # itself be a corpus-scale listing — the semi-join stays
+        # size-chosen (AQE picks BHJ when the distinct list is small)
         df = df.join(
-            F.broadcast(allowed_filenames.select("filename").distinct()),
+            allowed_filenames.select("filename").distinct(),
             "filename",
             "left_semi",
         )

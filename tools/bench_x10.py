@@ -195,16 +195,43 @@ def main() -> int:
     # the median marks the run noisy (shared-box contention) — re-probe
     # once, then record the flag so a noisy sweep can't masquerade as a
     # plan regression (or a quiet one as an improvement).
-    trailing = []
+    #
+    # r13 (VERDICT r12 "What's wrong #2"): the floor probe alone missed
+    # a box-contended r12 sweep whose ORACLE denominator ran ~3x slow
+    # while the Spark floor stayed under the trip wire — so the guard
+    # now watches three independent signals, and trips if ANY fires:
+    #   1. Spark job floor vs trailing median (scheduler contention)
+    #   2. DuckDB oracle_total vs trailing artifacts (the denominator —
+    #      identical SQL on identical data can only drift with the box)
+    #   3. median per-query Spark WALL drift vs the most recent
+    #      artifact over shared query names (a plan change moves a few
+    #      queries; contention moves the median of all of them)
+    # The current round's own artifact is excluded from the trailing
+    # set so a re-run never dampens its own detection (ADVICE r12).
+    trailing = []          # job_floor_s of prior rounds
+    trailing_oracle = []   # oracle_total of prior rounds
+    prev_queries = None    # per-query walls of the most recent round
+    self_artifact = f"BENCH_x10_r{rnd:02d}.json"
     for p in sorted(REPO.glob("BENCH_x10_r*.json")):
+        if p.name == self_artifact:
+            continue
         try:
-            v = json.loads(p.read_text()).get("job_floor_s")
-            if isinstance(v, (int, float)):
-                trailing.append(float(v))
+            doc = json.loads(p.read_text())
         except Exception:
             continue
+        v = doc.get("job_floor_s")
+        if isinstance(v, (int, float)):
+            trailing.append(float(v))
+        ot = doc.get("oracle_total")
+        # skip denominators from runs that flagged themselves noisy —
+        # a contended oracle total must not poison the trailing median
+        if isinstance(ot, (int, float)) and not doc.get("noisy_run"):
+            trailing_oracle.append(float(ot))
+        q = doc.get("queries")
+        if isinstance(q, dict) and q:
+            prev_queries = q
     floor_median = sorted(trailing)[len(trailing) // 2] if trailing else None
-    noisy = False
+    noisy_floor = False
     if floor_median is not None and floor > 1.5 * floor_median:
         print(
             f"bench_x10: measured job floor {floor:.4f}s > 1.5x trailing "
@@ -212,7 +239,18 @@ def main() -> int:
             file=sys.stderr,
         )
         floor = min(floor, _measure_floor())
-        noisy = floor > 1.5 * floor_median
+        noisy_floor = floor > 1.5 * floor_median
+    # signal 3: median per-query wall drift vs the previous artifact
+    wall_drift = None
+    if prev_queries:
+        drifts = sorted(
+            timings[n] / prev_queries[n]
+            for n in timings
+            if n in prev_queries and prev_queries[n] > 0
+        )
+        if drifts:
+            wall_drift = round(drifts[len(drifts) // 2], 3)
+    noisy_wall = wall_drift is not None and wall_drift > 1.5
 
     con = duckdb.connect()
     for t in sorted(tables):
@@ -232,6 +270,28 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         oracle_timings[name] = round(best, 4)
         print(f"duckdb {name}: {best:.4f}s", file=sys.stderr, flush=True)
+
+    # signal 2: the oracle denominator vs trailing clean artifacts.
+    # Identical SQL over identical data — any large drift is the box,
+    # and a slow denominator flatters ratio_total (r12's 0.173).
+    oracle_total = round(sum(oracle_timings.values()), 3)
+    oracle_median_trailing = (
+        sorted(trailing_oracle)[len(trailing_oracle) // 2]
+        if trailing_oracle
+        else None
+    )
+    noisy_oracle = (
+        oracle_median_trailing is not None
+        and oracle_total > 1.5 * oracle_median_trailing
+    )
+    noisy = noisy_floor or noisy_oracle or noisy_wall
+    if noisy:
+        print(
+            f"bench_x10: NOISY RUN (floor={noisy_floor} "
+            f"oracle={noisy_oracle} wall={noisy_wall}) — do not read "
+            "round-over-round deltas off this artifact",
+            file=sys.stderr,
+        )
 
     ratio = {
         n: (round(timings[n] / o, 2) if o > 0 else None)
@@ -260,13 +320,20 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "oracle_total": round(sum(oracle_timings.values()), 3),
+        "oracle_total": oracle_total,
         "ratio_total": round(
             sum(timings.values()) / sum(oracle_timings.values()), 3
         ),
         "job_floor_s": round(floor, 4),
         "floor_median_trailing": floor_median,
+        "oracle_median_trailing": oracle_median_trailing,
+        "wall_drift_median": wall_drift,
         "noisy_run": noisy,
+        "noisy_signals": {
+            "floor": noisy_floor,
+            "oracle": noisy_oracle,
+            "wall": noisy_wall,
+        },
         "n_measurable": len(measurable),
         "over_2x_measurable": over_bar,
         "over_2x_write_priced": over_write,
