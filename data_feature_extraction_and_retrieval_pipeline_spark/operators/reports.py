@@ -65,6 +65,10 @@ def _grouped_value_counts(
     empty), matching ``explode``'s null-dropping discipline.
     """
     names = list(specs) + list(multi_specs or {})
+    # "__raw__" is a reserved output key (the un-split aggregate rides
+    # under it for fused consumers) — a spec by that name would be
+    # silently shadowed below
+    assert "__raw__" not in names, "spec name '__raw__' is reserved"
     # NULL placeholders must carry each key's exact type or the struct
     # array won't unify — probe the analyzed types once at plan time
     key_types = {
@@ -110,11 +114,17 @@ def _grouped_value_counts(
     if persist:
         from .. import caching
 
-        # the aggregate is vocabulary-sized; coalesce it so every
-        # consumer stage downstream is a handful of tasks instead of
-        # one per shuffle partition (at 100 TB scale the width with
-        # the vocabulary, not with the corpus)
-        agg = caching.persist(agg.coalesce(8))
+        # The aggregate is vocabulary-sized; shrink the persisted copy
+        # so every downstream consumer stage is a handful of tasks
+        # instead of one per shuffle partition. SHRINK WITH A
+        # REPARTITION, NOT coalesce: coalesce folds into the
+        # post-shuffle stage, so coalesce(8) would run the final
+        # HashAggregate itself at parallelism 8 — and the token member
+        # can make that merge genuinely large at 100 TB. The
+        # round-robin exchange below moves only the ALREADY-AGGREGATED
+        # vocab-sized rows, so the aggregate keeps full shuffle-side
+        # parallelism and only the persisted copy is narrow.
+        agg = caching.persist(agg.repartition(8))
     out = {}
     for i, n in enumerate(names):
         out[n] = agg.filter(F.col("__m") == F.lit(i)).select(
@@ -441,43 +451,89 @@ def dataset_report_long(
 def _dataset_report_long_reference(
     documents: DataFrame, events: DataFrame, embeddings: DataFrame
 ) -> DataFrame:
-    """Member-by-member assembly of the SAME long frame from the
-    dict-form report — the pre-fusion formulation, kept as the
-    equivalence reference for the fused plan (pinned in
-    tests/test_reports.py). Not used on any serving path."""
-    r = dataset_report(documents, events, embeddings, ordered=False)
+    """Member-by-member assembly of the SAME long frame from fully
+    STANDALONE formulations — one independent groupBy per section,
+    no shared counting pass, no persist. Kept as the equivalence
+    reference for the fused plan (pinned in tests/test_reports.py);
+    not used on any serving path.
+
+    Deliberately does NOT call ``dataset_report``: the dict-form
+    report now sources its members from the same shared counting
+    passes as the fused assembly, so building the reference from it
+    would let a systematic bug in the shared pass appear identically
+    on both sides of the equivalence test (ADVICE r12). Every section
+    here is its own plan over the raw table."""
     nn = lambda c: F.coalesce(F.col(c), F.lit("<null>"))  # noqa: E731
+    token_top = (
+        documents.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("value")
+        )
+        .filter(F.length("value") > 0)
+        .groupBy("value")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.col("value"))
+        .limit(30)
+    )
+    counters = documents.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    coverage = documents.groupBy(
+        (F.col("n_chars") >= 100).alias("has_long_text")
+    ).agg(F.count("*").alias("count"))
+    user_stats = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("count"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.avg("count").alias("mean_events"),
+            F.min("count").alias("min_events"),
+            F.max("count").alias("max_events"),
+        )
+    )
     parts = [
-        _kv(r["source_counts"], "source_counts", nn("source"), F.col("count")),
-        _kv(r["lang_counts"], "lang_counts", nn("lang"), F.col("count")),
-        _kv(r["token_leaderboard"], "token_leaderboard", F.col("value"), F.col("count")),
         _kv(
-            r["length_histogram"],
+            analytics.value_counts(documents, "source", ordered=False),
+            "source_counts", nn("source"), F.col("count"),
+        ),
+        _kv(
+            analytics.value_counts(documents, "lang", ordered=False),
+            "lang_counts", nn("lang"), F.col("count"),
+        ),
+        _kv(token_top, "token_leaderboard", F.col("value"), F.col("count")),
+        _kv(
+            analytics.histogram(
+                documents, "n_chars", 50.0, 0.0, ordered=False
+            ),
             "length_histogram",
             F.col("bin").cast("long").cast("string"),
             F.col("count"),
         ),
         _unpivot(
-            r["length_stats_by_lang"],
+            analytics.group_stats(documents, "lang", "n_chars", ordered=False),
             "length_stats_by_lang",
             ["n", "mean", "median", "min", "max"],
             key_prefix=nn("lang"),
         ),
-        _unpivot(r["distinct_counters"], "distinct_counters", ["n_sources", "n_langs", "n_docs"]),
+        _unpivot(counters, "distinct_counters", ["n_sources", "n_langs", "n_docs"]),
         _kv(
-            r["coverage_split"],
+            coverage,
             "coverage_split",
             F.when(F.col("has_long_text"), F.lit("long")).otherwise(F.lit("short")),
             F.col("count"),
         ),
-        _kv(r["event_type_counts"], "event_type_counts", nn("event_type"), F.col("count")),
+        _kv(
+            analytics.value_counts(events, "event_type", ordered=False),
+            "event_type_counts", nn("event_type"), F.col("count"),
+        ),
         _unpivot(
-            r["events_per_user_stats"],
+            user_stats,
             "events_per_user_stats",
             ["n_users", "mean_events", "min_events", "max_events"],
         ),
         _unpivot(
-            r["label_vector_stats"],
+            _label_vector_stats(embeddings, ordered=False),
             "label_vector_stats",
             ["n_vectors", "mean_norm"],
             key_prefix=F.concat(F.lit("label_"), F.col("label").cast("string")),

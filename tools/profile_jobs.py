@@ -30,6 +30,9 @@ TARGETS = [
 
 
 def main():
+    global TARGETS
+    if len(sys.argv) > 1:
+        TARGETS = sys.argv[1:]
     from data_feature_extraction_and_retrieval_pipeline_spark import caching, queries as Q
     from data_feature_extraction_and_retrieval_pipeline_spark.session import get_spark
     from data_feature_extraction_and_retrieval_pipeline_spark.sources import readers
