@@ -172,6 +172,8 @@ class _Handler(BaseHTTPRequestHandler):
     percolator = None  # constructed lazily on first register
     _perc_lock = threading.Lock()  # register/unregister are mutations
     hot = False  # serve(hot=...) — resident-tier scoring (serving.py)
+    hot_refresh: float | None = None  # serve(hot_refresh=...) seconds
+    _hot_refresh_state: dict | None = None  # {"lock", "last"} per server
     resp_cache: _ResponseCache | None = None
     perc_epoch = 0  # bumped on register/unregister (cache versioning)
 
@@ -261,10 +263,38 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._err(404, "not found")
 
+    def _maybe_refresh_hot(self) -> None:
+        """serve(hot_refresh=N): follow ingests without an operator
+        calling ``Engine.hot(rebuild=True)`` by hand — at most one
+        staleness check (+ rebuild when stale) per N-second debounce
+        window, run on the request thread that won the window. Between
+        windows requests serve the immutable snapshot, exactly the
+        documented ``rebuild=False`` behavior; the epoch bump from a
+        rebuild re-keys the response cache so no stale cached rows
+        outlive the refresh."""
+        cls = type(self)
+        if not cls.hot or cls.hot_refresh is None:
+            return
+        import time as _time
+
+        st = cls._hot_refresh_state
+        now = _time.monotonic()
+        with st["lock"]:
+            if now - st["last"] < cls.hot_refresh:
+                return
+            st["last"] = now
+        # outside the lock: the no-op path is one epoch compare; a
+        # real rebuild runs at most once per window
+        self.engine.hot(rebuild="auto")
+
     def do_POST(self):  # noqa: N802
         body = self._read_body()
         if body is None:
             return
+        if self.path.startswith("/search") or self.path == "/api/search":
+            # before the cache-key epoch read, so a refresh-triggered
+            # rebuild re-keys THIS request too
+            self._maybe_refresh_hot()
         cache = type(self).resp_cache
         self._cache_key = None
         if cache is not None and self.path in self._CACHEABLE:
@@ -615,6 +645,7 @@ def serve(
     documents=None,
     hot: bool = True,
     hot_path: str | None = None,
+    hot_refresh: float | None = None,
     cache_size: int = 512,
 ) -> ThreadingHTTPServer:
     """Start the service on a background thread and return the server
@@ -636,8 +667,15 @@ def serve(
     seam: a serving process boots its resident state from the saved
     ``.npz`` when the file exists (no Spark build at startup), and
     builds + saves it when it does not (the reference's bulk-load-ES-
-    then-serve split). ``cache_size`` bounds the idempotent-response
-    LRU (0 disables it)."""
+    then-serve split). ``hot_refresh`` (seconds, opt-in) makes a
+    long-running process FOLLOW ingests: search requests trigger an
+    ``Engine.hot(rebuild="auto")`` staleness check at most once per
+    window — a rebuild happens only when an ingest actually bumped
+    the table epoch, and between windows the documented immutable
+    snapshot serves (the last manual step of the freshness story,
+    automated with a debounce so a rebuild storm can't start).
+    ``cache_size`` bounds the idempotent-response LRU (0 disables
+    it)."""
     if hot:
         # build/boot the resident artifact before the first request
         engine.hot(path=hot_path)
@@ -656,6 +694,13 @@ def serve(
             "percolator": None,
             "_perc_lock": threading.Lock(),
             "hot": bool(hot),
+            "hot_refresh": (
+                float(hot_refresh) if hot_refresh is not None else None
+            ),
+            "_hot_refresh_state": {
+                "lock": threading.Lock(),
+                "last": float("-inf"),
+            },
             "resp_cache": (
                 _ResponseCache(cache_size) if cache_size > 0 else None
             ),

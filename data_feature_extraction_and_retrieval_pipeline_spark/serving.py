@@ -25,7 +25,9 @@ Scale posture (the 100 TB story):
 
 - The resident artifact holds ONLY the serving columns — ids +
   vectors + tag structs — at 8·n·dim bytes of float64 per vector
-  table. One driver comfortably holds ~10M×64d (~5 GB); past that the
+  table, or 4·n·dim with a ``save(dtype="float32")`` artifact (the
+  source precision: CLIP emits float32). One driver comfortably holds
+  ~10M×64d (~5 GB) at float64, ~20M×64d at float32; past that the
   deployment shards: partition the vectors by id range across N
   serving processes (each built by the same Spark job writing N
   artifacts), scatter the query, merge the per-shard top-k — exact,
@@ -42,13 +44,17 @@ Scale posture (the 100 TB story):
   analytics, curation — stays on the Spark plans. ``serve(...,
   hot=False)`` keeps the pure-Spark serving path alive and tested.
 
-Float discipline: per-pair similarities are float64 numpy matmuls —
-bit-identical to the operator layer's Arrow path (functions/vectors.py
-``dot_batch`` is the same matmul). The whole-image dot accumulates in
-SIMD-blocked order where the JVM HOF folds left-to-right; results
-agree to ~1e-13, absorbed by the 1e-6 rounded-score ordering the
-engine certifies under (queries.py module header). Display rounding
-replicates Spark's HALF_UP-on-shortest-decimal exactly.
+Float discipline: per-pair similarities are numpy matmuls in the
+RESIDENT MATRIX'S dtype. The live/float64 tier is bit-identical to
+the operator layer's Arrow path (functions/vectors.py ``dot_batch``
+is the same matmul); the whole-image dot accumulates in SIMD-blocked
+order where the JVM HOF folds left-to-right; results agree to ~1e-13,
+absorbed by the 1e-6 rounded-score ordering the engine certifies
+under (queries.py module header). A float32 artifact scores in
+float32 — ~1e-7 relative quantization vs the float64 tier, same
+1e-6-rounding absorption, pinned at 1e-6 tolerance in
+tests/test_serving.py. Display rounding replicates Spark's
+HALF_UP-on-shortest-decimal exactly.
 """
 
 from __future__ import annotations
@@ -177,7 +183,7 @@ class HotSearchIndex:
 
     # -- durable artifact (build once with Spark, serve forever) --------
 
-    def save(self, path: str) -> str:
+    def save(self, path: str, dtype: str | None = None) -> str:
         """Serialize the artifact to one ``.npz`` file — the durable
         half of the reference's build-once/serve-forever split
         (upload_features_to_elasticsearch.py:207-229 writes the ES
@@ -186,19 +192,32 @@ class HotSearchIndex:
         :class:`ShardedHotIndex` — boots from this file via
         :meth:`load` with numpy alone: no SparkSession, no JVM.
 
-        Layout: ids + matrices verbatim (float64, already sorted), tag
-        rows as four flat arrays (row ids, per-row pair counts, names,
+        Layout: ids + matrices verbatim (already sorted), tag rows as
+        four flat arrays (row ids, per-row pair counts, names,
         confidences) — no pickle anywhere, so the file is portable
-        across Python versions and safe to load from shared storage."""
+        across Python versions and safe to load from shared storage.
+
+        ``dtype="float32"`` stores the vector matrices at 4 bytes per
+        value — halving shard RSS and doubling the per-process ceiling
+        to ~20M×64d — which matches the SOURCE precision: CLIP emits
+        512-d float32 (extract_clip_features.py), so the float64 tier
+        carries no extra information to begin with. A loaded float32
+        shard scores in float32 (queries are cast to the matrix dtype
+        — no hidden float64 temp copy of the matrix at matmul time);
+        scores differ from the float64 tier by ≤ ~1e-7 relative
+        quantization, absorbed by the engine's 1e-6 rounded-score
+        ordering except for exact ties at the rounding boundary
+        (equivalence pinned at 1e-6 in tests/test_serving.py)."""
         import numpy as np
 
+        cast = (lambda m: m.astype(np.dtype(dtype))) if dtype else (lambda m: m)
         data: dict = {"image_col": np.asarray(self.image_col)}
         if self.image_mat is not None:
             data["image_ids"] = self.image_ids
-            data["image_mat"] = self.image_mat
+            data["image_mat"] = cast(self.image_mat)
         if self.seg_mat is not None:
             data["seg_image_ids"] = self.seg_image_ids
-            data["seg_mat"] = self.seg_mat
+            data["seg_mat"] = cast(self.seg_mat)
         if self.tag_rows is not None:
             data["tag_row_ids"] = np.asarray(
                 [i for i, _ in self.tag_rows]
@@ -288,7 +307,10 @@ class HotSearchIndex:
     ) -> list[dict]:
         """retrieval.knn twin: score = dot + 1.0, (score DESC, id ASC),
         top k → [{image_col, score}]."""
-        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        # query cast to the MATRIX dtype: a float32 artifact scores in
+        # float32 (mixed-dtype matmul would silently materialize a
+        # float64 copy of the whole matrix for BLAS)
+        q = np.asarray([float(x) for x in query_vec], dtype=self.image_mat.dtype)
         scores = self.image_mat @ q + 1.0
         ids = self.image_ids
         if allowed is not None:
@@ -316,7 +338,8 @@ class HotSearchIndex:
         if self.seg_groups is None:  # shard/corpus with no segments
             return []
         qmat = np.asarray(
-            [[float(x) for x in v] for _, v in query_rows], dtype=np.float64
+            [[float(x) for x in v] for _, v in query_rows],
+            dtype=self.seg_mat.dtype,
         )
         groups = self.seg_groups
         if allowed is not None:
@@ -360,7 +383,7 @@ class HotSearchIndex:
         the calibrated whole score, phase-2 segment avg-of-maxima (raw
         cosine) for pool members only, missing → 0.0, hybrid =
         w·whole + w·segment, (round6(hybrid) DESC, id ASC)."""
-        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        q = np.asarray([float(x) for x in query_vec], dtype=self.image_mat.dtype)
         scores = self.image_mat @ q + 1.0
         ids = self.image_ids
         if allowed is not None:
@@ -374,7 +397,10 @@ class HotSearchIndex:
         whole_by_id = dict(zip(pool_ids.tolist(), scores[take].tolist()))
 
         qmat = np.asarray(
-            [[float(x) for x in v] for _, v in query_rows], dtype=np.float64
+            [[float(x) for x in v] for _, v in query_rows],
+            dtype=(
+                self.seg_mat.dtype if self.seg_mat is not None else np.float64
+            ),
         )
         seg_by_id: dict = {}
         if self.seg_mat is not None:
@@ -540,15 +566,19 @@ class ShardedHotIndex:
         image_col = shards[0].image_col if shards else "image_id"
         return cls(shards, image_col)
 
-    def save_shards(self, directory: str) -> list[str]:
+    def save_shards(
+        self, directory: str, dtype: str | None = None
+    ) -> list[str]:
         """Write each shard to ``{directory}/shard-{i}.npz`` and return
         the paths (the Spark-side build writes the same split with one
-        ``pmod(id, n)`` partition column; ``from_paths`` reloads)."""
+        ``pmod(id, n)`` partition column; ``from_paths`` reloads).
+        ``dtype`` forwards to :meth:`HotSearchIndex.save` —
+        ``"float32"`` halves every shard's resident footprint."""
         import os
 
         os.makedirs(directory, exist_ok=True)
         return [
-            s.save(os.path.join(directory, f"shard-{i}.npz"))
+            s.save(os.path.join(directory, f"shard-{i}.npz"), dtype=dtype)
             for i, s in enumerate(self.shards)
         ]
 

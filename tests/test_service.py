@@ -659,3 +659,60 @@ def test_serve_hot_path_boots_from_disk(spark, tmp_path):
         assert resp["results"][0]["image_id"] != 31337
     finally:
         srv2.shutdown()
+
+
+def test_hot_refresh_follows_ingest_without_manual_rebuild(spark):
+    """serve(hot_refresh=0): after an ingest, the NEXT search request
+    itself triggers the auto rebuild — no operator call to
+    Engine.hot(rebuild=...) anywhere. With a long debounce window the
+    snapshot keeps serving instead (the documented immutable-snapshot
+    behavior between windows)."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.ml.encoders import (
+        _hash_projection,
+    )
+
+    payload = b"auto-refresh-query"
+    body, ctype = _multipart({"top_k": "3"}, {"image": ("q.png", payload)})
+
+    # -- debounce=0: every request may refresh --
+    eng = Engine.from_sf_dir(spark, SF_DIR)
+    srv = serve(eng, model_loader=lambda: None, hot_refresh=0.0)
+    base = "http://{}:{}".format(*srv.server_address)
+    try:
+        code, before = _post(base, "/search/whole", body, ctype)
+        assert code == 200
+        assert before["results"][0]["image_id"] != 424242
+
+        dim = eng.hot().dim
+        qvec = [float(x) for x in _hash_projection(payload, dim)]
+        new_row = spark.createDataFrame(
+            [(424242, qvec)], "image_id long, embedding array<double>"
+        )
+        eng.ingest(images=new_row)
+        # NO manual hot(rebuild=...) — the request does the refresh
+        code, after = _post(base, "/search/whole", body, ctype)
+        assert code == 200
+        assert after["results"][0]["image_id"] == 424242
+    finally:
+        srv.shutdown()
+
+    # -- long debounce: the pre-ingest snapshot keeps serving --
+    eng2 = Engine.from_sf_dir(spark, SF_DIR)
+    srv2 = serve(eng2, model_loader=lambda: None, hot_refresh=1e9)
+    base2 = "http://{}:{}".format(*srv2.server_address)
+    try:
+        code, first = _post(base2, "/search/whole", body, ctype)
+        assert code == 200  # consumes the one debounce window
+        dim = eng2.hot().dim
+        qvec = [float(x) for x in _hash_projection(payload, dim)]
+        eng2.ingest(
+            images=spark.createDataFrame(
+                [(424242, qvec)], "image_id long, embedding array<double>"
+            )
+        )
+        code, still = _post(base2, "/search/whole", body, ctype)
+        assert code == 200
+        # snapshot until the window expires — same rows as before
+        assert still["results"][0]["image_id"] != 424242
+    finally:
+        srv2.shutdown()

@@ -585,3 +585,72 @@ def test_hot_stale_probe_sees_external_growth(spark):
     eng.images = eng.images.unionByName(extra)  # external rebind
     assert not eng.hot_stale()  # epoch unchanged — cheap check blind
     assert eng.hot_stale(probe=True)  # count probe sees the growth
+
+
+def test_save_load_float32_artifact(engine, tmp_path):
+    """dtype="float32" artifact: half-width on disk and resident, and
+    every mode's rows match the float64 tier at 1e-6 — the engine's
+    rounded-score tolerance (the stored vectors are float32-quantized
+    and scoring runs in float32, so bits differ below ~1e-7 relative;
+    CLIP's native precision is float32 so no information is lost)."""
+    import os
+
+    import numpy as np
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        HotSearchIndex,
+    )
+
+    hot = engine.hot(rebuild=True)
+    p64 = str(tmp_path / "hot64.npz")
+    p32 = str(tmp_path / "hot32.npz")
+    hot.save(p64)
+    hot.save(p32, dtype="float32")
+    assert os.path.getsize(p32) < os.path.getsize(p64)
+
+    loaded = HotSearchIndex.load(p32)
+    assert loaded.image_mat.dtype == np.float32
+    assert loaded.seg_mat is None or loaded.seg_mat.dtype == np.float32
+    assert loaded.dim == hot.dim
+
+    qvec, seg_rows = engine._encode_query(
+        PAYLOADS[3], "q.png", "hybrid", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    _assert_rows_equal(loaded.whole(qvec, 7), hot.whole(qvec, 7), 1e-6)
+    _assert_rows_equal(
+        loaded.segment(seg_rows, 5, candidate_cap=15),
+        hot.segment(seg_rows, 5, candidate_cap=15), 1e-6,
+    )
+    _assert_rows_equal(
+        loaded.hybrid(qvec, seg_rows, 5),
+        hot.hybrid(qvec, seg_rows, 5), 1e-6,
+    )
+    # tags carry no vector math — identical rows either way
+    assert loaded.tags(["cat", "fish"], 0.1, 10) == hot.tags(
+        ["cat", "fish"], 0.1, 10
+    )
+
+
+def test_sharded_float32_from_paths(engine, tmp_path):
+    """save_shards(dtype="float32") → from_paths: the disk-booted
+    float32 sharded posture merges to the float64 single index's rows
+    at the same 1e-6 tolerance."""
+    from data_feature_extraction_and_retrieval_pipeline_spark.serving import (
+        ShardedHotIndex,
+    )
+
+    hot = engine.hot()
+    paths = ShardedHotIndex.from_hot(hot, 3).save_shards(
+        str(tmp_path / "shards32"), dtype="float32"
+    )
+    sharded = ShardedHotIndex.from_paths(paths)
+    qvec, seg_rows = engine._encode_query(
+        PAYLOADS[0], "q.png", "hybrid", dim=hot.dim,
+        model_loader=lambda: None,
+    )
+    _assert_rows_equal(sharded.whole(qvec, 7), hot.whole(qvec, 7), 1e-6)
+    _assert_rows_equal(
+        sharded.hybrid(qvec, seg_rows, 5),
+        hot.hybrid(qvec, seg_rows, 5), 1e-6,
+    )
