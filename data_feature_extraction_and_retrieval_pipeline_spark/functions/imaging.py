@@ -55,6 +55,23 @@ def is_png(data) -> bool:
     )
 
 
+def png_dims(data: bytes) -> tuple:
+    """(width, height, n_channels) from the IHDR alone — the
+    metadata-only parse (no inflate). Channel count follows PIL's
+    ``len(img.getbands())`` per color type (palette images report 1,
+    the P band, like PIL before a convert)."""
+    if not is_png(data):
+        raise ValueError("not a PNG payload")
+    import struct as _struct
+
+    w, h = _struct.unpack(">II", bytes(data[16:24]))
+    color_type = data[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"png: bad color type {color_type}")
+    return w, h, channels
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to ``uint8`` pixels:
     ``(H, W)`` for grayscale, ``(H, W, C)`` otherwise (palette images
@@ -301,9 +318,19 @@ def box_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def gray_grid(payload: bytes, cols: int = 9, rows: int = 8) -> np.ndarray:
-    """The full perceptual-hash decode kernel, Pillow-free: PNG decode
-    → grayscale → BOX resize → flat ``int32`` grid of ``rows*cols``.
-    Raises on non-PNG / unsupported payloads (callers degrade to the
-    zero grid, the documented quarantine bucket)."""
-    g = box_resize(to_gray(png_decode(payload)), cols, rows)
+    """The full perceptual-hash decode kernel, Pillow-free: decode
+    (PNG via this module; baseline JPEG via functions/jpeg.py — the
+    reference corpus's format, extract_clip_features.py:68-84) →
+    grayscale → BOX resize → flat ``int32`` grid of ``rows*cols``.
+    Raises on unsupported payloads (callers degrade to the zero grid,
+    the documented quarantine bucket)."""
+    if is_png(payload):
+        arr = png_decode(payload)
+    else:
+        from . import jpeg as _jpeg
+
+        if not _jpeg.is_jpeg(payload):
+            raise ValueError("unsupported image format (PNG/JPEG only)")
+        arr = _jpeg.jpeg_decode(payload)
+    g = box_resize(to_gray(arr), cols, rows)
     return g.astype(np.int32).reshape(rows * cols)

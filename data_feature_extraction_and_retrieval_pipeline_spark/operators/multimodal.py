@@ -254,16 +254,22 @@ def decode_image_pixels_real(
     reference wherever Pillow exists).
 
     Decoder selection is per-executor at RUN time: Pillow when
-    installed (every format PIL speaks), else the vendored
-    Pillow-parity PNG kernel (functions/imaging.py — same grayscale
+    installed (every format PIL speaks), else the vendored kernels —
+    the Pillow-parity PNG codec (functions/imaging.py — same grayscale
     formula and fixed-point BOX resample, pinned bit-exact against PIL
-    wherever PIL exists), so the real path EXECUTES in codec-free
-    containers for PNG corpora instead of failing at plan time.
-    Per-row decode failures (corrupt payloads; non-PNG formats without
-    Pillow) yield the all-zero grid — the stub's NULL/empty discipline
-    — because at 100 TB one corrupt image must not kill a 10k-task
-    stage (quarantine downstream: the all-zero hash buckets only with
-    other undecodables).
+    wherever PIL exists) and, since r13, the baseline-JPEG decoder
+    (functions/jpeg.py), so the real path EXECUTES in codec-free
+    containers for BOTH formats the reference corpus actually uses
+    (.jpg scanned by extract_clip_features.py:68-84). JPEG pixels are
+    within ±few levels of PIL's (lossy-codec decoder freedoms —
+    upsampling filter, IDCT variant; jpeg.py docstring), which a
+    9×8 BOX-averaged grid then compresses further — dHash bands over
+    the grid agree with the PIL path except at exact gradient ties.
+    Per-row decode failures (corrupt payloads; progressive JPEGs
+    without Pillow) yield the all-zero grid — the stub's NULL/empty
+    discipline — because at 100 TB one corrupt image must not kill a
+    10k-task stage (quarantine downstream: the all-zero hash buckets
+    only with other undecodables).
     """
     n_px = rows * cols
 
@@ -335,20 +341,16 @@ def decode_image_meta_real(
     of the pipeline (resize_plan, encoders, segmenters) is source-
     agnostic.
 
-    The import is probed at PLAN time so a missing codec fails fast on
-    the driver with install guidance instead of as a per-task executor
-    stack trace. Undecodable payloads yield NULL metadata rather than
-    failing the batch — at 100 TB a single corrupt image must not kill
-    a 10k-task stage; filter ``decoded IS NULL`` into a quarantine sink.
+    Decoder selection is per-executor at RUN time (r13, same policy as
+    ``decode_image_pixels_real``): Pillow when installed (every format
+    PIL speaks), else the vendored header parsers — PNG IHDR
+    (functions/imaging.py::png_dims) and baseline-JPEG SOF
+    (functions/jpeg.py::jpeg_dims) — which cover the reference's
+    actual corpus formats without any codec library. Undecodable
+    payloads yield NULL metadata rather than failing the batch — at
+    100 TB a single corrupt image must not kill a 10k-task stage;
+    filter ``decoded IS NULL`` into a quarantine sink.
     """
-    import importlib.util
-
-    if importlib.util.find_spec("PIL") is None:
-        raise ImportError(
-            "decode_image_meta_real needs Pillow (`pip install pillow`); "
-            "use ml.encoders.decode_image_stub in codec-free environments."
-        )
-
     out = T.StructType(
         [
             T.StructField("width", T.IntegerType()),
@@ -361,15 +363,34 @@ def decode_image_meta_real(
     def decode(contents: pd.Series) -> pd.DataFrame:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+        from data_feature_extraction_and_retrieval_pipeline_spark.functions import (  # noqa: E501
+            imaging,
+            jpeg,
+        )
 
         ws, hs, cs = [], [], []
         for b in contents:
             try:
-                with Image.open(io.BytesIO(bytes(b or b""))) as img:
-                    ws.append(img.width)
-                    hs.append(img.height)
-                    cs.append(len(img.getbands()))
+                raw = bytes(b or b"")
+                if Image is not None:
+                    with Image.open(io.BytesIO(raw)) as img:
+                        ws.append(img.width)
+                        hs.append(img.height)
+                        cs.append(len(img.getbands()))
+                elif imaging.is_png(raw):
+                    w, h, nc = imaging.png_dims(raw)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(nc)
+                else:
+                    w, h, nc = jpeg.jpeg_dims(raw)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(nc)
             except Exception:
                 ws.append(None)
                 hs.append(None)

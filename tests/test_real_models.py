@@ -325,8 +325,10 @@ def test_missing_pil_contract():
         pass
     with pytest.raises(ImportError, match="pillow"):
         multimodal.decode_image_real(b"x")
-    with pytest.raises(ImportError, match="pillow"):
-        multimodal.decode_image_meta_real(None)
+    # decode_image_meta_real no longer REQUIRES Pillow (r13): the
+    # vendored PNG/JPEG header parsers serve the fallback — its
+    # codec-free behavior is pinned in
+    # tests/test_jpeg.py::test_decode_image_meta_real_codec_free
 
 
 def test_loader_seam_returns_none_without_torch():
@@ -339,3 +341,51 @@ def test_loader_seam_returns_none_without_torch():
     encoders._MODEL_CACHE.pop("clip", None)
     assert encoders._try_real_clip() is None  # stub branch, no raise
     encoders._MODEL_CACHE.pop("clip", None)
+
+
+def test_jpeg_decode_close_to_pil():
+    """Where Pillow IS installed: the vendored baseline-JPEG decoder
+    (functions/jpeg.py) agrees with PIL's decode of the same bytes
+    within the documented lossy-decoder freedoms (upsample filter +
+    IDCT variant — jpeg.py module docstring): luma within a few
+    levels, never structurally different. Runs on this module's own
+    encoder output (baseline, both 4:4:4 and 4:2:0) so the pin needs
+    no fixture files."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from data_feature_extraction_and_retrieval_pipeline_spark.functions import (
+        jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    xx, yy = np.meshgrid(np.arange(57), np.arange(43))
+    smooth = np.stack(
+        [
+            (np.sin(xx / 10) + 1) * 100 + 20,
+            (np.cos(yy / 8) + 1) * 90 + 30,
+            ((xx + yy) % 200) + 20,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for subsample in (False, True):
+        payload = jpeg.jpeg_encode(smooth, subsample=subsample)
+        ours = jpeg.jpeg_decode(payload)
+        theirs = np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.int64
+        )
+        diff = np.abs(ours.astype(np.int64) - theirs)
+        # identical except decoder-freedom pixels; chroma edges widen
+        # under 4:2:0 upsample-filter differences
+        assert diff.mean() < 2.0, (subsample, diff.mean())
+        assert np.percentile(diff, 99) <= (8 if subsample else 4), subsample
+    gray = rng.integers(0, 256, (31, 47), dtype=np.uint8)
+    payload = jpeg.jpeg_encode(gray)
+    ours = jpeg.jpeg_decode(payload)
+    theirs = np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L"), dtype=np.int64
+    )
+    assert np.abs(ours.astype(np.int64) - theirs).max() <= 1
