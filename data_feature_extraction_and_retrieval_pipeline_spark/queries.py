@@ -280,74 +280,76 @@ def register(name: str, oracle: str | None = None):
 
 
 # Driver-facing registry order. The driver evaluates only the first 50
-# entries of queries(), so ordering is part of the contract. Round-12
-# rotation: first the seven round-12 plan changes (the x10
-# floor-residual fusions: literal-vocab tag dim, union-agg RRF, folded
-# tag pre-filter, map-only Gopher bigram mode, literal BM25 stats,
-# single-broadcast unigram vocab), then the six r08-newest keepers the
-# round-11 note promised would lead this rotation, then every ORACLED
-# r09-newest keeper (rows-only registry-tail entries keep their rows —
-# weaker checks don't spend head slots), topped up with the first
-# r10-newest keepers. The full query -> newest-row / witness-floor
-# table is generated into COVERAGE.md by tools/freshness_report.py and
-# asserted current by tests/test_driver_contract.py.
+# entries of queries(), so ordering is part of the contract. Round-13
+# rotation: first the six round-13 plan changes (the de-broadcast
+# family — corpus-growing join sides back to size-chosen planning —
+# plus report_dataset's repartition-persist), then the stalest oracled
+# witnesses: the lone r09-newest keeper, the ENTIRE r10-newest cohort
+# (the rotation the round-12 verdict named, incl. etl_upsert_merge /
+# etl_sentinel_cleanse / etl_prefix_split / etl_safe_cast /
+# etl_multiformat_date / etl_regex_extract_path / dedup_exact /
+# text_quality_classifier / agg_decade_orders), topped up with eight
+# r11-newest keepers led by the flagship Q1-Q4 search family.
+# Rows-only registry-tail entries keep their rows — weaker checks
+# don't spend head slots. The full query -> newest-row /
+# witness-floor table is generated into COVERAGE.md by
+# tools/freshness_report.py and asserted current by
+# tests/test_driver_contract.py.
 _DRIVER_ORDER: list[str] = [
-    # -- round-12 semantic/plan changes (floor 12 => head) --
-    "join_tag_category",
-    "retrieval_rrf_fusion",
-    "text_unigram_logprob",
-    "hybrid_search_tag_filtered",
-    "text_gopher_rules",
-    "text_bm25_topk",
-    "tag_search_bm25",
-    "report_dataset",  # late r12: fused long assembly (token member)
-    # -- keepers whose newest rows are r08 (oldest witnesses) --
-    "ann_centroid_staleness",
-    "etl_display_truncate",
-    "etl_row_range_select",
+    # -- round-13 semantic/plan changes (floor 13 => head) --
+    "join_meta_counters",
+    "join_semi_allowlist",
     "join_ext_fallback",
-    "nested_tags_two_level",
-    "report_corpus_drift",
-    # -- oracled r09-newest keepers --
-    "agg_cube_lang_source",
-    "agg_keyword_scan",
-    "ann_ivf_filtered",
-    "ann_recenter_compact",
-    "api_engine_hybrid",
-    "api_engine_segment",
-    "api_engine_tags",
-    "api_engine_whole",
-    "asof_join_clicks",
-    "dedup_cosine_incremental",
-    "dedup_embedding_cosine",
-    "dedup_minhash_incremental",
-    "dedup_minhash_stream",
-    "etl_bucketed_roundtrip",
-    "etl_compact_roundtrip",
-    "etl_csv_roundtrip",
-    "etl_json_feature_roundtrip",
-    "etl_orc_roundtrip",
-    "etl_partitioned_roundtrip",
-    "etl_sorted_export",
-    "etl_zorder_roundtrip",
-    "events_interval_join_stream",
-    "events_sessionize_stream",
-    "ml_image_dir_scan",
-    "ml_kmeans_clusters",
-    "ml_multimodal_meta",
-    "ml_resize_plan",
-    "ml_segment_portable",
-    "percolate_stream",
-    "report_segment_stats",
-    "win_global_topk",
-    "win_lag_delta",
-    # win_topn_per_group yields its slot to report_dataset's late-r12
-    # refusion (newest row r09 ≥ its r04 floor — stays fresh)
-    # -- r12 jaccard-consumer + r10-newest keepers (head cut here) --
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "text_contamination",
-    "text_tfidf_keywords",
+    "etl_url_basename_join",
+    "segment_search_tag_filtered",
+    "report_dataset",
+    # -- the lone oracled r09-newest keeper --
+    "win_topn_per_group",
+    # -- the full r10-newest cohort (oldest remaining witnesses) --
+    "agg_decade_orders",
+    "agg_rollup_acctbal",
+    "agg_salted_group",
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_ivfpq_portable",
+    "ann_lsh",
+    "ann_pq_portable",
+    "ann_range_search",
+    "api_events_funnel",
+    "api_events_retention",
+    "api_percolate_register",
+    "api_pipeline_curate",
+    "dedup_chunks",
+    "dedup_exact",
+    "dedup_image_phash",
+    "dedup_incremental",
+    "dedup_keep_best_per_source",
+    "etl_multiformat_date",
+    "etl_prefix_split",
+    "etl_regex_extract_path",
+    "etl_safe_cast",
+    "etl_sentinel_cleanse",
+    "etl_upsert_merge",
+    "events_funnel",
+    "events_funnel_windowed",
+    "events_interval_join",
+    "events_retention",
+    "events_retention_stream",
+    "events_sessionize",
+    "events_tumbling_window",
+    "join_anti_customers",
+    "percolate_join_batch",
+    "percolate_join_stream",
+    "text_quality_classifier",
+    # -- r11-newest keepers: the flagship search family + staples --
+    "knn_whole",
+    "segment_search",
+    "hybrid_search",
+    "tag_search",
+    "q1_pricing_summary",
+    "agg_value_counts",
+    "etl_hash_split",
+    "vec_mean_per_label",
 ]
 
 # Genuinely non-oracle-able entries only — each with its certified
@@ -402,7 +404,7 @@ _ROWS_ONLY_TAIL: list[str] = [
 _TOUCHED: dict[str, int] = {
     # round 6: new queries, the rows-only first-witness set, and the
     # queries whose code round 6 touches
-    "report_dataset": 12,  # r12: token member + one-pass events fusion
+    "report_dataset": 13,  # r13: repartition-persist (full-parallelism agg)
     "report_segment_stats": 6,
     "ann_pq": 6,
     "dedup_minhash_lsh": 6,
@@ -509,7 +511,7 @@ _TOUCHED: dict[str, int] = {
     # rounds ≤4: last semantic change per the per-round head notes
     # (keepers refreshed later without code changes keep older floors)
     "etl_row_range_select": 2,
-    "join_ext_fallback": 2,
+    "join_ext_fallback": 13,  # r13: broadcast hint dropped (size-chosen join)
     "zero_shot_topk_tags": 2,
     "nested_tags_two_level": 2,
     "set_ops_users": 2,
@@ -521,13 +523,13 @@ _TOUCHED: dict[str, int] = {
     "text_token_bpe": 3,
     "ml_frame_sample": 3,
     "join_revenue_by_nation": 3,
-    "etl_url_basename_join": 3,
+    "etl_url_basename_join": 13,  # r13: resolve_paths listing hint dropped
     "knn_whole": 3,
     "knn_tag_filtered": 3,
     "knn_batch": 3,
     "knn_percentage": 3,
     "segment_search": 3,
-    "segment_search_tag_filtered": 3,
+    "segment_search_tag_filtered": 13,  # r13: allowed-ids hint dropped
     "hybrid_search": 3,
     "hybrid_search_tag_filtered": 12,  # r12: allowed_marker folded into the one-pass agg
     "tag_search": 3,
@@ -564,8 +566,8 @@ _TOUCHED: dict[str, int] = {
     "agg_bool_flags": 4,
     "win_topn_per_group": 4,
     "win_global_topk": 4,
-    "join_meta_counters": 4,
-    "join_semi_allowlist": 4,
+    "join_meta_counters": 13,  # r13: broadcast hint dropped (size-chosen join)
+    "join_semi_allowlist": 13,  # r13: broadcast hint dropped (size-chosen semi)
     "join_anti_customers": 4,
     "etl_sentinel_cleanse": 4,
     "etl_safe_cast": 4,
