@@ -363,14 +363,22 @@ def main() -> None:
             d = d.get("parsed") or d.get("output") or d
             if not isinstance(d, dict):
                 continue
+            # oracle totals and per-query walls scale with the SF; a
+            # local run at another SF must not poison the trailing
+            # medians (the floor is SF-invariant and stays usable)
+            same_sf = d.get("sf") == sf
             v = d.get("job_floor_s")
             if isinstance(v, (int, float)):
                 trailing.append(float(v))
             ot = d.get("oracle_total")
-            if isinstance(ot, (int, float)) and not d.get("noisy_run"):
+            if (
+                same_sf
+                and isinstance(ot, (int, float))
+                and not d.get("noisy_run")
+            ):
                 trailing_oracle.append(float(ot))
             q = d.get("queries")
-            if isinstance(q, dict) and q:
+            if same_sf and isinstance(q, dict) and q:
                 prev_queries = q
         except Exception:
             continue

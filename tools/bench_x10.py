@@ -219,6 +219,8 @@ def main() -> int:
             doc = json.loads(p.read_text())
         except Exception:
             continue
+        if doc.get("mult", 10) != mult:
+            continue  # a --mult probe must not poison the medians
         v = doc.get("job_floor_s")
         if isinstance(v, (int, float)):
             trailing.append(float(v))
