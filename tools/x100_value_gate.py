@@ -91,7 +91,10 @@ def _serving_equivalence(synth_dir: str) -> int:
     saved-then-loaded-from-disk copy must all reproduce the Spark
     plans' rows for the whole and hybrid modes (rounded-score + id
     ordering; float tolerance 1e-9, same as tests/test_serving.py).
-    Returns 0 on success."""
+    Round 13 adds the float32 artifact (save(dtype="float32") →
+    load): same rows at the documented 1e-6 quantization tolerance —
+    the half-RSS deployment shape proven at 545k docs, not just at
+    test scale. Returns 0 on success."""
     import tempfile
 
     from data_feature_extraction_and_retrieval_pipeline_spark.api import (
@@ -130,28 +133,40 @@ def _serving_equivalence(synth_dir: str) -> int:
         )
         with tempfile.TemporaryDirectory() as td:
             path = os.path.join(td, "hot.npz")
+            p32 = os.path.join(td, "hot32.npz")
             hot.save(path)
+            hot.save(p32, dtype="float32")
             loaded = HotSearchIndex.load(path)
+            loaded32 = HotSearchIndex.load(p32)
             sharded = ShardedHotIndex.from_hot(hot, 3)
             qvec, seg_rows = eng._encode_query(
                 payload, "q.png", mode, dim=hot.dim,
                 model_loader=lambda: None,
             )
             if mode == "whole":
-                alt = [loaded.whole(qvec, 10), sharded.whole(qvec, 10)]
+                alt = [
+                    loaded.whole(qvec, 10),
+                    sharded.whole(qvec, 10),
+                    loaded32.whole(qvec, 10),
+                ]
             else:
                 alt = [
                     loaded.hybrid(qvec, seg_rows, 10),
                     sharded.hybrid(qvec, seg_rows, 10),
+                    loaded32.hybrid(qvec, seg_rows, 10),
                 ]
-        for label, rows in [
-            ("hot", hot_rows), ("loaded", alt[0]), ("sharded3", alt[1])
+        for label, rows, tol in [
+            ("hot", hot_rows, 1e-9),
+            ("loaded", alt[0], 1e-9),
+            ("sharded3", alt[1], 1e-9),
+            # float32 artifact: quantization tolerance (serving.py)
+            ("loaded-f32", alt[2], 1e-6),
         ]:
             ok = len(rows) == len(spark_rows) and all(
                 set(h) == set(s)
                 and all(
                     (
-                        abs(h[k] - s[k]) <= 1e-9
+                        abs(h[k] - s[k]) <= tol
                         if isinstance(s[k], float)
                         else h[k] == s[k]
                     )
