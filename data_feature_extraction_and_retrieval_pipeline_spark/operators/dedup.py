@@ -369,10 +369,16 @@ def jaccard_verify_pairs(
     # no .distinct() on the id list: the broadcast semi-join hashes the
     # build side anyway, so deduping first would only add a shuffle
     ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+    # tokenize ONCE into a column before shingling (same rule as every
+    # other word_shingles site): word_shingles_sql references its
+    # token argument ~8 times, so inlining tokens_sql re-split each
+    # matched document ~8× per row (r13 plan fix; values identical)
     doc_sh = caching.persist(
-        df.join(F.broadcast(ids), id_col, "left_semi").selectExpr(
+        df.join(F.broadcast(ids), id_col, "left_semi")
+        .selectExpr(id_col, f"{X.tokens_sql(text_col)} AS __t")
+        .selectExpr(
             id_col,
-            f"{X.word_shingles_sql(X.tokens_sql(text_col), n)} AS __sh",
+            f"{X.word_shingles_sql('__t', n)} AS __sh",
         )
     )
     sh_a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
@@ -568,16 +574,15 @@ _PORT_C = [12345, 6789101, 987654321, 192837465,
            55555333, 777000777, 424242421, 98765431]
 
 
-def portable_shingle_hashes(
-    text: F.Column | str, n: int = 3
-) -> F.Column:
-    """array<bigint> of portable n-gram shingle hashes: per-token
-    rolling char hash, folded across each n-token window with
-    ``fold(h·B + tok_hash) mod P`` (init 0). Documents shorter than n
-    tokens yield one shingle folding all their tokens; token-less
-    documents yield an empty array."""
-    toks = X.tokens(text if not isinstance(text, str) else F.col(text))
-    th = X.portable_token_hashes(toks)
+def _portable_shingles_from_th(th: F.Column, n: int) -> F.Column:
+    """The window-fold half of :func:`portable_shingle_hashes`, taking
+    an already-computed token-hash array. Callers on a hot path
+    materialize ``th`` as a named column first (see
+    ``portable_banded_signatures``): this expression references ``th``
+    ~8 times (slices, sizes, the zip chain), and neither codegen nor
+    the interpreted projection collapses repeated HOF subtrees — fed
+    the raw per-char hashing tree, those 8 references re-hash every
+    token 8 times per row (r13 plan fix; values identical)."""
     z = th
     for j in range(1, n):
         shifted = F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0)))
@@ -600,6 +605,25 @@ def portable_shingle_hashes(
     )
 
 
+def portable_shingle_hashes(
+    text: F.Column | str, n: int = 3
+) -> F.Column:
+    """array<bigint> of portable n-gram shingle hashes: per-token
+    rolling char hash, folded across each n-token window with
+    ``fold(h·B + tok_hash) mod P`` (init 0). Documents shorter than n
+    tokens yield one shingle folding all their tokens; token-less
+    documents yield an empty array.
+
+    This is the generic EXPRESSION form: the token-hash tree is
+    embedded at every reference, so per-row cost multiplies by the
+    ~8 references inside the window fold. Fine for tests and one-off
+    columns; corpus-scale callers should materialize the token hashes
+    as a column and use :func:`_portable_shingles_from_th` (what
+    ``portable_banded_signatures`` does)."""
+    toks = X.tokens(text if not isinstance(text, str) else F.col(text))
+    return _portable_shingles_from_th(X.portable_token_hashes(toks), n)
+
+
 def portable_banded_signatures(
     df: DataFrame,
     n: int = 3,
@@ -614,8 +638,28 @@ def portable_banded_signatures(
     (no Python workers in the plan)."""
     assert num_hashes % bands == 0 and num_hashes <= len(_PORT_A)
     rows = num_hashes // bands
-    shh = portable_shingle_hashes(F.col(text_col), n).alias("__shh")
-    base = df.select(F.col(id_col), shh).filter(F.size("__shh") > 0)
+    # Materialize the per-token hashes ONCE per row, then fold windows
+    # off the named column. The one-projection form embedded the
+    # per-char hashing tree at each of the window fold's ~8 references
+    # AND in the pushed-down non-empty filter (plans/r13/
+    # dedup_minhash_lsh_portable_before.txt: 9 copies in the Filter, 9
+    # in the Project = ~16 full re-hashes of every token per corpus
+    # row). Two-level select + a filter phrased on size(__th) (empty
+    # shingles ⇔ empty token hashes, by the fold's construction) cuts
+    # that to 2 (the pushed filter substitutes the tree once —
+    # PushPredicateThroughNonJoin has no expression-cost guard);
+    # CollapseProject keeps the levels apart because __th/__shh are
+    # non-cheap and multiply referenced. Values identical — the oracle
+    # replays the same arithmetic.
+    th = X.portable_token_hashes(X.tokens(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") > 0)
+        .select(
+            F.col(id_col),
+            _portable_shingles_from_th(F.col("__th"), n).alias("__shh"),
+        )
+    )
     def _affine(i: int):
         # single-parameter lambda on purpose: a second (default)
         # parameter would make PySpark treat it as an (element, index)

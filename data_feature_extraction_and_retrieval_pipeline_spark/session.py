@@ -59,6 +59,22 @@ def get_spark(
         # CurationPipeline.dedup_near; this is defense in depth.)
         .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Shuffle writer: force the sort-based writer at every reduce
+        # count (default bypassMergeThreshold=200 switches to the
+        # bypass-merge writer below 200 partitions, which opens one
+        # file PER REDUCE PARTITION PER MAP TASK — a 96-map × 32-reduce
+        # exchange creates 3072 files to move a few MB; measured 3×
+        # wall on such exchanges: 0.415 s → 0.134 s for a 6k-row
+        # repartition, r13). The sort-based writer emits one file per
+        # map task at any reduce count and only sorts by partition id,
+        # and it is already what every >200-partition cluster shuffle
+        # uses — so this is scale-neutral, not a local tune. Env
+        # override for deployments that want the bypass path back
+        # (very small reduce counts with LARGE per-task output).
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_BYPASS", "0"),
+        )
     )
     active = SparkSession.getActiveSession()
     if active is None:

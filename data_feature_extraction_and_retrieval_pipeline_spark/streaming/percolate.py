@@ -75,10 +75,17 @@ def bm25_stats(
         if tokens_col is not None
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
-    sized = docs.select(
-        F.size(toks).alias("__dl"),
+    # Tokenize ONCE into a named column, then derive dl and every tf
+    # from it — embedding the tokenize tree in each derived column
+    # re-splits the text once per term (codegen does not collapse
+    # repeated HOF trees; the same r12-measured 2× of
+    # retrieval._bm25_base applies). CollapseProject leaves the
+    # two-level select alone because __toks is referenced |terms|+1
+    # times and split() is not collapse-cheap.
+    sized = docs.select(toks.alias("__toks")).select(
+        F.size("__toks").alias("__dl"),
         *[
-            F.size(F.filter(toks, _term_eq(t))).alias(f"__tf_{i}")
+            F.size(F.filter(F.col("__toks"), _term_eq(t))).alias(f"__tf_{i}")
             for i, t in enumerate(terms)
         ],
     )
@@ -148,18 +155,30 @@ def percolate(
         else X.tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
 
-    base = docs.select(
-        F.col(id_col),
-        F.size(toks_expr).alias("__dl"),
-        *[
-            F.size(F.filter(toks_expr, _term_eq(t))).alias(
-                f"__tf_{stats_idx[t]}"
-            )
-            for t in sorted(
-                {t for q in queries for t in q.terms}, key=stats_idx.__getitem__
-            )
-        ],
-    ).crossJoin(F.broadcast(stats_df))
+    # Tokenize ONCE into a named column (same rationale and shape as
+    # bm25_stats above / retrieval._bm25_base): the single-projection
+    # form re-evaluated split(lower(text)) once per derived column —
+    # |terms|+1 full tokenizations per document, measured ~2× the
+    # whole matches() pass at 5 terms (plans/r13/api_percolate_
+    # before.txt shows the duplicated trees). Still a stateless
+    # narrow map — streaming-safe in append mode exactly as before.
+    base = (
+        docs.select(F.col(id_col), toks_expr.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            *[
+                F.size(F.filter(F.col("__toks"), _term_eq(t))).alias(
+                    f"__tf_{stats_idx[t]}"
+                )
+                for t in sorted(
+                    {t for q in queries for t in q.terms},
+                    key=stats_idx.__getitem__,
+                )
+            ],
+        )
+        .crossJoin(F.broadcast(stats_df))
+    )
 
     nd = F.col("__n").cast("double")
     # Degenerate-corpus guard: with zero tokens anywhere, avgdl would
