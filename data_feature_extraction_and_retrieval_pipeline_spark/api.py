@@ -901,6 +901,15 @@ class CurationPipeline:
             CHECKPOINT_SECONDS.get(_key, 0.0)
             + round(_time.perf_counter() - _t0, 4)
         )
+        # With the pair-mining subtree materialized, src's
+        # multi-consumer phase is over: the only remaining reader is
+        # the final anti-join below. Keeping the persist mark would
+        # make every later execution re-materialize the whole upstream
+        # chain into cache (a full extra columnar encode + read) for
+        # that single consumer — unpersist so the anti-join streams
+        # the chain directly (r13; measured ~-0.4 s/run on the curate
+        # certification chain).
+        caching.unpersist(src)
         lab = label_propagation_canonical(pairs, rounds=3)
         drops = lab.filter(F.col("node") != F.col("canonical")).select(
             F.col("node").alias(self.id_col)

@@ -69,6 +69,21 @@ def persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def unpersist(df: DataFrame) -> None:
+    """Unpersist ``df`` and REMOVE it from the ledger (vs
+    :func:`release`, which under prepared-plan mode re-marks the frame
+    so the next run caches it again). For persists whose multi-consumer
+    phase is OVER at plan-construction time — e.g. a stage input whose
+    second consumer was an eagerly-checkpointed pair-mining pass: after
+    the checkpoint the only remaining consumer should stream the chain
+    directly instead of paying a cache materialization every run."""
+    _LIVE[:] = [(live, sc) for live, sc in _LIVE if live is not df]
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+
+
 def release(only: str | None = None) -> int:
     """Drop the data blocks of tracked intra-query caches.
 

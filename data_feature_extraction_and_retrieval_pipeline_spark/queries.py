@@ -3412,10 +3412,40 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax, alphabetical
-    tie-break) vs the labeled lang column — confusion-matrix counts."""
+    tie-break) vs the labeled lang column — confusion-matrix counts.
+
+    Unrolled from the bare ``X.lang_id`` expression (r13, values
+    identical — same argmax/tie-break semantics, the oracle's own CTE
+    structure): the single-expression form embedded each language's
+    hit-count tree (which embeds the tokenization) in the GREATEST and
+    in every WHEN arm — ~24 full re-tokenizations per row at 4
+    languages. Here tokens and the 4 hit counts materialize once per
+    row as named columns; the argmax chain reads cheap column refs."""
     docs = _t(spark, sf_dir, "documents")
+    langs = sorted(X.LANG_MARKERS)
+
+    def _hits(ws):
+        # single-arg lambda on purpose (see X.lang_id): a default-arg
+        # capture would be mis-read as an (element, index) lambda
+        return F.size(F.filter(F.col("__t"), lambda x: x.isin(*list(ws))))
+
+    hits = docs.select(
+        "lang", X.tokens(F.col("text")).alias("__t")
+    ).select(
+        "lang",
+        *[
+            _hits(X.LANG_MARKERS[lang]).alias(f"__h_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"__h_{lang}") for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):  # earlier alphabetical wins on tie
+        out = F.when(
+            (F.col(f"__h_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
     return (
-        docs.select("lang", X.lang_id(X.tokens(F.col("text"))).alias("predicted"))
+        hits.select("lang", out.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
@@ -3436,11 +3466,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct vocabulary size."""
     docs = _t(spark, sf_dir, "documents")
-    t = X.tokens(F.col("text"))
+    # tokenize once into a column (r13 — the inline form re-split the
+    # text for each of the two derived counts; values identical)
     return docs.select(
+        "doc_id", "n_chars", X.tokens(F.col("text")).alias("__t")
+    ).select(
         "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
         "n_chars",
     )
 
@@ -5146,12 +5179,22 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-2 pre-tokenizer shape) for token budgeting; pure
     regexp_extract_all, identical RE semantics in the oracle."""
     docs = _t(spark, sf_dir, "documents", wide=True)
-    t = X.bpe_tokens(F.col("text"))
+    # tokenize ONCE into a named column: the single-projection form
+    # evaluated the full-document regexp_extract_all tree once per
+    # derived column (3× per row — r13 plan fix, measured 2.9× on the
+    # exec at x10; values identical). CollapseProject keeps the levels
+    # apart because __t is non-cheap and referenced three times.
     return docs.select(
+        "doc_id", X.bpe_tokens(F.col("text")).alias("__t")
+    ).select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
-        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).alias("n_num"),
+        F.size("__t").alias("n_tokens"),
+        F.size(F.filter(F.col("__t"), lambda x: x.rlike("^[a-z]+$"))).alias(
+            "n_alpha"
+        ),
+        F.size(F.filter(F.col("__t"), lambda x: x.rlike("^[0-9]+$"))).alias(
+            "n_num"
+        ),
     )
 
 

@@ -64,10 +64,13 @@ def main() -> int:
     qs["agg_value_counts"](spark, SF_DIR).collect()
 
     sc = spark.sparkContext
-    t0 = time.perf_counter()
-    for _ in range(3):
+    spark.range(0, 32 * 1000, 1, 32).count()  # JIT/codegen warm
+    floor = None
+    for _ in range(5):
+        t0 = time.perf_counter()
         spark.range(0, 32 * 1000, 1, 32).count()
-    floor = (time.perf_counter() - t0) / 3
+        dt = time.perf_counter() - t0
+        floor = dt if floor is None else min(floor, dt)
     print(f"job floor ~{floor:.4f}s")
 
     build0 = dict(indexes.BUILD_SECONDS)
