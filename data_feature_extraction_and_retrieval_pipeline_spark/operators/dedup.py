@@ -18,6 +18,8 @@ All signatures use xxhash64 with distinct seeds — JVM-side, no Python.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -116,17 +118,37 @@ def ngram_jaccard_pairs(
     heads = postings.select(
         F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
     )
+    pairgen = heads.select(
+        "id_a",
+        F.explode(
+            F.slice(
+                F.col("__ids"),
+                F.col("__i") + F.lit(2),
+                F.size("__ids") - F.col("__i") - F.lit(1),
+            )
+        ).alias("id_b"),
+    )
+    # The pair-count aggregate is THE wall of exact mining: ~sum(L²)
+    # generated rows, ~94% of them DISTINCT pairs on uniform corpora
+    # (measured x10: 88.2M generated / 82.7M distinct), so map-side
+    # partial aggregation reduces almost nothing while building a
+    # multi-million-entry hash map per map task, and the aggregate
+    # inherits whatever spark.sql.shuffle.partitions the session set
+    # for ordinary (10²-10⁵ row) reduce inputs. Repartition the slim
+    # (id_a, id_b) rows FIRST at a width derived from the cluster
+    # (cores-proportional, env-overridable) so the partial+final
+    # aggregate pair runs post-exchange at full parallelism with a
+    # cache-sized hash table per task (guide §2.2 fewer-but-right-
+    # sized partitions; measured x10: 15.9 s → 7.9 s for the count
+    # stage, 17.6 s → 9.7 s full-pipeline noop, values identical).
+    spark = df.sparkSession
+    npart = max(
+        int(os.environ.get("SPARK_GRAFT_PAIR_AGG_FACTOR", "4"))
+        * spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     common = (
-        heads.select(
-            "id_a",
-            F.explode(
-                F.slice(
-                    F.col("__ids"),
-                    F.col("__i") + F.lit(2),
-                    F.size("__ids") - F.col("__i") - F.lit(1),
-                )
-            ).alias("id_b"),
-        )
+        pairgen.repartition(npart, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
@@ -421,15 +443,29 @@ def label_propagation_canonical(
     Deterministic integer mins — identical in any engine, which is
     what makes the DuckDB oracle replay possible.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # Both edge directions from ONE pass over the pair frame: a
+    # 2-element Generate instead of fwd ∪ reversed. The union form
+    # embedded the ENTIRE pair-mining subtree once per branch, and
+    # while exchange reuse dedups the shuffles, every post-exchange
+    # operator (the pair-count aggregate, the size joins, the Jaccard
+    # filter) executed TWICE per run — measured 15.1 s → ~10 s on the
+    # x10 cluster-canonical wall (guide §2.4: don't recompute what one
+    # Generate can emit). Same multiset of (src, dst) rows.
+    edges_gen = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     # edges feed every round (and each round references the label
     # frame twice), so an unpersisted lineage doubles per round —
     # plan-size 2^rounds with the whole pair-mining pipeline
     # replicated into each copy. Persisting the edge list and each
     # round's (tiny, node-count-sized) label frame keeps the plan
     # linear in rounds; both are tracked for post-query release.
-    edges = caching.persist(fwd.unionByName(rev))
+    edges = caching.persist(edges_gen)
     lab = caching.persist(
         edges.groupBy("src")
         .agg(F.min("dst").alias("__m"))
@@ -651,6 +687,15 @@ def portable_banded_signatures(
     # CollapseProject keeps the levels apart because __th/__shh are
     # non-cheap and multiply referenced. Values identical — the oracle
     # replays the same arithmetic.
+    # NULL-text nuance (ADVICE r13): tokens(NULL) is NULL, so a
+    # NULL-text doc is DROPPED here, where the pre-r13 size(__shh)>0
+    # form kept it as __shh=[NULL] and emitted band rows with NULL
+    # keys. Pair output is unaffected (NULL keys never equi-join, and
+    # NULL rows no longer form a spurious collision bucket in the
+    # streaming groupBy), but the banded ARTIFACT's row membership
+    # differs — any banded index materialized before r13
+    # (indexes.materialized key 'minhash_portable…') must be rebuilt,
+    # not mixed with fresh builds.
     th = X.portable_token_hashes(X.tokens(F.col(text_col)))
     base = (
         df.select(F.col(id_col), th.alias("__th"))
