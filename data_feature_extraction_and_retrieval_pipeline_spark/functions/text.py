@@ -174,9 +174,37 @@ EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
 
 def stopword_ratio(toks: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """Share of tokens that are stopwords, referencing ``toks`` exactly
+    ONCE.
+
+    The naive ``size(filter(t)) / size(t)`` form references its input
+    three times; when callers inline a tokenize TREE (quality_logit,
+    quality_score — including under filter fusion, where Catalyst's
+    pushdown re-substitutes any projected alias back into the
+    predicate), each reference re-evaluates the whole split per row
+    (r14 plan fix; text_quality_classifier carried 6 split() trees).
+    One ``aggregate`` pass packs both counters into a single long
+    (n·2³² + hits — both bounded by the array length, so exact) and
+    the finish lambda emits the identical ratio: hits/n as double when
+    n > 0 else 0.0, with a trailing coalesce reproducing the old
+    when(size(NULL) > 0)→otherwise(0.0) NULL-array identity."""
     t = _c(toks)
-    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+    b32 = F.lit(4294967296).cast("long")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    packed = F.aggregate(
+        t,
+        zero,
+        lambda acc, x: acc
+        + b32
+        + F.when(x.isin(*stopwords), one).otherwise(zero),
+        lambda acc: F.when(
+            F.shiftrightunsigned(acc, 32) > 0,
+            acc.bitwiseAND(F.lit(4294967295).cast("long")).cast("double")
+            / F.shiftrightunsigned(acc, 32).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.coalesce(packed, F.lit(0.0))
 
 
 def alpha_ratio(col: Column | str) -> Column:
@@ -395,12 +423,23 @@ def hash_split(
     """Deterministic content-hash train/val/test split — the standard
     leakage-safe corpus split (identical text always lands in the same
     split, across runs AND across engines, because the bucket comes
-    from the portable rolling hash rather than a seeded shuffle)."""
+    from the portable rolling hash rather than a seeded shuffle).
+
+    The bucket expression is bound to a lambda variable via a
+    1-element ``transform`` so the rolling hash — a per-character
+    polynomial fold over the whole document — evaluates exactly once
+    per row. A bare CASE WHEN chain re-evaluates the bucket tree in
+    every non-first condition (Catalyst only CSEs the always-evaluated
+    first branch), charging non-train rows a second full hash (r14)."""
     b = rolling_hash_fingerprint(col) % 100
-    return (
-        F.when(b < train_pct, F.lit("train"))
-        .when(b < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
+    return F.element_at(
+        F.transform(
+            F.array(b),
+            lambda x: F.when(x < train_pct, F.lit("train"))
+            .when(x < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        ),
+        1,
     )
 
 

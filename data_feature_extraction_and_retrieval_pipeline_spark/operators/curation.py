@@ -415,11 +415,18 @@ def quality_classifier(
     Map-only: no shuffle at any scale; at 100 TB this is one pass
     fused with whatever filter chain surrounds it.
     """
+    # Two-level select: the rounded logit is projected ONCE and both
+    # output columns read the projected value (CollapseProject keeps
+    # the levels separate because a non-trivial producer expression is
+    # referenced twice). The single-select form embedded the whole
+    # logit tree — tokenize included — once per output column (r14
+    # plan fix; values identical).
     logit = quality_logit(text_col, weights)
-    return df.select(
+    scored = df.select(F.col(id_col), F.round(logit, 6).alias("__logit"))
+    return scored.select(
         F.col(id_col),
-        F.round(logit, 6).alias("logit"),
-        (F.round(logit, 6) >= F.lit(float(threshold))).alias("keep"),
+        F.col("__logit").alias("logit"),
+        (F.col("__logit") >= F.lit(float(threshold))).alias("keep"),
     )
 
 

@@ -414,16 +414,37 @@ def _funnel_salted(
         # signature, so no default-arg capture
         return lambda x: x > prev
 
+    # Chain values by DIAGONAL level: v(e, j) needs v(e, j-1), and the
+    # former inline chaining re-embedded each previous chain's whole
+    # array_min(filter(...)) tree into the next (O(k²) duplicated HOF
+    # evaluations per (user, day) row — the r13 multiplied-expression
+    # pathology). Level d projects every c_{e,j} with j-e = d off the
+    # PREVIOUS level's named column, so each chain value is evaluated
+    # exactly once; CollapseProject keeps the levels apart because
+    # each chain column is referenced by both the next level and the
+    # final day struct. Values identical.
+    cur = g
+    for d in range(1, k):
+        adds = []
+        for e in range(k - d):
+            j = e + d
+            prev = (
+                F.col(f"__m{e}") if d == 1 else F.col(f"__c{e}_{j - 1}")
+            )
+            adds.append(
+                F.array_min(
+                    F.filter(F.col(f"__a{j}"), _after(prev))
+                ).alias(f"__c{e}_{j}")
+            )
+        cur = cur.select("*", *adds)
     chain_fields = []
     for e in range(k):
-        prev = F.col(f"__m{e}")
-        chain_fields.append(prev.alias(f"c{e}_{e}"))
+        chain_fields.append(F.col(f"__m{e}").alias(f"c{e}_{e}"))
         for j in range(e + 1, k):
-            prev = F.array_min(F.filter(F.col(f"__a{j}"), _after(prev)))
-            chain_fields.append(prev.alias(f"c{e}_{j}"))
+            chain_fields.append(F.col(f"__c{e}_{j}").alias(f"c{e}_{j}"))
     # __day first: array_sort on structs orders by leading field
     day_struct = F.struct(F.col("__day"), *chain_fields)
-    per_user = g.groupBy(F.col(user_col)).agg(
+    per_user = cur.groupBy(F.col(user_col)).agg(
         F.array_sort(F.collect_list(day_struct)).alias("__days")
     )
 
