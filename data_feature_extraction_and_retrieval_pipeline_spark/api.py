@@ -909,6 +909,20 @@ class CurationPipeline:
         # that single consumer — unpersist so the anti-join streams
         # the chain directly (r13; measured ~-0.4 s/run on the curate
         # certification chain).
+        # GUARD (ADVICE r13): the unpersist is only safe because the
+        # localCheckpoint above was EAGER — pairs' mining subtree is
+        # already materialized, so nothing re-reads src through that
+        # path. If the checkpoint were ever made lazy, later
+        # executions would recompute the whole upstream chain once
+        # per remaining consumer with no cache. Assert the coupling
+        # instead of relying on statement order alone.
+        _root = (
+            pairs._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        )
+        assert _root == "LogicalRDD", (
+            "dedup_near: src may only be unpersisted after the pair "
+            f"frame is eagerly checkpointed (got plan root {_root})"
+        )
         caching.unpersist(src)
         lab = label_propagation_canonical(pairs, rounds=3)
         drops = lab.filter(F.col("node") != F.col("canonical")).select(

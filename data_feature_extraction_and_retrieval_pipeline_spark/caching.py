@@ -69,6 +69,12 @@ def persist(df: DataFrame) -> DataFrame:
     return out
 
 
+# JVM-side unpersist failures swallowed by :func:`unpersist` — kept
+# observable (count + last message) instead of silently dropped
+# (ADVICE r13); read it in tests or a debugging session.
+UNPERSIST_ERRORS: dict[str, object] = {"count": 0, "last": None}
+
+
 def unpersist(df: DataFrame) -> None:
     """Unpersist ``df`` and REMOVE it from the ledger (vs
     :func:`release`, which under prepared-plan mode re-marks the frame
@@ -76,12 +82,18 @@ def unpersist(df: DataFrame) -> None:
     phase is OVER at plan-construction time — e.g. a stage input whose
     second consumer was an eagerly-checkpointed pair-mining pass: after
     the checkpoint the only remaining consumer should stream the chain
-    directly instead of paying a cache materialization every run."""
+    directly instead of paying a cache materialization every run.
+
+    Only call this on frames whose EVERY registered consumer is
+    finished: the ledger is keyed by object identity, so unpersisting
+    a frame another scope still counts on silently drops that scope's
+    entry."""
     _LIVE[:] = [(live, sc) for live, sc in _LIVE if live is not df]
     try:
         df.unpersist(blocking=False)
-    except Exception:
-        pass
+    except Exception as exc:
+        UNPERSIST_ERRORS["count"] = int(UNPERSIST_ERRORS["count"]) + 1  # type: ignore[arg-type]
+        UNPERSIST_ERRORS["last"] = repr(exc)
 
 
 def release(only: str | None = None) -> int:

@@ -79,6 +79,30 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is None:
         builder = builder.master(f"local[{cpus}]")
+    else:
+        # getOrCreate() attaches to the running session and every
+        # builder conf above is silently ignored — in particular the
+        # shuffle-writer threshold is a STATIC core conf that cannot
+        # change after SparkContext start, so a second caller's
+        # SPARK_GRAFT_SHUFFLE_BYPASS override would not take effect.
+        # Surface the mismatch instead of hiding it (ADVICE r13).
+        want = os.environ.get("SPARK_GRAFT_SHUFFLE_BYPASS", "0")
+        try:
+            have = active.sparkContext.getConf().get(
+                "spark.shuffle.sort.bypassMergeThreshold", "200"
+            )
+        except Exception:
+            have = None
+        if have is not None and have != want:
+            import sys
+
+            print(
+                "get_spark: attaching to an active session whose "
+                f"spark.shuffle.sort.bypassMergeThreshold={have} differs "
+                f"from the requested {want}; the static conf cannot be "
+                "changed mid-session",
+                file=sys.stderr,
+            )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
