@@ -477,6 +477,10 @@ def main() -> None:
             "oracle": noisy_oracle,
             "wall": noisy_wall,
         },
+        # core count the artifact was measured at (r14 hygiene: the
+        # committed detail file must not be confusable with the
+        # driver's lower-core scaling run)
+        "cpus": int(CPUS),
         "sf": sf,
     }
     # Full payload → a file (the per-query timings matter for grading

@@ -211,6 +211,11 @@ def main() -> int:
     trailing = []          # job_floor_s of prior rounds
     trailing_oracle = []   # oracle_total of prior rounds
     prev_queries = None    # per-query walls of the most recent round
+    # per-query oracle walls of prior CLEAN artifacts: the over-2x bin
+    # pins each query's denominator to the median of (trailing clean
+    # values + this run), so bin membership stops churning with one
+    # run's DuckDB contention (VERDICT r13 'What's wrong #3')
+    trailing_oracle_q: dict[str, list[float]] = {}
     self_artifact = f"BENCH_x10_r{rnd:02d}.json"
     for p in sorted(REPO.glob("BENCH_x10_r*.json")):
         if p.name == self_artifact:
@@ -229,6 +234,11 @@ def main() -> int:
         # a contended oracle total must not poison the trailing median
         if isinstance(ot, (int, float)) and not doc.get("noisy_run"):
             trailing_oracle.append(float(ot))
+            oq = doc.get("oracle_queries")
+            if isinstance(oq, dict):
+                for n, val in oq.items():
+                    if isinstance(val, (int, float)):
+                        trailing_oracle_q.setdefault(n, []).append(float(val))
         q = doc.get("queries")
         if isinstance(q, dict) and q:
             prev_queries = q
@@ -307,10 +317,20 @@ def main() -> int:
     # measure against (>= 0.1 s at x10); write-priced queries get
     # their own bin — their Spark side does physical I/O the oracle
     # doesn't, so the ratio prices the write, not the plan
-    measurable = {n for n, o in oracle_timings.items() if o >= 0.1}
+    # Denominator-robust bin membership: each query's oracle seconds
+    # pinned to the median of (trailing clean artifacts + this run) so
+    # one contended DuckDB pass can't churn the list (r14 hygiene;
+    # `ratio`/`floor_adj_ratio` below stay on this run's denominator —
+    # the pinned value only decides the bins).
+    oracle_pinned = {}
+    for n, o in oracle_timings.items():
+        vals = sorted(trailing_oracle_q.get(n, []) + [o])
+        oracle_pinned[n] = vals[len(vals) // 2]
+    measurable = {n for n, o in oracle_pinned.items() if o >= 0.1}
     over = {
         n for n in measurable
-        if floor_adj[n] is not None and floor_adj[n] > 2
+        if oracle_pinned[n] > 0
+        and max(timings[n] - floor, 0.0) / oracle_pinned[n] > 2
     }
     fetch_priced = {n for n in over if rows_out.get(n, 0) >= FETCH_ROWS}
     over_bar = sorted(over - WRITE_PRICED - fetch_priced)
@@ -344,6 +364,10 @@ def main() -> int:
         "queries": dict(sorted(timings.items())),
         "exec_only": dict(sorted(exec_only.items())),
         "oracle_queries": dict(sorted(oracle_timings.items())),
+        "oracle_pinned": dict(
+            sorted((n, round(v, 4)) for n, v in oracle_pinned.items())
+        ),
+        "cpus": int(CPUS),
         "ratio": dict(sorted(ratio.items())),
         "floor_adj_ratio": dict(sorted(floor_adj.items())),
         "index_build_s": dict(sorted(indexes.BUILD_SECONDS.items())),
