@@ -104,9 +104,19 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(X.word_shingles(F.col("__t"), n)).alias("shingle"),
     )
+    # coalesce makes n_shingles NON-NULLABLE so the isnotnull(size_a/b)
+    # constraint the optimizer infers from the Jaccard filter folds to
+    # true instead of being pushed below this projection — substituted,
+    # the predicate re-embedded the whole shingle tree (~8 tokenize
+    # evaluations per corpus row in EACH size-join build side; r14
+    # audit, measured 8.4 → 7.0 s full-pipeline noop at x10). Values
+    # identical: a NULL-text doc explodes no shingles, so its id never
+    # reaches `common` and its sizes row never joins.
     sizes = tok.select(
         F.col(id_col),
-        F.size(X.word_shingles(F.col("__t"), n)).alias("n_shingles"),
+        F.coalesce(
+            F.size(X.word_shingles(F.col("__t"), n)), F.lit(0)
+        ).alias("n_shingles"),
     )
     postings = (
         sh.groupBy("shingle")
@@ -1017,8 +1027,18 @@ def _fingerprint_keys(
         F.length(c).alias("__len"),
     ]
     if portable:
+        # coalesce marks __fp NON-NULLABLE (the hash of coalesced text
+        # is never null, but Catalyst's nullability analysis cannot
+        # prove it through the aggregate fold), so the isnotnull(__fp)
+        # constraint inferred from the key joins folds to true instead
+        # of being pushed below this projection with the whole
+        # per-character hash tree substituted in — one full extra
+        # corpus re-hash per build (r14 audit). Values identical.
         return df.select(
-            *base, X.rolling_hash_fingerprint(c).alias("__fp")
+            *base,
+            F.coalesce(
+                X.rolling_hash_fingerprint(c), F.lit(0).cast("long")
+            ).alias("__fp"),
         )
     return df.select(
         *base,
